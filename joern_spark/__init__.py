@@ -1,0 +1,21 @@
+"""joern_spark — a PySpark-native transcript-property-graph construction engine.
+
+Re-imagines the reference code-property-graph pipeline (Privado-Inc/joern,
+surveyed in SURVEY.md) as a knowledge-graph construction pipeline over tables
+of multi-turn conversation transcripts:
+
+    transcripts(conv_id, turn_idx, role, text, tool, ts)
+        → S1 assemble     (turn/conversation nodes, NEXT_TURN edges)
+        → S2 extract      (mentions + raw (subj, pred, obj) triples)
+        → S3 link         (blocking-key entity linking + stub entities)
+        → S4 canonicalize (SAME_AS connected components, triple rewrite)
+        → S5 materialize  (nodes / edges / triples graph tables)
+
+The stage layering mirrors the reference's overlay layers
+(Base → ControlFlow → TypeRelations → CallGraph → OssDataFlow; see
+x2cpg/.../X2Cpg.scala:377-379), re-expressed as composable DataFrame
+transformations so Catalyst/AQE provide the physical optimization the
+reference hand-builds (SURVEY.md §4).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,266 @@
+"""Deterministic synthetic transcript corpus (the source-code analog).
+
+Generates the input table from BASELINE.json's input_hint —
+``transcripts(conv_id string, turn_idx int32, role string, text string,
+tool string, ts timestamp)`` — plus the canonical entity vocabulary used by
+the linking stage (the analog of defined METHOD/TYPE_DECL full names,
+LinkingUtil.scala:32-33 in the reference).
+
+Design requirements (FIXTURES.md F1/F5):
+  * fully deterministic: every field is a pure function of (conv index,
+    turn index) via a splitmix64-style integer mixer — no sequential RNG, so
+    any scale is generated identically regardless of chunking order;
+  * skew tail: ~1/509 conversations are "mega" (256 blocks = 1024 turns,
+    ~100x the median) to exercise salting / AQE skew handling;
+  * hub entities (5 cities carry ~40% of mentions) and singleton/unknown
+    entities (absent from the vocabulary → stub creation path, the
+    MethodStubCreator analog);
+  * alias statements forming chains (NYC → New York City, Big Apple → NYC)
+    so canonicalization needs a real transitive closure;
+  * rebind statements ("From now on use staging_db instead of prod_db")
+    exercising last-writer-wins gen/kill semantics
+    (ReachingDefProblem.scala:176-301 analog).
+
+Turn grammar: each conversation is a sequence of 4-turn blocks
+(ASK → CALL → RESULT → SUMMARY); deterministic per-(conv, block) draws
+replace ASK with ALIAS/REBIND or CALL with DB/DBCUR variants.
+
+Every template is extractable with RE2-safe regexes shared verbatim by the
+Spark pipeline and the DuckDB oracle (see operators/extract.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+# --- entity vocabulary -------------------------------------------------------
+
+HUB_CITIES = ["Paris", "London", "Tokyo", "New York City", "Berlin"]
+TAIL_CITIES = [
+    "Madrid", "Rome", "Lisbon", "Vienna", "Prague", "Oslo", "Helsinki",
+    "Dublin", "Warsaw", "Athens", "Cairo", "Nairobi", "Lagos", "Mumbai",
+    "Delhi", "Bangkok", "Hanoi", "Seoul", "Osaka", "Sydney", "Auckland",
+    "Toronto", "Chicago", "Boston", "Seattle", "Denver", "Austin",
+    "St Louis", "Miami", "Havana", "Lima", "Bogota", "Santiago",
+    # alias surfaces — same real-world entity as a canonical city, merged
+    # only by the canonicalization stage via SAME_AS statements:
+    "NYC", "Big Apple", "LA", "Los Angeles", "SF", "San Francisco",
+    # unknown cities — NOT in the vocabulary → must produce stub entities:
+    "Zarqa", "Qux City", "Norg", "Vintertown", "Eastmarch",
+]
+UNKNOWN_CITIES = {"Zarqa", "Qux City", "Norg", "Vintertown", "Eastmarch"}
+CITIES = HUB_CITIES + TAIL_CITIES
+
+# (a, b) → statement "Note that {a} is also known as {b}."  Chains on purpose.
+ALIAS_PAIRS = [
+    ("NYC", "New York City"),
+    ("Big Apple", "NYC"),
+    ("LA", "Los Angeles"),
+    ("SF", "San Francisco"),
+]
+
+TOOLS = [
+    "weather_api", "search_api", "calendar_api", "translate_api",
+    "stock_api", "email_api", "code_exec", "db_query",
+]
+DBS = ["prod_db", "staging_db", "dev_db", "analytics_db"]
+DEFAULT_DB = "prod_db"  # initial binding before any rebind statement
+CONDS = ["sunny", "cloudy", "rainy", "windy", "snowy", "foggy"]
+
+TURNS_PER_SF = 12_000_000  # turns ≈ TURNS_PER_SF * sf  (sf0.01 → 120k turns)
+MEAN_TURNS_PER_CONV = 12.0  # 3 blocks of 4 on average (before the mega tail)
+
+
+def normalize_surface(s: str) -> str:
+    """Blocking key for entity linking — the FULL_NAME analog."""
+    return s.strip().lower().replace(" ", "_")
+
+
+# --- splitmix64-style vectorized mixer ---------------------------------------
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix(*parts: np.ndarray | int) -> np.ndarray:
+    """Deterministic 64-bit hash of integer arrays (elementwise)."""
+    with np.errstate(over="ignore"):
+        h = _GOLD
+        for p in parts:
+            x = np.asarray(p, dtype=np.uint64)
+            h = np.uint64(h) + x * _GOLD if np.isscalar(h) else h + x * _GOLD
+            h = (h ^ (h >> np.uint64(30))) * _M1
+            h = (h ^ (h >> np.uint64(27))) * _M2
+            h = h ^ (h >> np.uint64(31))
+        return h
+
+
+def _pick(arr: list[str], h: np.ndarray) -> np.ndarray:
+    lookup = np.asarray(arr, dtype=object)
+    return lookup[(h % np.uint64(len(arr))).astype(np.int64)]
+
+
+# --- generation ---------------------------------------------------------------
+
+def conv_block_counts(n_convs: int) -> np.ndarray:
+    """Blocks per conversation: 1..5, with a mega tail (256 blocks)."""
+    c = np.arange(n_convs, dtype=np.uint64)
+    nblocks = 1 + (mix(c, 1) % np.uint64(5)).astype(np.int64)
+    nblocks[(c % np.uint64(509)) == np.uint64(7)] = 256  # mega-conversations
+    return nblocks
+
+
+def generate_transcripts(n_turns_target: int) -> pd.DataFrame:
+    """Generate ≈n_turns_target turns as a pandas DataFrame (row order =
+    (conv, turn_idx)). Pure function of the target size."""
+    n_convs = max(1, int(n_turns_target / MEAN_TURNS_PER_CONV))
+    nblocks = conv_block_counts(n_convs)
+    nturns = nblocks * 4
+
+    conv = np.repeat(np.arange(n_convs, dtype=np.int64), nturns)
+    # turn_idx = position within conversation
+    starts = np.concatenate(([0], np.cumsum(nturns)[:-1]))
+    t = np.arange(conv.size, dtype=np.int64) - np.repeat(starts, nturns)
+
+    block = (t // 4).astype(np.uint64)
+    phase = (t % 4).astype(np.int64)
+    cu = conv.astype(np.uint64)
+
+    # per-(conv, block) draws
+    h_city = mix(cu, block, 3)
+    is_hub = (h_city % np.uint64(10)) < np.uint64(4)
+    city = np.where(
+        is_hub,
+        _pick(HUB_CITIES, mix(cu, block, 31)),
+        _pick(TAIL_CITIES, mix(cu, block, 37)),
+    )
+    special = (mix(cu, block, 5) % np.uint64(100)).astype(np.int64)
+    temp = ((mix(cu, block, 13) % np.uint64(49)).astype(np.int64) - 9).astype(np.int64)
+    cond = _pick(CONDS, mix(cu, block, 17))
+    tool = _pick(TOOLS, mix(cu, block, 19))
+    alias_idx = (mix(cu, block, 7) % np.uint64(len(ALIAS_PAIRS))).astype(np.int64)
+    alias_a = np.asarray([p[0] for p in ALIAS_PAIRS], dtype=object)[alias_idx]
+    alias_b = np.asarray([p[1] for p in ALIAS_PAIRS], dtype=object)[alias_idx]
+    db_new_i = (mix(cu, block, 11) % np.uint64(4)).astype(np.int64)
+    db_new = np.asarray(DBS, dtype=object)[db_new_i]
+    db_old = np.asarray(DBS, dtype=object)[(db_new_i + 1) % 4]
+
+    # turn-type masks
+    is_alias = (special < 6) & (phase == 0)
+    is_rebind = (special >= 6) & (special < 9) & (phase == 0)
+    is_db = (special >= 9) & (special < 12) & (phase == 1)
+    is_dbcur = (special >= 12) & (special < 16) & (phase == 1)
+
+    temp_s = temp.astype(str).astype(object)
+    text = np.empty(conv.size, dtype=object)
+    m = phase == 0
+    text[m] = "Please check the weather in " + city[m] + "."
+    text[is_alias] = "Note that " + alias_a[is_alias] + " is also known as " + alias_b[is_alias] + "."
+    text[is_rebind] = "From now on use " + db_new[is_rebind] + " instead of " + db_old[is_rebind] + "."
+    m = phase == 1
+    text[m] = "Calling " + tool[m] + " for " + city[m] + "."
+    text[is_db] = "Querying " + db_new[is_db] + " for records about " + city[is_db] + "."
+    text[is_dbcur] = "Querying the current database for records about " + city[is_dbcur] + "."
+    m = phase == 2
+    text[m] = city[m] + ": " + temp_s[m] + "C, " + cond[m] + "."
+    m = phase == 3
+    text[m] = "It is " + temp_s[m] + "C and " + cond[m] + " in " + city[m] + "."
+
+    role = np.empty(conv.size, dtype=object)
+    role[phase == 0] = "user"
+    role[phase == 1] = "assistant"
+    role[phase == 2] = "tool"
+    role[phase == 3] = "assistant"
+
+    tool_col = np.full(conv.size, None, dtype=object)
+    m = (phase == 1) | (phase == 2)
+    tool_col[m] = tool[m]
+    m = is_db | is_dbcur
+    tool_col[m] = "db_query"
+    # phase-2 result turn of a db block still reports weather tool output;
+    # keep its tool consistent with the block's phase-1 tool choice (already set).
+
+    conv_id = pd.array(["c%09d" % i for i in range(n_convs)], dtype=object)[conv]
+    ts = (
+        np.datetime64("2024-01-01T00:00:00", "us")
+        + conv.astype("timedelta64[s]") * 300
+        + t.astype("timedelta64[s]")
+    )
+
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": t.astype(np.int32),
+            "role": role,
+            "text": text,
+            "tool": tool_col,
+            "ts": ts,
+        }
+    )
+
+
+def generate_entities() -> pd.DataFrame:
+    """Canonical entity vocabulary (the defined-full-names table).
+
+    Alias surfaces are distinct rows (like distinct TYPE_DECLs later merged
+    by ALIAS_OF edges); UNKNOWN_CITIES are deliberately absent.
+    """
+    rows = []
+    for c in CITIES:
+        if c not in UNKNOWN_CITIES:
+            rows.append((normalize_surface(c), c, "location"))
+    for tl in TOOLS:
+        rows.append((normalize_surface(tl), tl, "tool"))
+    for d in DBS:
+        rows.append((normalize_surface(d), d, "db"))
+    df = pd.DataFrame(rows, columns=["entity_key", "name", "kind"])
+    return df.drop_duplicates("entity_key").sort_values("entity_key").reset_index(drop=True)
+
+
+# --- on-disk management -------------------------------------------------------
+
+DATA_ROOT = os.environ.get("JOERN_SPARK_DATA", "/root/repo/data")
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def transcripts_path(sf: float) -> str:
+    return os.path.join(DATA_ROOT, "transcripts", f"sf{sf:g}", "transcripts.parquet")
+
+
+def entities_path() -> str:
+    return os.path.join(DATA_ROOT, "entities", "entities.parquet")
+
+
+def ensure_transcripts(sf_dir_or_sf: str | float) -> str:
+    """Idempotently materialize the transcript corpus for a scale factor;
+    returns the parquet path (readable by both Spark and DuckDB)."""
+    sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else sf_from_dir(sf_dir_or_sf)
+    path = transcripts_path(sf)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        df = generate_transcripts(int(TURNS_PER_SF * sf))
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_entities() -> str:
+    path = entities_path()
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        generate_entities().to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path

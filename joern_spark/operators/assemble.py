@@ -1,0 +1,96 @@
+"""S1 assemble — base graph build (the Base + ControlFlow overlay analog).
+
+Mirrors FileCreationPass (one FILE node per distinct filename,
+x2cpg/.../base/FileCreationPass.scala:16-45) and CfgCreationPass
+(x2cpg/.../cfgcreation/CfgCreator.scala:41-123). Transcripts are linear, so
+the reference's general CFG "fringe" algebra degenerates to
+`lead(turn_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)` — a single
+window, one shuffle on conv_id, no Python.
+
+Scale notes:
+  * The window shuffles once on conv_id. A mega-conversation (~10^3–10^6
+    turns) is still a single window partition; at 10^6 rows × ~100 B that is
+    ~100 MB per task — within executor memory, and the window function is
+    streaming (lead needs one row of lookahead), so no partition-size blowup.
+  * Node ids are deterministic strings (`conv_id`, `conv_id:turn_idx`), never
+    monotonically_increasing_id — output is identical under any partitioning
+    (SURVEY.md §7 hard-part (b)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from joern_spark import schemas as S
+
+
+def turn_id(conv=None, idx=None):
+    conv = conv if conv is not None else F.col("conv_id")
+    idx = idx if idx is not None else F.col("turn_idx")
+    return F.concat(conv, F.lit(":"), idx.cast("string"))
+
+
+def turn_nodes(transcripts: DataFrame) -> DataFrame:
+    """TURN nodes — one per transcript row, id = conv_id:turn_idx."""
+    return transcripts.select(
+        turn_id().alias("id"),
+        F.lit(S.TURN).alias("label"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
+def next_turn_edges(transcripts: DataFrame) -> DataFrame:
+    """NEXT_TURN edges (the CFG layer): lead() within each conversation."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.lead("turn_idx").over(w).alias("next_idx"),
+        )
+        .where(F.col("next_idx").isNotNull())
+        .select(
+            turn_id().alias("src"),
+            turn_id(idx=F.col("next_idx")).alias("dst"),
+            F.lit(S.NEXT_TURN).alias("label"),
+            F.lit(None).cast("string").alias("property"),
+        )
+    )
+
+
+def conversation_nodes(transcripts: DataFrame) -> DataFrame:
+    """CONVERSATION nodes (FILE/METHOD analog): one aggregation pass.
+    Partial (map-side) aggregation applies — the shuffle moves one row per
+    (partition, conv_id), not per turn."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_turns"),
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+    ).select(
+        F.col("conv_id").alias("id"),
+        F.lit(S.CONVERSATION).alias("label"),
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        "started_at",
+        "ended_at",
+    )
+
+
+def contains_edges(transcripts: DataFrame) -> DataFrame:
+    """CONTAINS edges conversation→turn (skip-level containment,
+    ContainsEdgePass.scala:16-59 analog). In the reference this is an AST
+    BFS; the transcript graph is depth-1 so it is a pure projection."""
+    return transcripts.select(
+        F.col("conv_id").alias("src"),
+        turn_id().alias("dst"),
+        F.lit(S.CONTAINS).alias("label"),
+        F.lit(None).cast("string").alias("property"),
+    )

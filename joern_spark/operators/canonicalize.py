@@ -1,0 +1,117 @@
+"""S4 canonicalize — connected-components over SAME_AS, triple rewrite.
+
+Analog of NamespaceCreator's groupBy-canonicalization
+(x2cpg/.../base/NamespaceCreator.scala:19-32) plus DynamicCallLinker's
+memoized transitive closure over inheritance edges
+(x2cpg/.../callgraph/DynamicCallLinker.scala:86-130): alias statements
+("NYC is also known as New York City") form SAME_AS edges whose connected
+components must collapse to one canonical entity id.
+
+Algorithm: iterative min-label propagation over the symmetrized edge set —
+each round every node takes the min label among itself and its neighbors;
+converges in O(component diameter) rounds. Each round is one shuffle
+(groupBy node) and the frontier is `dropDuplicates`-bounded, mirroring the
+reference flow engine's task-fingerprint dedup (Engine.scala:133-143).
+`localCheckpoint` truncates the lineage every round — without it the plan
+grows exponentially (SURVEY.md §7 hard-part (a)). Alias chains are short
+(diameter ≤ ~5); for adversarial diameters switch to large-star/small-star
+(same loop skeleton, two alternating join rules).
+
+Canonical representative = lexicographic MIN entity_key in the component —
+deterministic and replicable by the DuckDB oracle's recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joern_spark.operators.extract import normalize_surface_col
+
+MAX_ITERATIONS = 20
+
+
+def same_as_edges(triples_raw: DataFrame) -> DataFrame:
+    """(a, b) normalized-key pairs from same_as triples."""
+    return (
+        triples_raw.where(F.col("pred") == "same_as")
+        .select(
+            normalize_surface_col(F.col("subj")).alias("a"),
+            normalize_surface_col(F.col("obj")).alias("b"),
+        )
+        .dropDuplicates()
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """canonical_map(entity_key, canon) for every key in `pairs`;
+    canon = min key of the connected component. Nodes not in any pair are
+    absent (identity mapping is applied by the caller via coalesce)."""
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.dropDuplicates().localCheckpoint(eager=True)
+    # label(n) starts as min(n, min neighbor) and contracts each round
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("canon"))
+        .select(F.col("a").alias("entity_key"), "canon")
+    )
+    labels = labels.withColumn("canon", F.least("entity_key", "canon")).localCheckpoint(eager=True)
+    for _ in range(MAX_ITERATIONS):
+        # propagate: candidate label for n = min over neighbors m of label(m)
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.entity_key)
+            .groupBy("a")
+            .agg(F.min("canon").alias("nbr_canon"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.entity_key == neighbor_min.a, "left")
+            .select(
+                "entity_key",
+                F.least(F.col("canon"), F.coalesce("nbr_canon", F.col("canon"))).alias("canon"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity_key")
+            .where(F.col("n.canon") != F.col("o.canon"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # path-compress: ensure label fixpoint (label of label == label)
+    return labels
+
+
+def subj_key_col(c):
+    """Triple subjects/objects that are conversation nodes keep their
+    'conv:' id; entity surfaces normalize to blocking keys."""
+    return F.when(c.startswith("conv:"), c).otherwise(normalize_surface_col(c))
+
+
+def canonicalize_triples(triples_raw: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """Rewrite raw triples onto canonical entity keys. same_as triples are
+    structural (they became the component edges) and are excluded from the
+    fact set. The map is tiny (only aliased keys) → broadcast joins."""
+    t = triples_raw.where(F.col("pred") != "same_as").select(
+        subj_key_col(F.col("subj")).alias("subj"),
+        "pred",
+        subj_key_col(F.col("obj")).alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )
+    cmap = F.broadcast(canonical_map)
+    t = (
+        t.join(cmap.withColumnRenamed("entity_key", "subj").withColumnRenamed("canon", "subj_canon"), "subj", "left")
+        .join(cmap.withColumnRenamed("entity_key", "obj").withColumnRenamed("canon", "obj_canon"), "obj", "left")
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", "obj").alias("obj"),
+            "conv_id",
+            "turn_idx",
+        )
+    )
+    return t

@@ -1,0 +1,255 @@
+"""S2 extract — vectorized mention detection and raw triple extraction.
+
+The analog of the reference's frontend AstVisitor + joern-scan query battery
+(pysrc2cpg CodeToCpg.scala:18-38 parses each file into AST nodes;
+console/.../scan/ScanPass.scala:10-16 runs each query and materializes
+findings). Here each *extraction rule* plays the role of one querydb query:
+it matches a turn template and emits mentions and (subj, pred, obj) triples.
+
+Rules are declared ONCE as data (RE2-safe regex + capture-group recipes) and
+compiled two ways:
+  * `extract_mentions` / `extract_triples`: single-pass JVM-side plan —
+    one `CASE WHEN` rule dispatch + `regexp_extract` + one `explode`.
+    No shuffle, no Python in the hot path; whole-stage codegen end to end.
+  * `joern_spark.oracle`: the same rules rendered to ANSI SQL for DuckDB.
+  * `extract_mentions_pandas`: an Arrow-batched pandas-UDF variant
+    (mapInPandas) proving the vectorized-UDF path required by the north
+    rule; tests assert it is row-identical to the JVM plan.
+
+Rule templates are mutually exclusive by construction (the generator's turn
+grammar), so first-match dispatch is total and deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A "piece" of a produced surface/subject/object:
+#   ("g", i)   -> regex capture group i
+#   ("lit", s) -> literal string
+#   ("conv",)  -> "conv:" + conv_id  (conversation-node subject)
+Piece = tuple
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    role: str | None  # required role, or None for any
+    pattern: str  # RE2-safe, anchored
+    mentions: list[tuple[str, list[Piece]]] = field(default_factory=list)
+    triples: list[tuple[list[Piece], str, list[Piece]]] = field(default_factory=list)
+
+
+RULES: list[Rule] = [
+    Rule(
+        name="ask",
+        role="user",
+        pattern=r"^Please check the weather in ([A-Z][A-Za-z ]*)\.$",
+        mentions=[("location", [("g", 1)])],
+        triples=[([("conv",)], "mentions_location", [("g", 1)])],
+    ),
+    Rule(
+        name="call",
+        role="assistant",
+        pattern=r"^Calling ([a-z_]+) for ([A-Z][A-Za-z ]*)\.$",
+        mentions=[("tool", [("g", 1)]), ("location", [("g", 2)])],
+        triples=[
+            ([("conv",)], "uses_tool", [("g", 1)]),
+            ([("g", 1)], "called_for", [("g", 2)]),
+        ],
+    ),
+    Rule(
+        name="result",
+        role="tool",
+        pattern=r"^([A-Z][A-Za-z ]*): (-?[0-9]+)C, ([a-z]+)\.$",
+        mentions=[
+            ("location", [("g", 1)]),
+            ("measure", [("g", 2), ("lit", "C")]),
+            ("condition", [("g", 3)]),
+        ],
+        triples=[
+            ([("g", 1)], "has_temperature", [("g", 2), ("lit", "C")]),
+            ([("g", 1)], "has_condition", [("g", 3)]),
+        ],
+    ),
+    Rule(
+        name="summary",
+        role="assistant",
+        pattern=r"^It is (-?[0-9]+)C and ([a-z]+) in ([A-Z][A-Za-z ]*)\.$",
+        mentions=[("location", [("g", 3)])],
+        triples=[],  # facts already emitted by `result`; avoid duplicates
+    ),
+    Rule(
+        name="alias",
+        role="user",
+        pattern=r"^Note that ([A-Z][A-Za-z ]*) is also known as ([A-Z][A-Za-z ]*)\.$",
+        mentions=[("location", [("g", 1)]), ("location", [("g", 2)])],
+        triples=[([("g", 1)], "same_as", [("g", 2)])],
+    ),
+    Rule(
+        name="rebind",
+        role="user",
+        pattern=r"^From now on use ([a-z_]+) instead of ([a-z_]+)\.$",
+        mentions=[("db", [("g", 1)]), ("db", [("g", 2)])],
+        triples=[([("g", 1)], "replaces", [("g", 2)])],
+    ),
+    Rule(
+        name="db",
+        role="assistant",
+        pattern=r"^Querying ([a-z_]+) for records about ([A-Z][A-Za-z ]*)\.$",
+        mentions=[("db", [("g", 1)]), ("location", [("g", 2)])],
+        triples=[([("g", 1)], "queried_about", [("g", 2)])],
+    ),
+    Rule(
+        name="dbcur",
+        role="assistant",
+        pattern=r"^Querying the current database for records about ([A-Z][A-Za-z ]*)\.$",
+        mentions=[("location", [("g", 1)])],
+        # subj (the currently-bound db) is resolved by operators/rebind.py
+        # via last-writer-wins window semantics; no static triple here.
+        triples=[],
+    ),
+]
+
+RULES_BY_NAME = {r.name: r for r in RULES}
+
+
+def _match_cond(rule: Rule) -> Column:
+    cond = F.col("text").rlike(rule.pattern)
+    if rule.role:
+        cond = cond & (F.col("role") == rule.role)
+    return cond
+
+
+def _piece_col(pieces: list[Piece]) -> Column:
+    cols = []
+    for p in pieces:
+        if p[0] == "g":
+            cols.append(F.regexp_extract(F.col("text"), _CURRENT_PATTERN[0], p[1]))
+        elif p[0] == "lit":
+            cols.append(F.lit(p[1]))
+        elif p[0] == "conv":
+            cols.append(F.concat(F.lit("conv:"), F.col("conv_id")))
+    return cols[0] if len(cols) == 1 else F.concat(*cols)
+
+
+# regex pattern threaded to _piece_col without widening every signature
+_CURRENT_PATTERN: list[str] = [""]
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """mentions(conv_id, turn_idx, rule, kind, surface) — single scan,
+    no shuffle: CASE-dispatch to a per-rule array<struct> then one explode."""
+    branches = None
+    for rule in RULES:
+        if not rule.mentions:
+            continue
+        _CURRENT_PATTERN[0] = rule.pattern
+        items = [
+            F.struct(
+                F.lit(rule.name).alias("rule"),
+                F.lit(kind).alias("kind"),
+                _piece_col(pieces).alias("surface"),
+            )
+            for kind, pieces in rule.mentions
+        ]
+        arr = F.array(*items)
+        cond = _match_cond(rule)
+        branches = F.when(cond, arr) if branches is None else branches.when(cond, arr)
+    exploded = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(branches).alias("m"),  # null/empty arrays yield no rows
+        )
+        .select("conv_id", "turn_idx", "m.rule", "m.kind", "m.surface")
+    )
+    return exploded
+
+
+def extract_triples_raw(transcripts: DataFrame) -> DataFrame:
+    """Raw triples(subj, pred, obj, conv_id, turn_idx) before linking /
+    canonicalization — the ScanPass findings analog."""
+    branches = None
+    for rule in RULES:
+        if not rule.triples:
+            continue
+        _CURRENT_PATTERN[0] = rule.pattern
+        items = [
+            F.struct(
+                _piece_col(s).alias("subj"),
+                F.lit(pred).alias("pred"),
+                _piece_col(o).alias("obj"),
+            )
+            for s, pred, o in rule.triples
+        ]
+        arr = F.array(*items)
+        cond = _match_cond(rule)
+        branches = F.when(cond, arr) if branches is None else branches.when(cond, arr)
+    return (
+        transcripts.select("conv_id", "turn_idx", F.explode(branches).alias("t"))
+        .select("t.subj", "t.pred", "t.obj", "conv_id", "turn_idx")
+    )
+
+
+def extract_mentions_pandas(transcripts: DataFrame) -> DataFrame:
+    """Arrow-batched pandas-UDF extractor (mapInPandas) — the vectorized-UDF
+    path the north rule mandates; semantically identical to
+    `extract_mentions` (asserted in tests/test_extract.py). Uses pandas
+    `.str.extract` (vectorized C regex loop), never per-row Python."""
+    import pandas as pd  # noqa: PLC0415 — imported on executors
+
+    rules = [
+        (r.name, r.role, r.pattern, r.mentions)
+        for r in RULES
+        if r.mentions
+    ]
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for name, role, pattern, mentions in rules:
+                mask = pdf["text"].str.match(pattern)
+                if role:
+                    mask &= pdf["role"] == role
+                sub = pdf.loc[mask, ["conv_id", "turn_idx", "text"]]
+                if sub.empty:
+                    continue
+                groups = sub["text"].str.extract(pattern)
+                for kind, pieces in mentions:
+                    surface = None
+                    for p in pieces:
+                        part = (
+                            groups[p[1] - 1]
+                            if p[0] == "g"
+                            else pd.Series(p[1], index=sub.index)
+                            if p[0] == "lit"
+                            else "conv:" + sub["conv_id"]
+                        )
+                        surface = part if surface is None else surface + part
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "conv_id": sub["conv_id"],
+                                "turn_idx": sub["turn_idx"],
+                                "rule": name,
+                                "kind": kind,
+                                "surface": surface,
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return transcripts.mapInPandas(
+        run, schema="conv_id string, turn_idx int, rule string, kind string, surface string"
+    )
+
+
+def normalize_surface_col(c: Column) -> Column:
+    """Blocking key (FULL_NAME analog) — must match
+    generator.normalize_surface and the oracle's SQL expression."""
+    return F.lower(F.replace(c, F.lit(" "), F.lit("_")))

@@ -1,0 +1,80 @@
+"""S3 link — blocking-key entity linking + stub creation.
+
+The Spark re-expression of the reference's universal `linkToSingle` kernel
+(x2cpg/.../utils/LinkingUtil.scala:38-93): probe a destination map by a
+full-name key, emit an edge on hit, run a miss-handler (stub creation,
+MethodStubCreator.scala:84-145) on miss.
+
+    hit  path: mentions ⋈ broadcast(entities) on entity_key  (LINKS_TO edge)
+    miss path: anti-join → distinct surfaces → stub entity rows
+               (is_external = true, exactly the METHOD stub's IS_EXTERNAL)
+
+Scale notes:
+  * The vocabulary is a dimension table (10^4–10^7 rows) — always broadcast;
+    the mention side (10^12 rows at target scale) never shuffles for the hit
+    path. Hub entities therefore cause no join skew at all: skew only hurts
+    when the big side shuffles on the skewed key.
+  * Stub creation aggregates by entity_key (a shuffle over *distinct unseen
+    surfaces*, a tiny fraction of mentions, with map-side partial distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joern_spark import schemas as S
+from joern_spark.operators.extract import normalize_surface_col
+
+
+def keyed_mentions(mentions: DataFrame) -> DataFrame:
+    return mentions.withColumn("entity_key", normalize_surface_col(F.col("surface")))
+
+
+def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """linked(conv_id, turn_idx, rule, kind, surface, entity_key,
+    is_external) — every mention resolves: vocabulary hit or stub."""
+    m = keyed_mentions(mentions)
+    vocab = entities.select("entity_key", F.lit(False).alias("_hit"))
+    return (
+        m.join(F.broadcast(vocab), "entity_key", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "rule",
+            "kind",
+            "surface",
+            "entity_key",
+            F.col("_hit").isNull().alias("is_external"),
+        )
+    )
+
+
+def stub_entities(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """Miss-handler: one stub entity per unlinked key (MethodStubCreator
+    analog). Deterministic: name = lexicographically-min surface observed,
+    kind = min kind (keys are kind-unambiguous in practice)."""
+    m = keyed_mentions(mentions)
+    return (
+        m.join(F.broadcast(entities.select("entity_key")), "entity_key", "left_anti")
+        .groupBy("entity_key")
+        .agg(F.min("surface").alias("name"), F.min("kind").alias("kind"))
+        .select("entity_key", "name", "kind")
+    )
+
+
+def all_entities(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """Vocabulary ∪ stubs with an is_external flag (IS_EXTERNAL analog)."""
+    vocab = entities.select("entity_key", "name", "kind", F.lit(False).alias("is_external"))
+    stubs = stub_entities(mentions, entities).withColumn("is_external", F.lit(True))
+    return vocab.unionByName(stubs)
+
+
+def links_to_edges(linked: DataFrame) -> DataFrame:
+    """LINKS_TO edges turn→entity, property = mention kind."""
+    return linked.select(
+        F.concat("conv_id", F.lit(":"), F.col("turn_idx").cast("string")).alias("src"),
+        F.col("entity_key").alias("dst"),
+        F.lit(S.LINKS_TO).alias("label"),
+        F.col("kind").alias("property"),
+    )

@@ -1,0 +1,44 @@
+"""S5 materialize — final graph tables + triple dedup.
+
+Analog of JoernExport (joern-cli/.../JoernExport.scala:97-119) plus the flow
+engine's final result dedup (Engine.scala:154-179 keeps one representative
+per (source, sink) pair). Our dedup keeps one row per (subj, pred, obj) with
+support count and deterministic first-seen provenance — min over the sortable
+provenance string conv_id#turn_idx (zero-padded), so output is independent
+of partitioning and matches the DuckDB oracle exactly.
+
+Writes are plain parquet `overwrite` here; on a real cluster these are
+Iceberg table commits (the reference's single-writer batched-diff atomicity,
+Py2Cpg.scala:48, maps to Iceberg snapshot commits — SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def provenance_col():
+    return F.concat(
+        F.col("conv_id"), F.lit("#"), F.lpad(F.col("turn_idx").cast("string"), 10, "0")
+    )
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """triples_final(subj, pred, obj, n_support, first_seen)."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_support"),
+        F.min(provenance_col()).alias("first_seen"),
+    )
+
+
+def write_graph(
+    out_dir: str,
+    nodes: dict[str, DataFrame],
+    edges: DataFrame,
+    triples: DataFrame,
+) -> None:
+    for name, df in nodes.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/nodes_{name}")
+    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    triples.write.mode("overwrite").parquet(f"{out_dir}/triples")

@@ -1,0 +1,55 @@
+"""Gen/kill binding semantics — the reaching-definitions analog.
+
+The reference solves a gen/kill bit-set dataflow problem per method with a
+worklist fixpoint (dataflowengineoss/.../reachingdef/ReachingDefProblem.scala:160-301,
+DataFlowSolver.scala:11-39). Transcript conversations are *linear* CFGs, so
+reaching definitions collapse to last-writer-wins:
+
+    binding at turn t = most recent rebind statement before/at t, else the
+    default binding — i.e. last(db, ignoreNulls) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING).
+
+One window, one shuffle on conv_id, no iteration needed. "Querying the
+current database …" turns (rule `dbcur`) resolve their subject through the
+live binding — the kill/gen fixture fx_kill asserts a mid-conversation
+rebind redirects later triples to the new binding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from joern_spark.generator import DEFAULT_DB
+from joern_spark.operators.extract import RULES_BY_NAME
+
+
+def dbcur_triples(transcripts: DataFrame) -> DataFrame:
+    """(current_db, queried_about, city) with last-writer-wins resolution."""
+    rebind_pat = RULES_BY_NAME["rebind"].pattern
+    dbcur_pat = RULES_BY_NAME["dbcur"].pattern
+    annotated = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            (F.col("role") == "user") & F.col("text").rlike(rebind_pat),
+            F.regexp_extract("text", rebind_pat, 1),
+        ).alias("bound_db"),
+        F.when(
+            (F.col("role") == "assistant") & F.col("text").rlike(dbcur_pat),
+            F.regexp_extract("text", dbcur_pat, 1),
+        ).alias("cur_city"),
+    ).where(F.col("bound_db").isNotNull() | F.col("cur_city").isNotNull())
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = annotated.withColumn("live_db", F.last("bound_db", ignorenulls=True).over(w))
+    return resolved.where(F.col("cur_city").isNotNull()).select(
+        F.coalesce("live_db", F.lit(DEFAULT_DB)).alias("subj"),
+        F.lit("queried_about").alias("pred"),
+        F.col("cur_city").alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )

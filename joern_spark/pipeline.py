@@ -1,0 +1,94 @@
+"""End-to-end pipeline: S0 ingest → S1 assemble → S2 extract → S3 link →
+S4 canonicalize → S5 materialize — the overlay-layer DAG of the reference
+(Base → ControlFlow → TypeRelations → CallGraph → OssDataFlow,
+X2Cpg.scala:377-379) as composable DataFrame stages.
+
+Each stage is a pure function DataFrame → DataFrame; `run_pipeline` wires
+them and returns every intermediate so tests/queries can tap any layer.
+Resumable stage execution (manifest-gated, the LayerCreator skip-if-applied
+analog) lives in joern_spark.plans.manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from joern_spark import schemas as S
+from joern_spark.operators import assemble, canonicalize, link, materialize, rebind
+from joern_spark.operators.extract import extract_mentions, extract_triples_raw
+from joern_spark.sources.transcripts import read_entities, read_transcripts
+
+
+@dataclass
+class GraphResult:
+    transcripts: DataFrame
+    turns: DataFrame
+    conversations: DataFrame
+    next_turn: DataFrame
+    contains: DataFrame
+    mentions: DataFrame
+    triples_raw: DataFrame
+    linked: DataFrame
+    entities_all: DataFrame
+    canonical_map: DataFrame
+    triples: DataFrame          # canonical, per-provenance rows
+    triples_final: DataFrame    # deduped with support + first_seen
+    edges: DataFrame            # unioned edge table (NEXT_TURN/CONTAINS/LINKS_TO/SAME_AS)
+
+
+def build_graph(transcripts: DataFrame, entities: DataFrame) -> GraphResult:
+    turns = assemble.turn_nodes(transcripts)
+    conversations = assemble.conversation_nodes(transcripts)
+    next_turn = assemble.next_turn_edges(transcripts)
+    contains = assemble.contains_edges(transcripts)
+
+    mentions = extract_mentions(transcripts)
+    triples_raw = extract_triples_raw(transcripts)
+
+    linked = link.link_mentions(mentions, entities)
+    entities_all = link.all_entities(mentions, entities)
+
+    pairs = canonicalize.same_as_edges(triples_raw)
+    cmap = canonicalize.connected_components(pairs)
+    triples_static = canonicalize.canonicalize_triples(triples_raw, cmap)
+    triples_dyn = canonicalize.canonicalize_triples(
+        rebind.dbcur_triples(transcripts), cmap
+    )
+    triples = triples_static.unionByName(triples_dyn)
+    triples_final = materialize.dedup_triples(triples)
+
+    same_as = pairs.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.lit(S.SAME_AS).alias("label"),
+        F.lit(None).cast("string").alias("property"),
+    )
+    edges = (
+        next_turn.unionByName(contains)
+        .unionByName(link.links_to_edges(linked))
+        .unionByName(same_as)
+    )
+    return GraphResult(
+        transcripts=transcripts,
+        turns=turns,
+        conversations=conversations,
+        next_turn=next_turn,
+        contains=contains,
+        mentions=mentions,
+        triples_raw=triples_raw,
+        linked=linked,
+        entities_all=entities_all,
+        canonical_map=cmap,
+        triples=triples,
+        triples_final=triples_final,
+        edges=edges,
+    )
+
+
+def run_pipeline(spark: SparkSession, sf_dir_or_sf: str | float) -> GraphResult:
+    return build_graph(
+        read_transcripts(spark, sf_dir_or_sf), read_entities(spark)
+    )

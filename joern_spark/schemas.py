@@ -1,0 +1,78 @@
+"""Fixed schemas (the reference uses a closed, code-generated schema —
+NodeTypeStarters.scala:10-11 — so we declare StructTypes, never infer).
+
+Node/edge vocabulary of the transcript property graph (SURVEY.md §1.2/§1.3):
+
+  node labels: CONVERSATION (≈ FILE/METHOD), TURN (≈ CfgNode),
+               MENTION (≈ IDENTIFIER/CALL), ENTITY (≈ TYPE_DECL/METHOD decl)
+  edge labels: NEXT_TURN (≈ CFG), CONTAINS (conversation→turn, ≈ CONTAINS),
+               MENTIONS (turn→entity surface, ≈ AST), LINKS_TO (mention→entity,
+               ≈ REF/EVAL_TYPE/CALL), SAME_AS (≈ ALIAS_OF/INHERITS_FROM)
+
+Edges carry at most one property, mirroring the reference's single
+REACHING_DEF edge property (changelog/4.0.0-flatgraph.md:36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_key", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("rule", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("surface", T.StringType(), False),
+    ]
+)
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("property", T.StringType(), True),
+    ]
+)
+
+# node labels
+CONVERSATION = "CONVERSATION"
+TURN = "TURN"
+ENTITY = "ENTITY"
+
+# edge labels
+NEXT_TURN = "NEXT_TURN"
+CONTAINS = "CONTAINS"
+MENTIONS = "MENTIONS"
+LINKS_TO = "LINKS_TO"
+SAME_AS = "SAME_AS"

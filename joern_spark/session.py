@@ -1,0 +1,52 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Single place for configuration so tests, bench.py and the driver entry all
+run with the same physical settings. Defaults are chosen for the sandbox
+(local[N], 128 GiB) but every knob is the one you would set on a real
+1000-executor cluster: AQE on (dynamic coalescing + skew-join splitting
+replaces the reference's hand-built >4000-definitions bail-out,
+ReachingDefPass.scala:41-57), Arrow enabled for every pandas UDF boundary,
+and shuffle partitions sized to cores (AQE re-coalesces upward at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "joern_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # AQE: runtime coalescing, skew-join split (mega-conversation / hub-entity
+        # defense — replaces the reference's static bail-out thresholds).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDF / applyInPandas boundaries (vectorized-only rule).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Non-ANSI so integer hash arithmetic wraps instead of erroring;
+        # all our hashes stay in [0, 2^61) anyway.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,26 @@
+"""S0 ingest — transcript / entity table readers.
+
+On a production cluster these are Iceberg catalog reads
+(``spark.read.table("lake.transcripts")``) benefiting from hidden
+partitioning on bucket(conv_id) and metadata-level pruning; in this sandbox
+they read the deterministic parquet corpus from joern_spark.generator with
+an explicit schema (never inferred — the reference's schema is closed,
+SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from joern_spark import generator as G
+from joern_spark.schemas import ENTITY_SCHEMA, TRANSCRIPT_SCHEMA
+
+
+def read_transcripts(spark: SparkSession, sf_dir_or_sf: str | float) -> DataFrame:
+    path = G.ensure_transcripts(sf_dir_or_sf)
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def read_entities(spark: SparkSession) -> DataFrame:
+    path = G.ensure_entities()
+    return spark.read.schema(ENTITY_SCHEMA).parquet(path)
