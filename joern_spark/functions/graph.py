@@ -1,0 +1,79 @@
+"""Read-side traversal algebra — the query-DSL steps of the reference
+(SURVEY.md §2.B) re-expressed as DataFrame combinators over the node/edge
+tables. The reference's DSL is lazy Iterator extension methods
+(semanticcpg/.../language/Steps.scala:14-18); here every step returns an
+unevaluated DataFrame, so Catalyst fuses chains the way the reference fuses
+iterators — and additionally gets pushdown/pruning the reference lacks.
+
+Step mapping (reference → here):
+  cfgNext/cfgPrev (CfgNodeTraversal.scala:26-37)  → step / step_back
+  cfgNext(n)                                       → k_hop
+  repeat(...)(_.emit/_.until/_.maxDepth)
+      (AstNodeTraversal.scala:15,75-79)            → expand (iterative join,
+      frontier dropDuplicates = the engine's task-fingerprint dedup,
+      Engine.scala:133-143)
+  dominates/postDominates (CfgNodeMethods.scala:54-82) → linear chains make
+      these turn_idx comparisons; reachable() covers the general case
+  where/whereNot (semi/anti join)                  → built-in joins
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_with_label(edges: DataFrame, label: str) -> DataFrame:
+    return edges.where(F.col("label") == label).select("src", "dst")
+
+
+def step(frontier: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
+    """One-hop expansion: nodes reachable from `frontier` via `edges`."""
+    return (
+        frontier.select(F.col(id_col).alias("src"))
+        .join(edges, "src")
+        .select(F.col("dst").alias(id_col))
+        .dropDuplicates()
+    )
+
+
+def step_back(frontier: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
+    return step(frontier, edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), id_col)
+
+
+def k_hop(edges: DataFrame, k: int) -> DataFrame:
+    """(src, dst) pairs exactly k edges apart. Bounded iterative self-join —
+    the reference's cfgNext(n). k is small (the engine's maxCallDepth-style
+    k-limit, Engine.scala:320-326); each iteration is one shuffle join and
+    the pair set is deduped to keep frontiers tight."""
+    cur = edges.select("src", "dst")
+    for _ in range(k - 1):
+        nxt = cur.alias("a").join(
+            edges.alias("b"), F.col("a.dst") == F.col("b.src")
+        ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        cur = nxt.dropDuplicates()
+    return cur
+
+
+def expand(
+    frontier: DataFrame,
+    edges: DataFrame,
+    max_depth: int = 10,
+    emit: bool = True,
+    id_col: str = "id",
+) -> DataFrame:
+    """repeat(step)(_.emit.maxDepth(k)) — bounded transitive expansion with
+    accumulator union and frontier dedup; localCheckpoint every round keeps
+    the plan linear (SURVEY.md §7 hard-part (a))."""
+    seen = frontier.select(id_col).dropDuplicates().localCheckpoint(eager=True)
+    cur = seen
+    acc = seen if emit else None
+    for _ in range(max_depth):
+        nxt = step(cur, edges, id_col).join(seen, id_col, "left_anti")
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        seen = seen.union(nxt).localCheckpoint(eager=True)
+        acc = seen if emit else nxt
+        cur = nxt
+    return acc if acc is not None else cur

@@ -1,0 +1,239 @@
+"""DuckDB oracle SQL — independent ANSI-SQL re-implementation of every
+pipeline stage, generated from the SAME rule table as the Spark plans
+(operators/extract.py RULES), so rule changes cannot desynchronize the two.
+
+The driver executes these strings in DuckDB and compares row-count, schema
+and an order-insensitive value hash against the Spark DataFrames
+(CORRECTNESS gate). Everything here sticks to the function subset with
+bit-identical semantics in Spark SQL and DuckDB 1.0: md5, lower, replace,
+regexp_extract/regexp_matches (RE2-safe patterns), lpad, concat, window
+functions, recursive CTEs.
+"""
+
+from __future__ import annotations
+
+from joern_spark.generator import DEFAULT_DB, entities_path, transcripts_path
+from joern_spark.operators.extract import RULES, Piece
+
+
+def t_src(sf: float) -> str:
+    return f"read_parquet('{transcripts_path(sf)}')"
+
+
+def e_src() -> str:
+    return f"read_parquet('{entities_path()}')"
+
+
+NORM = "lower(replace({x}, ' ', '_'))"
+
+
+def _sql_piece(pieces: list[Piece], pattern: str) -> str:
+    parts = []
+    for p in pieces:
+        if p[0] == "g":
+            parts.append(f"regexp_extract(text, '{pattern}', {p[1]})")
+        elif p[0] == "lit":
+            parts.append(f"'{p[1]}'")
+        elif p[0] == "conv":
+            parts.append("'conv:' || conv_id")
+    return " || ".join(parts) if len(parts) > 1 else parts[0]
+
+
+def _rule_where(rule) -> str:
+    cond = f"regexp_matches(text, '{rule.pattern}')"
+    if rule.role:
+        cond = f"role = '{rule.role}' AND {cond}"
+    return cond
+
+
+def mentions_sql(sf: float) -> str:
+    branches = []
+    for rule in RULES:
+        for kind, pieces in rule.mentions:
+            branches.append(
+                f"SELECT conv_id, turn_idx, '{rule.name}' AS rule, '{kind}' AS kind, "
+                f"{_sql_piece(pieces, rule.pattern)} AS surface "
+                f"FROM t WHERE {_rule_where(rule)}"
+            )
+    return f"WITH t AS (SELECT * FROM {t_src(sf)})\n" + "\nUNION ALL\n".join(branches)
+
+
+def triples_raw_sql(sf: float) -> str:
+    branches = []
+    for rule in RULES:
+        for s, pred, o in rule.triples:
+            branches.append(
+                f"SELECT {_sql_piece(s, rule.pattern)} AS subj, '{pred}' AS pred, "
+                f"{_sql_piece(o, rule.pattern)} AS obj, conv_id, turn_idx "
+                f"FROM t WHERE {_rule_where(rule)}"
+            )
+    return f"WITH t AS (SELECT * FROM {t_src(sf)})\n" + "\nUNION ALL\n".join(branches)
+
+
+def next_turn_sql(sf: float) -> str:
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
+       conv_id || ':' || CAST(next_idx AS VARCHAR) AS dst
+FROM (SELECT conv_id, turn_idx,
+             lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_idx
+      FROM t)
+WHERE next_idx IS NOT NULL
+"""
+
+
+def conversations_sql(sf: float) -> str:
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+       epoch_us(min(ts)) AS started_us,
+       epoch_us(max(ts)) AS ended_us
+FROM t GROUP BY conv_id
+"""
+
+
+def turns_sql(sf: float) -> str:
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id,
+       conv_id, turn_idx, role, text, tool
+FROM t
+"""
+
+
+def linked_mentions_sql(sf: float) -> str:
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+     e AS (SELECT entity_key FROM {e_src()})
+SELECT m.conv_id, m.turn_idx, m.rule, m.kind, m.surface,
+       {key} AS entity_key,
+       (e.entity_key IS NULL) AS is_external
+FROM m LEFT JOIN e ON {key} = e.entity_key
+"""
+
+
+def stub_entities_sql(sf: float) -> str:
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+     e AS (SELECT entity_key FROM {e_src()})
+SELECT {key} AS entity_key, min(m.surface) AS name, min(m.kind) AS kind
+FROM m LEFT JOIN e ON {key} = e.entity_key
+WHERE e.entity_key IS NULL
+GROUP BY 1
+"""
+
+
+def _same_as_pairs_cte(sf: float) -> str:
+    """CTEs: pairs → sym (symmetrized distinct SAME_AS key pairs)."""
+    alias = next(r for r in RULES if r.name == "alias")
+    a = NORM.format(x=_sql_piece([("g", 1)], alias.pattern))
+    b = NORM.format(x=_sql_piece([("g", 2)], alias.pattern))
+    return f"""
+t AS (SELECT * FROM {t_src(sf)}),
+pairs AS (SELECT DISTINCT {a} AS a, {b} AS b FROM t WHERE {_rule_where(alias)}),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs)
+"""
+
+
+def canonical_map_sql(sf: float) -> str:
+    """Connected components over SAME_AS via recursive reachability;
+    canon = min reachable key (undirected, so = component min)."""
+    return f"""
+WITH RECURSIVE {_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+)
+SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n
+"""
+
+
+def dbcur_triples_sql(sf: float) -> str:
+    rebind = next(r for r in RULES if r.name == "rebind")
+    dbcur = next(r for r in RULES if r.name == "dbcur")
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+ann AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role='user' AND regexp_matches(text, '{rebind.pattern}')
+              THEN regexp_extract(text, '{rebind.pattern}', 1) END AS bound_db,
+         CASE WHEN role='assistant' AND regexp_matches(text, '{dbcur.pattern}')
+              THEN regexp_extract(text, '{dbcur.pattern}', 1) END AS cur_city
+  FROM t
+  WHERE (role='user' AND regexp_matches(text, '{rebind.pattern}'))
+     OR (role='assistant' AND regexp_matches(text, '{dbcur.pattern}'))
+),
+resolved AS (
+  SELECT *, last_value(bound_db IGNORE NULLS) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live_db
+  FROM ann
+)
+SELECT coalesce(live_db, '{DEFAULT_DB}') AS subj, 'queried_about' AS pred,
+       cur_city AS obj, conv_id, turn_idx
+FROM resolved WHERE cur_city IS NOT NULL
+"""
+
+
+def triples_final_sql(sf: float) -> str:
+    subj_key = (
+        "CASE WHEN subj LIKE 'conv:%' THEN subj ELSE " + NORM.format(x="subj") + " END"
+    )
+    obj_key = (
+        "CASE WHEN obj LIKE 'conv:%' THEN obj ELSE " + NORM.format(x="obj") + " END"
+    )
+    return f"""
+WITH RECURSIVE {_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
+raw AS ({triples_raw_sql(sf)}),
+dyn AS ({dbcur_triples_sql(sf)}),
+allt AS (
+  SELECT {subj_key} AS subj, pred, {obj_key} AS obj, conv_id, turn_idx
+  FROM (SELECT * FROM raw WHERE pred <> 'same_as' UNION ALL SELECT * FROM dyn)
+),
+canon AS (
+  SELECT coalesce(cs.canon, a.subj) AS subj, a.pred,
+         coalesce(co.canon, a.obj) AS obj, a.conv_id, a.turn_idx
+  FROM allt a
+  LEFT JOIN cmap cs ON a.subj = cs.entity_key
+  LEFT JOIN cmap co ON a.obj = co.entity_key
+)
+SELECT subj, pred, obj, count(*) AS n_support,
+       min(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')) AS first_seen
+FROM canon GROUP BY subj, pred, obj
+"""
+
+
+def tool_stats_sql(sf: float) -> str:
+    call = next(r for r in RULES if r.name == "call")
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT regexp_extract(text, '{call.pattern}', 1) AS tool_name,
+       count(*) AS n_calls,
+       count(DISTINCT conv_id) AS n_convs
+FROM t WHERE {_rule_where(call)}
+GROUP BY 1
+"""
+
+
+def khop_sql(sf: float, k: int = 3) -> str:
+    """Oracle for k-hop NEXT_TURN reachability: linear chains make the
+    closed form turn_idx + k (the Spark side walks the edge table)."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+idx AS (SELECT conv_id, turn_idx FROM t)
+SELECT a.conv_id || ':' || CAST(a.turn_idx AS VARCHAR) AS src,
+       b.conv_id || ':' || CAST(b.turn_idx AS VARCHAR) AS dst
+FROM idx a JOIN idx b
+  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + {k}
+"""

@@ -1,0 +1,111 @@
+"""Driver-facing query pack: one callable per implemented operator
+(SURVEY.md §2), each (spark, sf_dir) → DataFrame with column names exactly
+matching the DuckDB oracle in joern_spark.oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from joern_spark import generator as G
+from joern_spark.functions.graph import k_hop
+from joern_spark.operators import assemble, canonicalize, link, materialize, rebind
+from joern_spark.operators.extract import (
+    RULES_BY_NAME,
+    extract_mentions,
+    extract_triples_raw,
+)
+from joern_spark.sources.transcripts import read_entities, read_transcripts
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_transcripts(spark, G.sf_from_dir(sf_dir))
+
+
+def q_turns(spark, sf_dir):
+    return assemble.turn_nodes(_t(spark, sf_dir)).select(
+        "id", "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_conversations(spark, sf_dir):
+    return assemble.conversation_nodes(_t(spark, sf_dir)).select(
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        F.unix_micros("started_at").alias("started_us"),
+        F.unix_micros("ended_at").alias("ended_us"),
+    )
+
+
+def q_next_turn(spark, sf_dir):
+    return assemble.next_turn_edges(_t(spark, sf_dir)).select("src", "dst")
+
+
+def q_mentions(spark, sf_dir):
+    return extract_mentions(_t(spark, sf_dir))
+
+
+def q_triples_raw(spark, sf_dir):
+    return extract_triples_raw(_t(spark, sf_dir))
+
+
+def q_linked_mentions(spark, sf_dir):
+    return link.link_mentions(extract_mentions(_t(spark, sf_dir)), read_entities(spark))
+
+
+def q_stub_entities(spark, sf_dir):
+    return link.stub_entities(extract_mentions(_t(spark, sf_dir)), read_entities(spark))
+
+
+def q_canonical_map(spark, sf_dir):
+    pairs = canonicalize.same_as_edges(extract_triples_raw(_t(spark, sf_dir)))
+    return canonicalize.connected_components(pairs)
+
+
+def q_rebind_current_db(spark, sf_dir):
+    return rebind.dbcur_triples(_t(spark, sf_dir))
+
+
+def q_triples_final(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    raw = extract_triples_raw(t)
+    cmap = canonicalize.connected_components(canonicalize.same_as_edges(raw))
+    static = canonicalize.canonicalize_triples(raw, cmap)
+    dyn = canonicalize.canonicalize_triples(rebind.dbcur_triples(t), cmap)
+    return materialize.dedup_triples(static.unionByName(dyn))
+
+
+def q_tool_stats(spark, sf_dir):
+    """joern-scan style findings aggregation (ScanPass analog)."""
+    call = RULES_BY_NAME["call"]
+    t = _t(spark, sf_dir)
+    return (
+        t.where((F.col("role") == "assistant") & F.col("text").rlike(call.pattern))
+        .select(F.regexp_extract("text", call.pattern, 1).alias("tool_name"), "conv_id")
+        .groupBy("tool_name")
+        .agg(F.count(F.lit(1)).alias("n_calls"), F.countDistinct("conv_id").alias("n_convs"))
+    )
+
+
+def q_next_turn_3hop(spark, sf_dir):
+    """cfgNext(3) — generic iterative edge-table walk (functions/graph.py);
+    the oracle uses the linear-chain closed form."""
+    edges = assemble.next_turn_edges(_t(spark, sf_dir)).select("src", "dst")
+    return k_hop(edges, 3)
+
+
+TPG_QUERIES = {
+    "tpg_turns": q_turns,
+    "tpg_conversations": q_conversations,
+    "tpg_next_turn": q_next_turn,
+    "tpg_mentions": q_mentions,
+    "tpg_triples_raw": q_triples_raw,
+    "tpg_linked_mentions": q_linked_mentions,
+    "tpg_stub_entities": q_stub_entities,
+    "tpg_canonical_map": q_canonical_map,
+    "tpg_rebind_current_db": q_rebind_current_db,
+    "tpg_triples_final": q_triples_final,
+    "tpg_tool_stats": q_tool_stats,
+    "tpg_next_turn_3hop": q_next_turn_3hop,
+}

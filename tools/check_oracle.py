@@ -1,0 +1,103 @@
+"""Self-check harness replicating the driver's correctness gate:
+run every queries()[name] on Spark at sf0.01, run oracle_sql()[name] in
+DuckDB, compare row count, schema (column names) and an order-insensitive
+value hash (columns sorted by name, rows hashed as normalized strings).
+
+Usage: python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
+def table_digest(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    hashes = sorted(
+        hashlib.md5("|".join(norm_cell(r[i]) for i in order).encode()).hexdigest()
+        for r in rows
+    )
+    return hashlib.md5("\n".join(hashes).encode()).hexdigest()
+
+
+def main(names=None):
+    import __spark_entry__ as E
+    from joern_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, SF_DIR)
+        scols = sorted(sdf.columns)
+        srows = [tuple(r) for r in sdf.collect()]
+        sql = os_.get(name)
+        if sql is None:
+            print(f"{name:28s} rows={len(srows):8d}  (no oracle — rows-only)")
+            continue
+        try:
+            res = con.sql(sql)
+            ocols = sorted(res.columns)
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} ORACLE ERROR: {str(e)[:200]}")
+            failures += 1
+            continue
+        ok_cols = scols == ocols
+        ok_count = len(srows) == len(orows)
+        sh = table_digest(srows, sdf.columns)
+        oh = table_digest(orows, res.columns)
+        ok_hash = sh == oh
+        status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print(
+            f"{name:28s} {status} rows={len(srows)}/{len(orows)} "
+            f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} "
+            f"hash={'=' if ok_hash else f'{sh[:8]} vs {oh[:8]}'} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        if status == "FAIL":
+            failures += 1
+            if not ok_hash and ok_count and ok_cols:
+                s_set = {tuple(norm_cell(c) for c in r) for r in srows}
+                o_set = {tuple(norm_cell(c) for c in r) for r in orows}
+                so = list(s_set - o_set)[:3]
+                os2 = list(o_set - s_set)[:3]
+                print("   spark-only:", so)
+                print("   oracle-only:", os2)
+    print("FAILURES:", failures)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(set(sys.argv[1:]) or None) else 0)
