@@ -1,0 +1,34 @@
+import pytest
+
+from joern_spark.schemas import TRANSCRIPT_SCHEMA
+from joern_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="joern_spark_tests", cores=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def make_transcripts(spark):
+    """rows: (conv_id, turn_idx, role, text, tool) — ts filled as None."""
+
+    def _make(rows):
+        full = [(c, i, r, t, tool, None) for (c, i, r, t, tool) in rows]
+        return spark.createDataFrame(full, TRANSCRIPT_SCHEMA)
+
+    return _make
+
+
+@pytest.fixture(scope="session")
+def entities(spark):
+    from joern_spark.sources.transcripts import read_entities
+
+    return read_entities(spark)
+
+
+def rows_set(df, cols=None):
+    cols = cols or df.columns
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}

@@ -1,0 +1,72 @@
+"""S2 extraction: JVM plan ≡ pandas-UDF plan, plus the F4 query-pack
+positive/negative examples (the querydb codeExamples analog,
+macros/.../Query.scala:20-21; DangerousFunctions.scala:28-51)."""
+
+import pytest
+
+from joern_spark.operators.extract import (
+    RULES,
+    extract_mentions,
+    extract_mentions_pandas,
+)
+from joern_spark.sources.transcripts import read_transcripts
+
+from tests.conftest import rows_set
+
+
+def test_pandas_udf_extractor_matches_jvm(spark):
+    """The Arrow/pandas extractor and the JVM regexp plan are row-identical
+    on the full sf0.001 corpus."""
+    t = read_transcripts(spark, 0.001)
+    jvm = rows_set(extract_mentions(t))
+    pd_ = rows_set(extract_mentions_pandas(t))
+    assert jvm == pd_
+    assert len(jvm) > 1000
+
+
+# F4 query pack: per-rule positive / negative examples
+PACK = [
+    ("ask", ("user", "Please check the weather in Oslo.", None), True),
+    ("ask", ("assistant", "Please check the weather in Oslo.", None), False),  # wrong role
+    ("ask", ("user", "Please check the weather in oslo.", None), False),  # lowercase
+    ("ask", ("user", "Please check the weather in Oslo", None), False),  # no period
+    ("call", ("assistant", "Calling weather_api for Rome.", "weather_api"), True),
+    ("call", ("tool", "Calling weather_api for Rome.", "weather_api"), False),
+    ("call", ("assistant", "Calling Weather_API for Rome.", None), False),  # bad tool case
+    ("result", ("tool", "Rome: -3C, snowy.", "weather_api"), True),
+    ("result", ("tool", "Rome: 3.5C, snowy.", "weather_api"), False),  # non-integer
+    ("result", ("user", "Rome: 3C, snowy.", None), False),
+    ("alias", ("user", "Note that LA is also known as Los Angeles.", None), True),
+    ("alias", ("assistant", "Note that LA is also known as Los Angeles.", None), False),
+    ("rebind", ("user", "From now on use dev_db instead of prod_db.", None), True),
+    ("rebind", ("user", "From now on use Dev_DB instead of prod_db.", None), False),
+    ("db", ("assistant", "Querying prod_db for records about Lima.", "db_query"), True),
+    ("dbcur", ("assistant", "Querying the current database for records about Lima.", "db_query"), True),
+    ("db", ("assistant", "Querying the current database for records about Lima.", "db_query"), False),
+    ("summary", ("assistant", "It is 18C and cloudy in Paris.", None), True),
+]
+
+
+@pytest.mark.parametrize("rule,row,should_match", PACK)
+def test_query_pack(make_transcripts, rule, row, should_match):
+    role, text, tool = row
+    df = make_transcripts([("cx", 0, role, text, tool)])
+    got = {r["rule"] for r in extract_mentions(df).collect()}
+    if should_match:
+        assert rule in got
+    else:
+        assert rule not in got
+
+
+def test_rules_are_mutually_exclusive(make_transcripts):
+    """Every generated template matches exactly one rule (first-match
+    dispatch is total)."""
+    import re
+
+    from joern_spark.generator import generate_transcripts
+
+    sample = generate_transcripts(2000)
+    pats = [(r.name, re.compile(r.pattern), r.role) for r in RULES]
+    for _, row in sample.iterrows():
+        hits = [n for n, p, role in pats if p.match(row.text) and (role is None or role == row.role)]
+        assert len(hits) == 1, (row.text, row.role, hits)

@@ -1,0 +1,146 @@
+"""F2 inline conversation fixtures — the Code2CpgFixture.code("...") analog
+(x2cpg/.../testfixtures/Code2CpgFixture.scala:16-38): tiny hand-written
+conversations with exact golden mention/triple sets, mirroring the
+reference's set assertions (c2cpg/.../dataflow/DataFlowTests.scala:40-67)."""
+
+from joern_spark.pipeline import build_graph
+
+from tests.conftest import rows_set
+
+FX_BASIC = [
+    ("c1", 0, "user", "Please check the weather in Paris.", None),
+    ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+    ("c1", 2, "tool", "Paris: 18C, cloudy.", "weather_api"),
+    ("c1", 3, "assistant", "It is 18C and cloudy in Paris.", None),
+]
+
+
+def triples(g):
+    return rows_set(g.triples_final, ["subj", "pred", "obj"])
+
+
+def test_fx_basic(make_transcripts, entities):
+    g = build_graph(make_transcripts(FX_BASIC), entities)
+    assert rows_set(g.mentions) == {
+        ("c1", 0, "ask", "location", "Paris"),
+        ("c1", 1, "call", "tool", "weather_api"),
+        ("c1", 1, "call", "location", "Paris"),
+        ("c1", 2, "result", "location", "Paris"),
+        ("c1", 2, "result", "measure", "18C"),
+        ("c1", 2, "result", "condition", "cloudy"),
+        ("c1", 3, "summary", "location", "Paris"),
+    }
+    assert triples(g) == {
+        ("conv:c1", "mentions_location", "paris"),
+        ("conv:c1", "uses_tool", "weather_api"),
+        ("weather_api", "called_for", "paris"),
+        ("paris", "has_temperature", "18c"),
+        ("paris", "has_condition", "cloudy"),
+    }
+    assert rows_set(g.next_turn, ["src", "dst"]) == {
+        ("c1:0", "c1:1"),
+        ("c1:1", "c1:2"),
+        ("c1:2", "c1:3"),
+    }
+
+
+def test_fx_order(make_transcripts, entities):
+    """Out-of-order insertion — identical output under stable
+    (conv_id, turn_idx) ordering (per-turn text-equality invariant)."""
+    shuffled = [FX_BASIC[2], FX_BASIC[0], FX_BASIC[3], FX_BASIC[1]]
+    g1 = build_graph(make_transcripts(FX_BASIC), entities)
+    g2 = build_graph(make_transcripts(shuffled), entities)
+    assert rows_set(g1.triples_final) == rows_set(g2.triples_final)
+    assert rows_set(g1.next_turn) == rows_set(g2.next_turn)
+    assert rows_set(g1.turns, ["id", "text"]) == rows_set(g2.turns, ["id", "text"])
+
+
+def test_fx_unlinked(make_transcripts, entities):
+    """Unknown surface → stub entity with is_external=true
+    (MethodStubCreator.scala:84-145 analog)."""
+    g = build_graph(
+        make_transcripts([("c1", 0, "user", "Please check the weather in Atlantis.", None)]),
+        entities,
+    )
+    stubs = rows_set(
+        g.entities_all.filter("is_external"), ["entity_key", "name", "kind"]
+    )
+    assert ("atlantis", "Atlantis", "location") in stubs
+    linked = rows_set(g.linked, ["surface", "entity_key", "is_external"])
+    assert ("Atlantis", "atlantis", True) in linked
+
+
+def test_fx_alias(make_transcripts, entities):
+    """Two surfaces + alias statement → one canonical id."""
+    rows = [
+        ("c1", 0, "user", "Please check the weather in NYC.", None),
+        ("c1", 1, "tool", "New York City: 5C, windy.", "weather_api"),
+        ("c1", 2, "user", "Note that NYC is also known as New York City.", None),
+    ]
+    g = build_graph(make_transcripts(rows), entities)
+    t = triples(g)
+    # both the mention and the measurement collapse onto the canonical key
+    assert ("conv:c1", "mentions_location", "new_york_city") in t
+    assert ("new_york_city", "has_temperature", "5c") in t
+    assert not any(s == "nyc" or o == "nyc" for s, _, o in t)
+
+
+def test_fx_chain(make_transcripts, entities):
+    """Alias chains across conversations converge (A=B in c1, B=C in c2)."""
+    rows = [
+        ("c1", 0, "user", "Note that Big Apple is also known as NYC.", None),
+        ("c2", 0, "user", "Note that NYC is also known as New York City.", None),
+        ("c3", 0, "tool", "Big Apple: 7C, foggy.", "weather_api"),
+        ("c4", 0, "tool", "New York City: 9C, sunny.", "weather_api"),
+    ]
+    g = build_graph(make_transcripts(rows), entities)
+    cmap = {r["entity_key"]: r["canon"] for r in g.canonical_map.collect()}
+    assert cmap == {
+        "big_apple": "big_apple",
+        "nyc": "big_apple",
+        "new_york_city": "big_apple",
+    }
+    t = triples(g)
+    assert ("big_apple", "has_temperature", "7c") in t
+    assert ("big_apple", "has_temperature", "9c") in t
+
+
+def test_fx_kill(make_transcripts, entities):
+    """Rebind mid-conversation — later triples attach to the new binding
+    (gen/kill, ReachingDefProblem.scala:176-301 analog)."""
+    rows = [
+        ("c1", 0, "assistant", "Querying the current database for records about Paris.", "db_query"),
+        ("c1", 1, "user", "From now on use staging_db instead of prod_db.", None),
+        ("c1", 2, "assistant", "Querying the current database for records about Tokyo.", "db_query"),
+        ("c1", 3, "user", "From now on use dev_db instead of staging_db.", None),
+        ("c1", 4, "assistant", "Querying the current database for records about Oslo.", "db_query"),
+    ]
+    g = build_graph(make_transcripts(rows), entities)
+    q = {(s, o) for s, p, o in triples(g) if p == "queried_about"}
+    assert q == {("prod_db", "paris"), ("staging_db", "tokyo"), ("dev_db", "oslo")}
+
+
+def test_fx_multiconv(make_transcripts, entities):
+    """Shared hub entities keep per-conversation provenance."""
+    rows = [
+        ("c1", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+        ("c2", 5, "tool", "Paris: 10C, sunny.", "weather_api"),
+    ]
+    g = build_graph(make_transcripts(rows), entities)
+    final = rows_set(g.triples_final, ["subj", "pred", "obj", "n_support", "first_seen"])
+    assert ("paris", "has_temperature", "10c", 2, "c1#0000000000") in final
+    per_conv = rows_set(g.triples, ["subj", "pred", "obj", "conv_id", "turn_idx"])
+    assert ("paris", "has_condition", "sunny", "c1", 0) in per_conv
+    assert ("paris", "has_condition", "sunny", "c2", 5) in per_conv
+
+
+def test_fx_degenerate(make_transcripts, entities, spark):
+    g1 = build_graph(make_transcripts([("c1", 0, "user", "hello", None)]), entities)
+    assert g1.next_turn.count() == 0
+    assert g1.mentions.count() == 0  # no template matches free text
+    assert g1.triples_final.count() == 0
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+
+    g2 = build_graph(spark.createDataFrame([], TRANSCRIPT_SCHEMA), entities)
+    assert g2.triples_final.count() == 0
+    assert g2.entities_all.filter("is_external").count() == 0

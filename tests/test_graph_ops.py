@@ -1,0 +1,97 @@
+"""F3 direct-graph fixtures (the MockCpg analog, semanticcpg/.../testing/
+MockCpg.scala:10-80): feed node/edge DataFrames straight into the
+linking/canonicalization/traversal operators."""
+
+from pyspark.sql import functions as F
+
+from joern_spark.functions.graph import expand, k_hop, step
+from joern_spark.operators.canonicalize import connected_components
+
+from tests.conftest import rows_set
+
+
+def pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def cmap(spark, pairs):
+    return {
+        r["entity_key"]: r["canon"]
+        for r in connected_components(pairs_df(spark, pairs)).collect()
+    }
+
+
+def test_cc_chain(spark):
+    assert cmap(spark, [("b", "c"), ("a", "b"), ("c", "d")]) == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+    }
+
+
+def test_cc_cycle_and_islands(spark):
+    got = cmap(spark, [("x", "y"), ("y", "z"), ("z", "x"), ("m", "n")])
+    assert got == {"x": "x", "y": "x", "z": "x", "m": "m", "n": "m"}
+
+
+def test_cc_long_chain_converges(spark):
+    """Diameter 12 chain — exercises multiple propagation rounds."""
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)]
+    got = cmap(spark, chain)
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 13
+
+
+def test_cc_self_loop(spark):
+    assert cmap(spark, [("a", "a")]) == {"a": "a"}
+
+
+def test_k_hop_linear(spark):
+    e = edges_df(spark, [("t0", "t1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t4")])
+    assert rows_set(k_hop(e, 2)) == {("t0", "t2"), ("t1", "t3"), ("t2", "t4")}
+    assert rows_set(k_hop(e, 4)) == {("t0", "t4")}
+
+
+def test_k_hop_branching_dedups(spark):
+    e = edges_df(spark, [("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c")])
+    assert rows_set(k_hop(e, 2)) == {("a", "c")}  # two paths, one pair
+
+
+def test_step_and_expand(spark):
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    frontier = spark.createDataFrame([("a",)], "id string")
+    assert rows_set(step(frontier, e)) == {("b",)}
+    reached = rows_set(expand(frontier, e, max_depth=10))
+    assert reached == {("a",), ("b",), ("c",), ("d",)}
+    # bounded depth (the engine's k-limit, Engine.scala:320-326)
+    reached2 = rows_set(expand(frontier, e, max_depth=2))
+    assert reached2 == {("a",), ("b",), ("c",)}
+
+
+def test_expand_cycle_terminates(spark):
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    frontier = spark.createDataFrame([("a",)], "id string")
+    assert rows_set(expand(frontier, e, max_depth=50)) == {("a",), ("b",), ("c",)}
+
+
+def test_linking_hit_miss(spark, make_transcripts, entities):
+    """LinkingUtil.scala:38-93 semantics: hit → link, miss → stub."""
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import all_entities, link_mentions
+
+    df = make_transcripts(
+        [
+            ("c1", 0, "user", "Please check the weather in Paris.", None),
+            ("c1", 1, "user", "Please check the weather in Atlantis.", None),
+        ]
+    )
+    m = extract_mentions(df)
+    linked = link_mentions(m, entities)
+    got = rows_set(linked, ["surface", "is_external"])
+    assert got == {("Paris", False), ("Atlantis", True)}
+    ents = all_entities(m, entities)
+    assert ents.filter((F.col("entity_key") == "atlantis") & F.col("is_external")).count() == 1
+    # vocabulary rows keep is_external=false
+    assert ents.filter((F.col("entity_key") == "paris") & ~F.col("is_external")).count() == 1

@@ -1,0 +1,58 @@
+"""Corpus-level invariants at sf0.001: the per-turn text-equality invariant
+under stable (conv_id, turn_idx) ordering (BASELINE.json input_hint), plus
+partition-independence of the final triple set."""
+
+from pyspark.sql import functions as F
+
+from joern_spark.pipeline import build_graph, run_pipeline
+from joern_spark.sources.transcripts import read_entities, read_transcripts
+
+
+def test_per_turn_text_equality(spark):
+    g = run_pipeline(spark, 0.001)
+    t_in = g.transcripts.select("conv_id", "turn_idx", "text")
+    t_out = g.turns.select("conv_id", "turn_idx", "text")
+    assert t_in.exceptAll(t_out).count() == 0
+    assert t_out.exceptAll(t_in).count() == 0
+    # turn ids unique & dense per conversation
+    dup = g.turns.groupBy("id").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_partition_independence(spark):
+    base = run_pipeline(spark, 0.001)
+    shuffled = read_transcripts(spark, 0.001).orderBy(F.rand(seed=3)).repartition(7)
+    alt = build_graph(shuffled, read_entities(spark))
+    assert base.triples_final.exceptAll(alt.triples_final).count() == 0
+    assert alt.triples_final.exceptAll(base.triples_final).count() == 0
+
+
+def test_next_turn_counts(spark):
+    g = run_pipeline(spark, 0.001)
+    assert g.next_turn.count() == g.turns.count() - g.conversations.count()
+
+
+def test_every_mention_resolves(spark):
+    g = run_pipeline(spark, 0.001)
+    assert g.mentions.count() == g.linked.count()
+    # every linked mention's key exists in entities_all (vocab or stub)
+    missing = (
+        g.linked.select("entity_key")
+        .join(g.entities_all.select("entity_key"), "entity_key", "left_anti")
+        .count()
+    )
+    assert missing == 0
+
+
+def test_canonical_map_is_fixpoint(spark):
+    g = run_pipeline(spark, 0.001)
+    cm = g.canonical_map
+    # canon of canon == canon (path-compressed)
+    a = cm.alias("a")
+    b = cm.alias("b")
+    non_fix = (
+        a.join(b, F.col("a.canon") == F.col("b.entity_key"))
+        .filter(F.col("a.canon") != F.col("b.canon"))
+        .count()
+    )
+    assert non_fix == 0
