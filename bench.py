@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1 → transcript corpus ≈ 1.2M turns) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect) — the same way a cluster job would write to Iceberg.
+The headline `turns_per_sec` is the flagship full-pipeline throughput
+(BASELINE.json metric: turns/sec triple-extraction throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from joern_spark import generator as G
+    from joern_spark.queries import TPG_QUERIES
+    from joern_spark.session import get_spark
+
+    sf = G.sf_from_dir(sf_dir)
+    G.ensure_entities()
+    G.ensure_transcripts(sf)
+
+    spark = get_spark(app_name=f"bench_sf{sf:g}", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer caches once, outside timed sections
+    n_turns = spark.read.parquet(G.transcripts_path(sf)).count()
+
+    times: dict[str, float] = {}
+    for name, fn in TPG_QUERIES.items():
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    flagship = times.get("tpg_triples_final") or total
+    print(
+        json.dumps(
+            {
+                "metric": "tpg_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "n_turns": n_turns,
+                "cpus": cpus,
+                "turns_per_sec": round(n_turns / flagship, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+"""Readers for the driver-provided testdata tables (TESTDATA.md).
+
+`documents(doc_id, text, lang, source, n_chars)` and
+`embeddings(vec_id, embedding array<float>, label)` back the
+training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal) — the corpus-scale counterpart of the transcript tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
