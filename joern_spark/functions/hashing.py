@@ -1,0 +1,46 @@
+"""Cross-engine deterministic hashing and tokenization.
+
+Every hash that must agree between the Spark pipeline and the DuckDB
+oracle is derived from md5 (bit-identical in both engines):
+``H(s) = int(md5(s)[:15 hex], 16)`` ∈ [0, 2^60). xxhash64 is Spark-only,
+so it is banned from any oracle-checked value (it may still be used for
+internal partitioning keys).
+
+Tokenization (lowercase, split on non-alphanumeric) is likewise defined
+once here and mirrored verbatim in joern_spark.oracle_docs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Mersenne-ish small prime for minhash permutations (keeps a*h+b < 2^45,
+# safely inside exact BIGINT/double-free integer arithmetic in both engines).
+MINHASH_P = 1_000_003
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def md5_long(c: Column) -> Column:
+    """60-bit integer hash of a string column — the cross-engine H()."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_py(s: str) -> int:
+    """Python mirror of md5_long, for precomputed literal tables."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def tokens_col(text: Column) -> Column:
+    """Ordered token array: lowercase, split on non-alphanumeric, drop empties."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def minhash_perm(i: int, h: Column) -> Column:
+    """i-th minhash permutation over a (already MINHASH_P-reduced) hash."""
+    return (F.lit(2 * i + 1) * h + F.lit(9176 * i + 12345)) % F.lit(MINHASH_P)

@@ -1,0 +1,243 @@
+"""Deduplication operators over the `documents` table — exact,
+n-gram-Jaccard, MinHash+LSH and SimHash near-dup detection.
+
+The reference's canonicalization machinery (NamespaceCreator groupBy,
+x2cpg/.../base/NamespaceCreator.scala:19-32; alias merging via
+SAME_AS-style edges) is exact dedup by key; these operators are the
+similarity-keyed generalization a 100 TB training-data pipeline needs.
+
+Scale notes (the whole point of each variant):
+  * exact: one shuffle on a 60-bit content hash — works at any scale.
+  * n-gram Jaccard: blocking key = the shingle itself. Correct and
+    shuffle-efficient for corpora with selective shingles, but hub
+    shingles blow up the self-join; it is the *verification* kernel.
+  * MinHash+LSH: the scale path. Signature is fixed-width (16 hashes →
+    4 banded keys), so the candidate join is on low-cardinality band
+    keys with candidate count ~ true-dup count, independent of shingle
+    frequency skew. AQE skew-join handles residual hub bands.
+  * SimHash: fixed 32-bit sketch + 4 byte-bands; cheapest sketch, pairs
+    verified by Hamming distance (bit_count(xor)).
+
+Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
+(oracle_docs.py) reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from joern_spark.functions.hashing import (
+    MINHASH_P,
+    N_BANDS,
+    N_MINHASH,
+    md5_long,
+    minhash_perm,
+    tokens_col,
+)
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_THRESHOLD = 2
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash: one map-side-combined
+    groupBy; survivor = min(doc_id) (deterministic under any partitioning)."""
+    return (
+        documents.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Distinct word n-gram shingles per doc: pure array ops (no window,
+    no shuffle before the final distinct)."""
+    toks = tokens_col(F.col("text"))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard(inter: Column, na: Column, nb: Column) -> Column:
+    return inter.cast("double") / (na + nb - inter)
+
+
+def _verify_pairs(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (a, b) pairs via shingle-set join."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            _jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold, blocked by shared shingle
+    (a pair is compared iff it shares ≥1 shingle — exact, not approximate)."""
+    sh = shingles(documents)
+    cand = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return _verify_pairs(sh, cand, threshold)
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, i, sig): N_MINHASH minwise hashes per doc. The permutation
+    explode is a literal array (no shuffle); min is map-side combined."""
+    sh = shingles(documents)
+    hm = (md5_long(F.col("shingle")) % F.lit(MINHASH_P)).alias("hm")
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), minhash_perm(i, F.col("hm")).alias("h"))
+            for i in range(N_MINHASH)
+        ]
+    )
+    return (
+        sh.select("doc_id", hm)
+        .select("doc_id", F.explode(perms).alias("p"))
+        .groupBy("doc_id", F.col("p.i").alias("i"))
+        .agg(F.min("p.h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash banding → candidate pairs → exact-Jaccard verification.
+
+    Bands of N_MINHASH/N_BANDS rows: two docs collide iff one band's
+    signature slice matches exactly — the classic LSH S-curve. Candidates
+    are then verified, so output precision is exact; recall is the LSH
+    approximation (pairs sharing no band are missed — by design, that is
+    what makes it scale: no all-pairs term anywhere)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    sig = minhash_signatures(documents)
+    bands = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sig"))),
+                    lambda x: x["sig"].cast("string"),
+                ),
+                "_",
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return _verify_pairs(shingles(documents), cand, threshold)
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: per-token 32-bit hash, count-weighted ±1
+    vote per bit position, sign → bit. Two shuffles (token counts, bit
+    votes), both map-side combined; signature is a single BIGINT."""
+    toks = tokens_col(F.col("text"))
+    counts = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h32", md5_long(F.col("tok")) % F.lit(2**SIMHASH_BITS))
+    )
+    bits = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.col("cnt")
+                    * (F.shiftright(F.col("h32"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                ).alias("vote"),
+            )
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return (
+        counts.select("doc_id", F.explode(bits).alias("b"))
+        .groupBy("doc_id", F.col("b.j").alias("j"))
+        .agg(F.sum("b.vote").alias("vote"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = HAMMING_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on any equal byte-band (pigeonhole:
+    hamming ≤ 8 over 4 bands ⇒ not guaranteed a clean band — this is the
+    approximate recall trade, verified pairs are exact), verify with
+    bit_count(xor) ≤ max_hamming."""
+    sh = simhash(documents)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("v"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.b", "band.v")
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "v"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,113 @@
+"""Multimodal-column plumbing: treat image/audio/video payloads as opaque
+`binary` columns with typed metadata, processed by Arrow-batched pandas
+UDFs (mapInPandas).
+
+The container has no image/audio codecs, so the *decode* step is either
+(a) a clearly-marked NotImplementedError stub (`decode_image`) or (b) a
+deterministic fake (`decode_features`) whose Spark-side plumbing —
+schema, batch shape, partitioning — is real and tested. The synthetic
+payload is the document text encoded as UTF-8 bytes, which lets the
+DuckDB oracle verify even the "decoded" statistics exactly (ASCII sum
+arithmetic is integer-exact in both engines).
+
+At 100 TB: binary columns ride in parquet with metadata columns pruned
+independently of payloads; `mapInPandas` streams Arrow batches so one
+task never holds more than maxRecordsPerBatch payloads in memory; frame
+sampling / resizing parallelize per row with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joern_spark.functions.hashing import md5_long
+
+DECODE_SCHEMA = "doc_id bigint, n_bytes bigint, mean_byte double, max_byte int"
+
+
+def with_binary(documents: DataFrame) -> DataFrame:
+    """Attach the synthetic binary payload + typed metadata (the shape a
+    real multimodal table would have: payload blob + prunable metadata)."""
+    h = md5_long(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (h % F.lit(1920)).alias("width"),
+        (F.shiftright(h, 21) % F.lit(1080)).alias("height"),
+    )
+
+
+def image_meta(documents: DataFrame) -> DataFrame:
+    """Metadata extraction without touching payload bytes beyond
+    length/checksum — the column-pruning-friendly fast path."""
+    b = with_binary(documents)
+    return b.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        "width",
+        "height",
+    )
+
+
+def decode_features(documents: DataFrame) -> DataFrame:
+    """Arrow-batched pandas-UDF 'decode': per-payload byte statistics as a
+    stand-in for real feature extraction. Demonstrates the full
+    mapInPandas contract (iterator of pandas batches in, typed batches
+    out, no per-row Python)."""
+    import numpy as np  # noqa: PLC0415 — imported on executors
+    import pandas as pd  # noqa: PLC0415
+
+    binary = with_binary(documents).select("doc_id", "payload")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [a.size for a in arrs],
+                    "mean_byte": [float(a.sum()) / a.size if a.size else 0.0 for a in arrs],
+                    "max_byte": [int(a.max()) if a.size else 0 for a in arrs],
+                }
+            )
+
+    return binary.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def decode_image(documents: DataFrame) -> DataFrame:
+    """Real image decode (PIL/libvips) — NOT AVAILABLE in this container.
+
+    STUB: the Spark-side contract is `with_binary(...).mapInPandas(fn,
+    schema='doc_id bigint, pixels binary, width int, height int')`; `fn`
+    would decode each payload with the codec library. Raises until a
+    codec is installed."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "environment; use decode_features for the plumbing-verified path"
+    )
+
+
+def frame_sample(documents: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: split each payload
+    into fixed-size 'frames' (16-byte chunks) and keep every n-th —
+    the explode-with-index pattern real frame sampling uses, minus the
+    codec. Pure JVM: substring over binary, no Python."""
+    b = with_binary(documents)
+    frame_bytes = 16
+    n_frames = F.ceil(F.length("payload") / F.lit(frame_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1)
+    return (
+        b.select("doc_id", "payload", F.explode(idx).alias("frame_idx"))
+        .where(F.col("frame_idx") % every_n == 0)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.substring(
+                F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes
+            ).alias("frame"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over the `embeddings` table
+(vec_id, embedding array<float>, label): brute-force cosine top-k as the
+exact baseline, random-hyperplane LSH bucketing as the scale path, and
+cosine near-duplicate pairs for embedding-based dedup.
+
+Everything stays JVM-side: dot products are `zip_with` + `aggregate`
+(whole-stage codegen over the array, no Python). The reference has no
+vector ops — this is the training-data-pipeline extension the engine
+needs at 100 TB (dedup / retrieval over embedding columns).
+
+Scale notes:
+  * brute force is O(n²·d) — correct at any n but only affordable as the
+    per-bucket kernel; it is the verification oracle for the ANN path.
+  * LSH: NPLANES deterministic integer hyperplanes (md5-derived, so the
+    DuckDB oracle reproduces the buckets exactly) → 2^NPLANES buckets →
+    per-bucket brute force. At cluster scale you shuffle once on
+    bucket id (AQE splits hub buckets) and run the kernel per bucket;
+    multiple hyperplane tables raise recall multiplicatively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from joern_spark.functions.hashing import md5_long_py
+
+TOP_K = 5
+NPLANES = 4
+DIM = 64
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def hyperplanes(nplanes: int = NPLANES, dim: int = DIM) -> list[list[int]]:
+    """Deterministic integer hyperplanes in [-1000, 1000], derived from
+    md5 so the SQL oracle can embed the identical literals."""
+    return [
+        [md5_long_py(f"plane:{p}:{d}") % 2001 - 1000 for d in range(dim)]
+        for p in range(nplanes)
+    ]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _normed(embeddings: DataFrame) -> DataFrame:
+    e = F.col("embedding")
+    return embeddings.select(
+        "vec_id", "embedding", F.sqrt(_dot(e, e)).alias("norm")
+    )
+
+
+def _pair_sims(left: DataFrame, right: DataFrame) -> DataFrame:
+    """(src, dst, sim) for the cross of two pre-normed sides."""
+    x = left.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    y = right.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        x.crossJoin(y)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+
+
+def _topk(sims: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "sim")
+    )
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k neighbors for every vector (O(n²·d) kernel)."""
+    n = _normed(embeddings)
+    return _topk(_pair_sims(n, n), k)
+
+
+def lsh_buckets(embeddings: DataFrame, nplanes: int = NPLANES) -> DataFrame:
+    """Random-hyperplane bucket id per vector: bit p = sign(w_p · e)."""
+    planes = hyperplanes(nplanes)
+    bucket = None
+    for p, w in enumerate(planes):
+        dot = _dot(F.col("embedding"), F.array(*[F.lit(float(c)) for c in w]))
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+def cosine_topk_lsh(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: exact kernel restricted to each LSH bucket.
+    Recall < 1 by design (cross-bucket neighbors are missed); the bucket
+    assignment is deterministic, so results are exactly reproducible."""
+    b = lsh_buckets(embeddings)
+    n = _normed(b).join(b.select("vec_id", "bucket"), "vec_id")
+    x = n.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+        "bucket",
+    )
+    y = n.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+        "bucket",
+    )
+    sims = (
+        x.join(y, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    return _topk(sims, k)
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold)."""
+    n = _normed(embeddings)
+    return (
+        _pair_sims(n, n)
+        .where((F.col("src") < F.col("dst")) & (F.col("sim") >= threshold))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "sim")
+    )

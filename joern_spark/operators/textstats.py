@@ -1,0 +1,130 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline counterpart of the reference's per-node property
+computations (joern's CODE/NAME property extraction per AST node;
+metrics queries in querydb, e.g. querydb/src/main/scala/io/joern/scanners —
+each metric is a pure column expression over one scan).
+
+All ops are single-scan, shuffle-free column expressions (whole-stage
+codegen end to end); every value is reproduced exactly by the DuckDB
+oracle in joern_spark.oracle_docs (integer-exact arithmetic, shared md5
+hashing). At 100 TB these run at parquet-scan speed: no Python, no
+shuffle, predicates/projections push down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from joern_spark.functions.hashing import md5_long, tokens_col
+
+# Tiny per-language keyword profiles for the n-gram/stopword lang-id
+# heuristic. Deterministic and mirrored in the oracle; tie-break order is
+# the list order below (first wins via greatest+struct trick).
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "is", "to", "in", "value", "fast"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht", "mit"]),
+    ("fr", ["le", "la", "les", "et", "est", "dans", "pour"]),
+    ("es", ["el", "la", "los", "y", "es", "en", "para"]),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token/quality statistics (token counting + quality
+    scoring). Ratios divide exact integers, so Spark and DuckDB produce
+    bit-identical doubles with no rounding games."""
+    toks = tokens_col(F.col("text"))
+    d = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("toks"),
+    )
+    n_tokens = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    n_stop = _hits(F.col("toks"), STOPWORDS)
+    stop_ratio = n_stop.cast("double") / n_tokens
+    uniq_ratio = n_uniq.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (
+            F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + stop_ratio * F.lit(0.3)
+            + uniq_ratio * F.lit(0.2)
+        ).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Keyword-profile language ID: count profile hits per language, pick
+    the max (ties broken by profile order). A real deployment swaps the
+    profiles for char-n-gram tables; the operator shape (N profile scores
+    → argmax, one scan) is the production shape."""
+    toks = tokens_col(F.col("text"))
+    d = documents.select("doc_id", toks.alias("toks"))
+    scored = d.select(
+        "doc_id",
+        *[_hits(F.col("toks"), words).alias(f"{lang}_hits") for lang, words in LANG_PROFILES],
+    )
+    # argmax with first-wins tie-break: compare (hits, -index) structs
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"{lang}_hits").alias("h"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, _) in enumerate(LANG_PROFILES)
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        *[f"{lang}_hits" for lang, _ in LANG_PROFILES],
+        F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def fingerprints(documents: DataFrame, ngram: int = 4, window: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    rolling-hash fingerprinting used by near-dup/plagiarism pipelines):
+    hash every `ngram`-token shingle, keep the minimum hash in each
+    sliding window of `window` shingles, emit the distinct set.
+
+    Spark shape: posexplode (no shuffle) → window min over
+    (doc_id, position) → distinct. The per-doc window is the same
+    partitioning the dedup ops use, so at scale one repartition(doc_id)
+    serves all of them."""
+    toks = tokens_col(F.col("text"))
+    t = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = t.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", k).over(w) for k in range(1, ngram)]
+        ).alias("shingle"),
+        F.lead("tok", ngram - 1).over(w).alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    hashed = sh.select("doc_id", "pos", md5_long(F.col("shingle")).alias("h"))
+    wm = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.select("doc_id", F.min("h").over(wm).alias("fingerprint"))
+        .distinct()
+    )

@@ -1,0 +1,315 @@
+"""DuckDB oracle SQL for the training-data operators (dedup, similarity,
+text analysis, multimodal) — independent ANSI-SQL re-implementations over
+the driver's pre-registered `documents` / `embeddings` views.
+
+Shared constants (shingle size, thresholds, hash constants, stopword and
+language-profile lists, LSH hyperplanes) are imported from the SAME
+modules the Spark operators use, so the two implementations cannot drift.
+Hashing is md5-prefix-to-BIGINT — bit-identical in Spark and DuckDB
+(functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from joern_spark.functions.hashing import MINHASH_P, N_MINHASH
+from joern_spark.operators.dedup import (
+    HAMMING_THRESHOLD,
+    JACCARD_THRESHOLD,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from joern_spark.operators.similarity import (
+    COSINE_DUP_THRESHOLD,
+    DIM,
+    NPLANES,
+    TOP_K,
+    hyperplanes,
+)
+from joern_spark.operators.textstats import LANG_PROFILES, STOPWORDS
+
+H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+TOKS = """
+toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+)"""
+
+# distinct 3-gram shingles per doc (mirror of operators/dedup.shingles)
+SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(
+           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)])) AS shingle
+  FROM toks
+)"""
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def doc_stats_sql() -> str:
+    stop = _in_list(STOPWORDS)
+    return f"""
+WITH {TOKS}
+SELECT doc_id, n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       len(list_filter(toks, t -> t IN ({stop}))) AS n_stopwords,
+       len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks) AS stopword_ratio,
+       len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
+       least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+         + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3
+         + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2 AS quality
+FROM toks
+"""
+
+
+def lang_id_sql() -> str:
+    hits = ",\n       ".join(
+        f"len(list_filter(toks, t -> t IN ({_in_list(words)}))) AS {lang}_hits"
+        for lang, words in LANG_PROFILES
+    )
+    langs = [lang for lang, _ in LANG_PROFILES]
+    all_hits = ", ".join(f"{lang}_hits" for lang in langs)
+    # first-wins tie-break = CASE chain in profile order
+    case = "CASE WHEN greatest(" + all_hits + ") = 0 THEN 'und'\n"
+    for i, lang in enumerate(langs):
+        rest = [f"{lang}_hits >= {o}_hits" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        case += f"            WHEN {cond} THEN '{lang}'\n"
+    case += "       END"
+    return f"""
+WITH {TOKS},
+scored AS (SELECT doc_id, {hits} FROM toks)
+SELECT doc_id, {all_hits}, {case} AS lang_guess
+FROM scored
+"""
+
+
+def fingerprints_sql(ngram: int = 4, window: int = 5) -> str:
+    concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
+    return f"""
+WITH {TOKS},
+shp AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'h': {H.format(x=concat)}}}
+                   FOR i IN range(1, len(toks) - {ngram - 2})]) AS s
+    FROM toks)
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+         AS fingerprint
+FROM shp
+"""
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+_VERIFY = f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.a, i.b,
+         i.n_inter::DOUBLE / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.a
+  JOIN sizes nb ON nb.doc_id = i.b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+WITH {TOKS},
+{SHINGLES},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+),
+{_VERIFY}
+"""
+
+
+def minhash_lsh_sql() -> str:
+    rows_per_band = N_MINHASH // 4
+    return f"""
+WITH {TOKS},
+{SHINGLES},
+hm AS (SELECT doc_id, {H.format(x='shingle')} % {MINHASH_P} AS hm FROM sh),
+perm AS (
+  SELECT doc_id, g.i AS i,
+         ((2*g.i + 1) * hm + (9176*g.i + 12345)) % {MINHASH_P} AS h
+  FROM hm, generate_series(0, {N_MINHASH - 1}) g(i)
+),
+sigs AS (SELECT doc_id, i, min(h) AS sig FROM perm GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         string_agg(sig::VARCHAR, '_' ORDER BY i) AS band_key
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y USING (band, band_key)
+  WHERE x.doc_id < y.doc_id
+),
+{_VERIFY}
+"""
+
+
+def simhash_sql() -> str:
+    return f"""
+WITH {TOKS},
+cnts AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2
+),
+h32 AS (SELECT doc_id, cnt, {H.format(x='tok')} % {2**SIMHASH_BITS} AS h32 FROM cnts),
+votes AS (
+  SELECT doc_id, g.i AS j, sum(cnt * (((h32 >> g.i) & 1) * 2 - 1)) AS vote
+  FROM h32, generate_series(0, {SIMHASH_BITS - 1}) g(i) GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+def simhash_pairs_sql() -> str:
+    return f"""
+WITH sim AS ({simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, g.b AS band, (simhash >> (8 * g.b)) & 255 AS v
+  FROM sim, generate_series(0, {SIMHASH_BANDS - 1}) g(b)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= {HAMMING_THRESHOLD}
+"""
+
+
+# --- embeddings ---------------------------------------------------------------
+
+_NORM = """
+normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS norm
+  FROM embeddings
+)"""
+
+_DOT_XY = (
+    "list_sum([(x.embedding[i]::DOUBLE) * (y.embedding[i]::DOUBLE) "
+    f"FOR i IN range(1, {DIM + 1})])"
+)
+
+
+def cosine_topk_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH {_NORM},
+sims AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         {_DOT_XY} / (x.norm * y.norm) AS sim
+  FROM normed x, normed y WHERE x.vec_id <> y.vec_id
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM sims
+)
+SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def _bucket_expr(table_alias: str) -> str:
+    planes = hyperplanes(NPLANES, DIM)
+    terms = []
+    for p, w in enumerate(planes):
+        lits = "[" + ", ".join(str(c) for c in w) + "]"
+        dot = (
+            f"list_sum([({table_alias}.embedding[i]::DOUBLE) * (({lits})[i]::DOUBLE) "
+            f"FOR i IN range(1, {DIM + 1})])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def cosine_topk_lsh_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH {_NORM},
+bucketed AS (
+  SELECT n.vec_id, n.embedding, n.norm, {_bucket_expr('n')} AS bucket
+  FROM normed n
+),
+sims AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         {_DOT_XY} / (x.norm * y.norm) AS sim
+  FROM bucketed x JOIN bucketed y USING (bucket)
+  WHERE x.vec_id <> y.vec_id
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM sims
+)
+SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_dup_pairs_sql() -> str:
+    return f"""
+WITH {_NORM},
+sims AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_DOT_XY} / (x.norm * y.norm) AS sim
+  FROM normed x, normed y WHERE x.vec_id < y.vec_id
+)
+SELECT a, b, sim FROM sims WHERE sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# --- multimodal ---------------------------------------------------------------
+
+def image_meta_sql() -> str:
+    h = H.format(x="text")
+    return f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       {h} % 1920 AS width,
+       ({h} >> 21) % 1080 AS height
+FROM documents
+"""
+
+
+def decode_features_sql() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       list_sum([unicode(c) FOR c IN string_split(text, '')])::DOUBLE
+         / octet_length(encode(text)) AS mean_byte,
+       list_max([unicode(c) FOR c IN string_split(text, '')]) AS max_byte
+FROM documents
+"""

@@ -15,6 +15,8 @@ from joern_spark.operators.extract import (
     extract_mentions,
     extract_triples_raw,
 )
+from joern_spark.operators import dedup, multimodal, similarity, textstats
+from joern_spark.sources.testdata import read_documents, read_embeddings
 from joern_spark.sources.transcripts import read_entities, read_transcripts
 
 
@@ -95,6 +97,61 @@ def q_next_turn_3hop(spark, sf_dir):
     return k_hop(edges, 3)
 
 
+# --- training-data pipeline ops over documents/embeddings (TESTDATA.md) ------
+
+
+def q_doc_stats(spark, sf_dir):
+    return textstats.doc_stats(read_documents(spark, sf_dir))
+
+
+def q_doc_langid(spark, sf_dir):
+    return textstats.lang_id(read_documents(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(read_documents(spark, sf_dir))
+
+
+def q_dd_exact(spark, sf_dir):
+    return dedup.exact_dedup(read_documents(spark, sf_dir))
+
+
+def q_dd_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
+
+
+def q_dd_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(read_documents(spark, sf_dir))
+
+
+def q_dd_simhash(spark, sf_dir):
+    return dedup.simhash(read_documents(spark, sf_dir))
+
+
+def q_dd_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(read_documents(spark, sf_dir))
+
+
+def q_sim_topk(spark, sf_dir):
+    return similarity.cosine_topk_bruteforce(read_embeddings(spark, sf_dir))
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    return similarity.cosine_topk_lsh(read_embeddings(spark, sf_dir))
+
+
+def q_dd_embed_cosine(spark, sf_dir):
+    return similarity.cosine_dup_pairs(read_embeddings(spark, sf_dir))
+
+
+def q_mm_image_meta(spark, sf_dir):
+    return multimodal.image_meta(read_documents(spark, sf_dir))
+
+
+def q_mm_decode_features(spark, sf_dir):
+    return multimodal.decode_features(read_documents(spark, sf_dir))
+
+
 TPG_QUERIES = {
     "tpg_turns": q_turns,
     "tpg_conversations": q_conversations,
@@ -108,4 +165,17 @@ TPG_QUERIES = {
     "tpg_triples_final": q_triples_final,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
+    "doc_stats": q_doc_stats,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dd_exact": q_dd_exact,
+    "dd_ngram_jaccard": q_dd_ngram_jaccard,
+    "dd_minhash_lsh": q_dd_minhash_lsh,
+    "dd_simhash": q_dd_simhash,
+    "dd_simhash_pairs": q_dd_simhash_pairs,
+    "sim_topk": q_sim_topk,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "dd_embed_cosine": q_dd_embed_cosine,
+    "mm_image_meta": q_mm_image_meta,
+    "mm_decode_features": q_mm_decode_features,
 }

@@ -1,0 +1,150 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal) on hand-built fixtures — the MockCpg-style
+direct-DataFrame level of the reference's test strategy (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from joern_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),  # near-dup of 0
+        (2, "completely different words entirely here now", "en", "s1", 44),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s2", 43),  # exact dup of 0
+        (4, "tiny", "en", "s3", 4),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(docs):
+    groups = {r.keep_id: r.n_docs for r in dedup.exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 3 identical, survivor = min id
+    assert sum(groups.values()) == 5
+
+
+def test_shingles_short_doc(docs):
+    sh = dedup.shingles(docs)
+    assert sh.where(F.col("doc_id") == 4).count() == 0
+    # doc 0: 9 tokens → 7 distinct trigrams
+    assert sh.where(F.col("doc_id") == 0).count() == 7
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    # docs 0/3 identical → jaccard 1.0; docs 0/1 share 6 of their 7+7
+    # distinct trigrams → 6/(7+7-6) = 0.75
+    assert pairs[(0, 3)] == 1.0
+    assert math.isclose(pairs[(0, 1)], 0.75)
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 3)] == 1.0  # identical sigs always collide
+    # every reported pair is verified-exact, so values match the exact op
+    exact = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    for k, v in pairs.items():
+        assert math.isclose(v, exact[k])
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[3]
+    assert 0 <= sh[0] < 2**32
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.normal(size=8).astype(np.float32)  # near-dup
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(embs):
+    df, vecs = embs
+    out = similarity.cosine_topk_bruteforce(df, k=3).collect()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    np.fill_diagonal(sims, -np.inf)
+    for r in out:
+        if r.rank == 1:
+            assert r.dst == int(np.argmax(sims[r.src]))
+            assert math.isclose(r.sim, sims[r.src][r.dst], rel_tol=1e-9)
+    assert {r.src for r in out} == set(range(20))
+
+
+def test_cosine_dup_pairs(embs):
+    df, _ = embs
+    pairs = {(r.a, r.b) for r in similarity.cosine_dup_pairs(df, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_topk_subset_of_bruteforce(embs):
+    df, _ = embs
+    brute = {(r.src, r.dst) for r in similarity.cosine_topk_bruteforce(df, k=3).collect()}
+    approx = similarity.cosine_topk_lsh(df, k=3).collect()
+    # rank-1 neighbors found by LSH must be genuine brute-force top-3 pairs
+    # whenever the pair shares a bucket; all reported sims must be exact.
+    assert all((r.src, r.dst) in brute or r.rank > 0 for r in approx)
+    buckets = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df).collect()}
+    for r in approx:
+        assert buckets[r.src] == buckets[r.dst]
+
+
+def test_textstats(docs):
+    st = {r.doc_id: r for r in textstats.doc_stats(docs).collect()}
+    assert st[0].n_tokens == 9
+    assert st[0].n_uniq_tokens == 8  # "the" twice
+    assert st[0].n_stopwords == 2
+    assert math.isclose(st[0].stopword_ratio, 2 / 9)
+    lang = {r.doc_id: r.lang_guess for r in textstats.lang_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "und"  # no profile hits
+
+
+def test_fingerprints_winnowing(docs):
+    fp = textstats.fingerprints(docs)
+    assert fp.where(F.col("doc_id") == 4).count() == 0
+    # identical docs → identical fingerprint sets
+    a = {r.fingerprint for r in fp.where(F.col("doc_id") == 0).collect()}
+    b = {r.fingerprint for r in fp.where(F.col("doc_id") == 3).collect()}
+    assert a == b and len(a) >= 1
+
+
+def test_multimodal_plumbing(docs):
+    meta = {r.doc_id: r for r in multimodal.image_meta(docs).collect()}
+    assert meta[0].n_bytes == 43
+    assert meta[0].content_md5 == meta[3].content_md5
+    assert 0 <= meta[0].width < 1920 and 0 <= meta[0].height < 1080
+
+    feats = {r.doc_id: r for r in multimodal.decode_features(docs).collect()}
+    raw = b"the quick brown fox jumps over the lazy dog"
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    assert feats[0].n_bytes == len(raw)
+    assert math.isclose(feats[0].mean_byte, arr.mean())
+    assert feats[0].max_byte == int(arr.max())
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(docs)
+
+    frames = multimodal.frame_sample(docs, every_n=2)
+    f0 = frames.where(F.col("doc_id") == 0).collect()
+    # 43 bytes → 3 frames (16B) → keep frame_idx 0 and 2
+    assert sorted(r.frame_idx for r in f0) == [0, 2]
+    assert bytes(f0[0].frame) == raw[:16]
