@@ -1,0 +1,149 @@
+"""Resumable KG-construction job — the `spark-submit --py-files` entry
+point (the joern-parse lifecycle, JoernParse.scala:81-92, as a
+distributed, checkpointed DAG).
+
+Stage DAG (each gated by the per-bucket manifest, plans/manifest.py):
+
+  ingest (bucketed transcripts)
+    ├─ s1_turns / s1_next_turn      conv-local, per-bucket
+    ├─ s2_mentions / s2_triples_raw conv-local, per-bucket
+    ├─ s3_linked                    conv-local (broadcast entities), per-bucket
+    ├─ s4_canonical_map             global (connected components)
+    └─ s5_triples_final             global (canonical rewrite + dedup)
+
+Usage:
+  spark-submit --py-files joern_spark.zip -m joern_spark.job \
+      --sf 0.01 --out /path/out --buckets 64
+or `python -m joern_spark.job ...` locally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from joern_spark import generator as G
+from joern_spark.operators import assemble, canonicalize, link, materialize, rebind
+from joern_spark.operators.extract import extract_mentions, extract_triples_raw
+from joern_spark.plans.manifest import BUCKET_COL, StageRunner, input_fingerprint, with_bucket
+from joern_spark.sources.transcripts import read_entities, read_transcripts
+
+
+def run_job(
+    spark: SparkSession,
+    sf: float,
+    out_root: str,
+    n_buckets: int = 16,
+    fail_after_buckets: int | None = None,
+    runner: StageRunner | None = None,
+) -> dict[str, DataFrame]:
+    runner = runner or StageRunner(
+        spark, out_root, n_buckets, fail_after_buckets=fail_after_buckets
+    )
+    n_buckets = runner.n_buckets
+    t = with_bucket(read_transcripts(spark, sf), n_buckets).repartition(
+        n_buckets, F.col(BUCKET_COL)
+    )
+    t.cache()
+    fps = input_fingerprint(t, ["conv_id", "turn_idx", "text"])
+    entities = read_entities(spark)
+
+    def bucketed(fn, conv_id_from: str | None = None):
+        """Conv-local stage: run `fn` on pending buckets only, re-derive the
+        bucket from the output's conv_id (same hash → same bucket, so the
+        stage stays aligned with the input partitioning)."""
+
+        def compute(pending):
+            sub = t.where(F.col(BUCKET_COL).isin(pending)).drop(BUCKET_COL)
+            out = fn(sub)
+            if conv_id_from is not None:
+                out = out.withColumn(
+                    "conv_id", F.split(F.col(conv_id_from), ":")[0]
+                )
+            return with_bucket(out, n_buckets)
+
+        return compute
+
+    turns = runner.run_stage("s1_turns", bucketed(assemble.turn_nodes), fps)
+    next_turn = runner.run_stage(
+        "s1_next_turn",
+        bucketed(assemble.next_turn_edges, conv_id_from="src"),
+        fps,
+    )
+    mentions = runner.run_stage("s2_mentions", bucketed(extract_mentions), fps)
+    triples_raw = runner.run_stage(
+        "s2_triples_raw", bucketed(extract_triples_raw), fps
+    )
+    linked = runner.run_stage(
+        "s3_linked",
+        bucketed(lambda df: link.link_mentions(extract_mentions(df), entities)),
+        fps,
+    )
+
+    # global stages: fingerprint = combined fingerprint of every input bucket
+    global_fp = "|".join(f"{b}:{fps[b]}" for b in sorted(fps))
+
+    def compute_cmap():
+        raw = triples_raw.drop(BUCKET_COL)
+        return canonicalize.connected_components(canonicalize.same_as_edges(raw))
+
+    cmap = runner.run_global_stage("s4_canonical_map", compute_cmap, global_fp)
+
+    def compute_final():
+        raw = triples_raw.drop(BUCKET_COL)
+        dyn = rebind.dbcur_triples(t.drop(BUCKET_COL))
+        static = canonicalize.canonicalize_triples(raw, cmap)
+        dyn_c = canonicalize.canonicalize_triples(dyn, cmap)
+        return materialize.dedup_triples(static.unionByName(dyn_c))
+
+    final = runner.run_global_stage("s5_triples_final", compute_final, global_fp)
+    t.unpersist()
+    return {
+        "turns": turns,
+        "next_turn": next_turn,
+        "mentions": mentions,
+        "triples_raw": triples_raw,
+        "linked": linked,
+        "canonical_map": cmap,
+        "triples_final": final,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.001)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName(f"tpg_job_sf{args.sf:g}")
+        # master/deploy mode come from spark-submit; these mirror
+        # joern_spark.session.get_spark for standalone runs
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    G.ensure_entities()
+    G.ensure_transcripts(args.sf)
+    t0 = time.time()
+    out = run_job(spark, args.sf, args.out, args.buckets)
+    n = out["triples_final"].count()
+    print(
+        json.dumps(
+            {"sf": args.sf, "triples_final": n, "wall_s": round(time.time() - t0, 2)}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

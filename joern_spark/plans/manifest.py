@@ -1,0 +1,215 @@
+"""Per-stage, per-partition manifest + resumable stage execution.
+
+The reference's resume mechanism is overlay bookkeeping: LayerCreator.run
+checks META_DATA.OVERLAYS and *skips a layer that is already applied*
+(semanticcpg/.../layers/LayerCreator.scala:20-34, Overlays.scala:10-22).
+This module is the distributed version the north rule requires: each
+stage's output is partitioned into B deterministic buckets of
+conversations; a manifest records (stage, bucket, input_fingerprint,
+row count, wall time, run id) only AFTER that bucket's files are fully
+written. A killed job therefore resumes by anti-joining the manifest:
+completed buckets are skipped byte-for-byte, pending buckets are
+(re)written via dynamic partition overwrite — partial files from the
+killed attempt are overwritten, never duplicated.
+
+Scale notes: one `repartition(bucket)` up front co-locates every
+conv-local stage (assemble/extract/link read the same partitioning —
+no further shuffle); the manifest itself is tiny (B rows per stage) and
+lives as atomic-renamed JSON files, the same role Iceberg's snapshot
+manifest plays on a real cluster. Counters ride in the manifest rows
+(the accumulator→metrics requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+class SimulatedKill(RuntimeError):
+    """Raised by fault injection in tests to model a mid-job crash."""
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "conv_id") -> DataFrame:
+    """Deterministic partition assignment. xxhash64 is fine here (internal
+    partitioning only — never an oracle-visible value)."""
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def input_fingerprint(df: DataFrame, cols: list[str]) -> dict[int, str]:
+    """Per-bucket order-independent content fingerprint: count + sum of a
+    60-bit row hash. One scan; used to detect changed inputs on resume
+    (a bucket whose fingerprint changed is recomputed, LayerCreator's
+    dependsOn check generalized to data identity)."""
+    from joern_spark.functions.hashing import md5_long
+
+    h = md5_long(F.concat_ws("", *[F.col(c).cast("string") for c in cols]))
+    rows = (
+        df.groupBy(BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor(h).alias("s"))
+        .collect()
+    )
+    return {r[BUCKET_COL]: f"{r['n']}:{r['s']}" for r in rows}
+
+
+class Manifest:
+    """Directory of atomically-renamed JSON rows, one per (stage, bucket)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, stage: str, bucket: int) -> str:
+        return os.path.join(self.root, f"{stage}__{bucket:05d}.json")
+
+    def get(self, stage: str, bucket: int) -> dict | None:
+        p = self._path(stage, bucket)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def commit(self, stage: str, bucket: int, row: dict) -> None:
+        p = self._path(stage, bucket)
+        tmp = p + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(row, f)
+        os.replace(tmp, p)
+
+    def completed(self, stage: str) -> dict[int, dict]:
+        out = {}
+        prefix = f"{stage}__"
+        for name in os.listdir(self.root):
+            if name.startswith(prefix) and name.endswith(".json"):
+                b = int(name[len(prefix) : -5])
+                out[b] = self.get(stage, b)
+        return out
+
+
+class StageRunner:
+    """Executes bucket-partitioned stages idempotently against a manifest.
+
+    fail_after_buckets: fault injection — raise SimulatedKill after the
+    stage has durably completed that many buckets (tests kill-and-rerun).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_root: str,
+        n_buckets: int = 16,
+        run_id: str | None = None,
+        fail_after_buckets: int | None = None,
+    ):
+        self.spark = spark
+        self.out_root = out_root
+        self.n_buckets = n_buckets
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.fail_after_buckets = fail_after_buckets
+        self.manifest = Manifest(os.path.join(out_root, "_manifest"))
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.out_root, stage)
+
+    def read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_dir(stage))
+
+    def run_stage(
+        self,
+        stage: str,
+        compute: "callable",
+        fingerprints: dict[int, str],
+    ) -> DataFrame:
+        """compute(buckets: list[int]) -> DataFrame carrying BUCKET_COL.
+
+        Buckets whose manifest row matches the current input fingerprint
+        are skipped; the rest are written with dynamic partition
+        overwrite (idempotent under crash-rerun), then committed to the
+        manifest one bucket at a time with row counters.
+        """
+        done = self.manifest.completed(stage)
+        all_buckets = sorted(fingerprints)
+        pending = [
+            b
+            for b in all_buckets
+            if done.get(b) is None or done[b]["fingerprint"] != fingerprints[b]
+        ]
+        path = self._stage_dir(stage)
+        if pending:
+            t0 = time.time()
+            df = compute(pending)
+            (
+                df.where(F.col(BUCKET_COL).isin(pending))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
+            )
+            wall = time.time() - t0
+            written = self.spark.read.parquet(path)
+            counts = {
+                r[BUCKET_COL]: r["n"]
+                for r in written.where(F.col(BUCKET_COL).isin(pending))
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for i, b in enumerate(pending):
+                if (
+                    self.fail_after_buckets is not None
+                    and i >= self.fail_after_buckets
+                ):
+                    raise SimulatedKill(
+                        f"injected kill in stage {stage} after {i} bucket commits"
+                    )
+                self.manifest.commit(
+                    stage,
+                    b,
+                    {
+                        "stage": stage,
+                        "bucket": b,
+                        "fingerprint": fingerprints[b],
+                        "n_rows": counts.get(b, 0),
+                        "wall_s": round(wall, 3),
+                        "run_id": self.run_id,
+                        "ts": time.time(),
+                    },
+                )
+        return self.read_stage(stage)
+
+    def run_global_stage(
+        self, stage: str, compute: "callable", fingerprint: str
+    ) -> DataFrame:
+        """All-or-nothing stage (cross-conversation: canonicalization,
+        final dedup) gated by a single manifest row — the direct
+        LayerCreator skip-if-applied analog."""
+        done = self.manifest.get(stage, 0)
+        path = self._stage_dir(stage)
+        if done is None or done["fingerprint"] != fingerprint:
+            t0 = time.time()
+            df = compute()
+            df.write.mode("overwrite").parquet(path)
+            n = self.spark.read.parquet(path).count()
+            self.manifest.commit(
+                stage,
+                0,
+                {
+                    "stage": stage,
+                    "bucket": 0,
+                    "fingerprint": fingerprint,
+                    "n_rows": n,
+                    "wall_s": round(time.time() - t0, 3),
+                    "run_id": self.run_id,
+                    "ts": time.time(),
+                },
+            )
+        return self.read_stage(stage)

@@ -1,0 +1,92 @@
+"""Kill-and-rerun resumability tests (north-rule requirement: per-partition
+lineage manifest; a killed job resumes without recomputing completed
+partitions — the distributed LayerCreator skip-if-applied semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from joern_spark.job import run_job
+from joern_spark.pipeline import run_pipeline
+from joern_spark.plans.manifest import Manifest, SimulatedKill, StageRunner
+
+SF = 0.001
+BUCKETS = 8
+
+
+def _assert_df_equal(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kill_and_resume(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job_out"))
+
+    # run 1: killed after 2 durable bucket commits of the first stage
+    killed = StageRunner(spark, out, BUCKETS, fail_after_buckets=2)
+    with pytest.raises(SimulatedKill):
+        run_job(spark, SF, out, BUCKETS, runner=killed)
+    m = Manifest(f"{out}/_manifest")
+    done1 = m.completed("s1_turns")
+    assert len(done1) == 2
+    assert all(r["run_id"] == killed.run_id for r in done1.values())
+
+    # run 2: resumes, completes every stage
+    resumed = StageRunner(spark, out, BUCKETS)
+    result = run_job(spark, SF, out, BUCKETS, runner=resumed)
+
+    # the 2 buckets committed by run 1 were NOT recomputed
+    done2 = m.completed("s1_turns")
+    assert len(done2) == BUCKETS
+    survivors = [b for b, r in done2.items() if r["run_id"] == killed.run_id]
+    assert sorted(survivors) == sorted(done1)
+
+    # output identical to the non-resumable reference pipeline
+    expected = run_pipeline(spark, SF).triples_final
+    _assert_df_equal(
+        result["triples_final"].select(*expected.columns), expected
+    )
+
+    # counters recorded per bucket
+    assert all(r["n_rows"] > 0 for r in done2.values())
+
+    # run 3: fully idempotent — nothing recomputed anywhere
+    third = StageRunner(spark, out, BUCKETS)
+    run_job(spark, SF, out, BUCKETS, runner=third)
+    for stage in ("s1_turns", "s2_mentions", "s2_triples_raw", "s3_linked",
+                  "s4_canonical_map", "s5_triples_final"):
+        assert all(
+            r["run_id"] != third.run_id for r in m.completed(stage).values()
+        ), stage
+
+
+def test_changed_input_recomputes_bucket(spark, tmp_path_factory):
+    """A bucket whose input fingerprint changes is recomputed; untouched
+    buckets are not (data-identity dependsOn check)."""
+    out = str(tmp_path_factory.mktemp("fp_out"))
+    r1 = StageRunner(spark, out, BUCKETS)
+
+    from joern_spark.plans.manifest import input_fingerprint, with_bucket
+    from joern_spark.sources.transcripts import read_transcripts
+
+    t = with_bucket(read_transcripts(spark, SF), BUCKETS)
+    fps = input_fingerprint(t, ["conv_id", "turn_idx", "text"])
+
+    def compute(pending):
+        return t.where(F.col("_bucket").isin(pending))
+
+    r1.run_stage("probe", compute, fps)
+    m = Manifest(f"{out}/_manifest")
+    assert len(m.completed("probe")) == len(fps)
+
+    # mutate one bucket's fingerprint → only that bucket recomputes
+    victim = sorted(fps)[0]
+    fps2 = dict(fps)
+    fps2[victim] = "changed:0"
+    r2 = StageRunner(spark, out, BUCKETS)
+    r2.run_stage("probe", compute, fps2)
+    done = m.completed("probe")
+    assert done[victim]["run_id"] == r2.run_id
+    assert all(
+        r["run_id"] == r1.run_id for b, r in done.items() if b != victim
+    )
