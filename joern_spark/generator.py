@@ -121,10 +121,17 @@ def generate_transcripts(n_turns_target: int) -> pd.DataFrame:
     """Generate ≈n_turns_target turns as a pandas DataFrame (row order =
     (conv, turn_idx)). Pure function of the target size."""
     n_convs = max(1, int(n_turns_target / MEAN_TURNS_PER_CONV))
-    nblocks = conv_block_counts(n_convs)
+    return _generate_conv_range(0, n_convs, conv_block_counts(n_convs))
+
+
+def _generate_conv_range(lo: int, hi: int, nblocks_range: np.ndarray) -> pd.DataFrame:
+    """Rows for conversations [lo, hi). Every field is a pure function of
+    the GLOBAL conv index, so chunked generation is byte-identical to
+    one-shot generation regardless of chunk boundaries."""
+    nblocks = nblocks_range
     nturns = nblocks * 4
 
-    conv = np.repeat(np.arange(n_convs, dtype=np.int64), nturns)
+    conv = np.repeat(np.arange(lo, hi, dtype=np.int64), nturns)
     # turn_idx = position within conversation
     starts = np.concatenate(([0], np.cumsum(nturns)[:-1]))
     t = np.arange(conv.size, dtype=np.int64) - np.repeat(starts, nturns)
@@ -187,7 +194,7 @@ def generate_transcripts(n_turns_target: int) -> pd.DataFrame:
     # phase-2 result turn of a db block still reports weather tool output;
     # keep its tool consistent with the block's phase-1 tool choice (already set).
 
-    conv_id = pd.array(["c%09d" % i for i in range(n_convs)], dtype=object)[conv]
+    conv_id = pd.array(["c%09d" % i for i in range(lo, hi)], dtype=object)[conv - lo]
     ts = (
         np.datetime64("2024-01-01T00:00:00", "us")
         + conv.astype("timedelta64[s]") * 300
@@ -242,16 +249,35 @@ def entities_path() -> str:
     return os.path.join(DATA_ROOT, "entities", "entities.parquet")
 
 
+CHUNK_TURNS = 2_000_000  # per part file; bounds generator memory at any sf
+
+
 def ensure_transcripts(sf_dir_or_sf: str | float) -> str:
     """Idempotently materialize the transcript corpus for a scale factor;
-    returns the parquet path (readable by both Spark and DuckDB)."""
+    returns the parquet directory (readable by both Spark and DuckDB).
+
+    Written in conversation-range chunks (pure functions of the global
+    conv index → byte-identical under any chunking), multiple part files
+    + small row groups so the Spark scan gets enough input splits."""
     sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else sf_from_dir(sf_dir_or_sf)
     path = transcripts_path(sf)
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        df = generate_transcripts(int(TURNS_PER_SF * sf))
-        tmp = path + ".tmp"
-        df.to_parquet(tmp, index=False)
+        n_convs = max(1, int(int(TURNS_PER_SF * sf) / MEAN_TURNS_PER_CONV))
+        nblocks = conv_block_counts(n_convs)
+        cum = np.cumsum(nblocks * 4)
+        tmp = path + ".tmpdir"
+        os.makedirs(tmp, exist_ok=True)
+        lo, part = 0, 0
+        while lo < n_convs:
+            done = int(cum[lo - 1]) if lo else 0
+            hi = int(np.searchsorted(cum, done + CHUNK_TURNS)) + 1
+            hi = min(max(hi, lo + 1), n_convs)
+            df = _generate_conv_range(lo, hi, nblocks[lo:hi])
+            df.to_parquet(
+                f"{tmp}/part-{part:05d}.parquet", index=False, row_group_size=32768
+            )
+            lo, part = hi, part + 1
         os.replace(tmp, path)
     return path
 

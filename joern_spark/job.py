@@ -88,8 +88,9 @@ def run_job(
     global_fp = "|".join(f"{b}:{fps[b]}" for b in sorted(fps))
 
     def compute_cmap():
-        raw = triples_raw.drop(BUCKET_COL)
-        return canonicalize.connected_components(canonicalize.same_as_edges(raw))
+        return canonicalize.connected_components(
+            canonicalize.same_as_pairs(t.drop(BUCKET_COL))
+        )
 
     cmap = runner.run_global_stage("s4_canonical_map", compute_cmap, global_fp)
 

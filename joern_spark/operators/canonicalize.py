@@ -26,9 +26,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from joern_spark.operators.extract import normalize_surface_col
+from joern_spark.operators.extract import RULES_BY_NAME, normalize_surface_col
 
 MAX_ITERATIONS = 20
+
+# Distinct SAME_AS pairs are bounded by the alias vocabulary (not the
+# corpus): collapsing 10^12 turns still yields ~|aliases|^2 pairs at most.
+# Below this count the component solve runs driver-side (one collect +
+# union-find) instead of O(diameter) shuffle rounds — the same "memoize the
+# closure once" trade DynamicCallLinker makes with its subclass cache
+# (DynamicCallLinker.scala:31-33,94-111).
+SMALL_COMPONENT_THRESHOLD = 100_000
 
 
 def same_as_edges(triples_raw: DataFrame) -> DataFrame:
@@ -43,12 +51,61 @@ def same_as_edges(triples_raw: DataFrame) -> DataFrame:
     )
 
 
+def same_as_pairs(transcripts: DataFrame) -> DataFrame:
+    """Fast path: distinct alias-key pairs straight from the transcript
+    scan. Alias turns are a tiny selective slice (predicate applies at the
+    scan, before any triple assembly), so this costs one cheap pass instead
+    of re-running the full multi-rule extractor — same result as
+    `same_as_edges(extract_triples_raw(t))`."""
+    rule = RULES_BY_NAME["alias"]
+    m = transcripts.where(
+        (F.col("role") == rule.role) & F.col("text").rlike(rule.pattern)
+    )
+    return m.select(
+        normalize_surface_col(F.regexp_extract("text", rule.pattern, 1)).alias("a"),
+        normalize_surface_col(F.regexp_extract("text", rule.pattern, 2)).alias("b"),
+    ).dropDuplicates()
+
+
+def _union_find_local(edges: list[tuple[str, str]], spark) -> DataFrame:
+    """Driver-side union-find for the small-pair-set fast path; canon =
+    lexicographic min of the component (identical to the distributed loop)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[str, list[str]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    rows = [
+        (n, min(members)) for members in comps.values() for n in members
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "entity_key string, canon string"
+    )
+
+
 def connected_components(pairs: DataFrame) -> DataFrame:
     """canonical_map(entity_key, canon) for every key in `pairs`;
     canon = min key of the connected component. Nodes not in any pair are
     absent (identity mapping is applied by the caller via coalesce)."""
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.dropDuplicates().localCheckpoint(eager=True)
+    sym = sym.dropDuplicates().persist()
+    if sym.count() <= SMALL_COMPONENT_THRESHOLD:
+        edges = [(r["a"], r["b"]) for r in sym.collect()]
+        sym.unpersist()
+        return _union_find_local(edges, pairs.sparkSession)
+    sym = sym.localCheckpoint(eager=True)
     # label(n) starts as min(n, min neighbor) and contracts each round
     labels = (
         sym.groupBy("a")

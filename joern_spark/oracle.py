@@ -17,7 +17,8 @@ from joern_spark.operators.extract import RULES, Piece
 
 
 def t_src(sf: float) -> str:
-    return f"read_parquet('{transcripts_path(sf)}')"
+    # transcripts_path is a directory of part files (generator chunking)
+    return f"read_parquet('{transcripts_path(sf)}/*.parquet')"
 
 
 def e_src() -> str:

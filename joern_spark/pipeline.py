@@ -51,7 +51,7 @@ def build_graph(transcripts: DataFrame, entities: DataFrame) -> GraphResult:
     linked = link.link_mentions(mentions, entities)
     entities_all = link.all_entities(mentions, entities)
 
-    pairs = canonicalize.same_as_edges(triples_raw)
+    pairs = canonicalize.same_as_pairs(transcripts)
     cmap = canonicalize.connected_components(pairs)
     triples_static = canonicalize.canonicalize_triples(triples_raw, cmap)
     triples_dyn = canonicalize.canonicalize_triples(

@@ -61,7 +61,7 @@ def q_stub_entities(spark, sf_dir):
 
 
 def q_canonical_map(spark, sf_dir):
-    pairs = canonicalize.same_as_edges(extract_triples_raw(_t(spark, sf_dir)))
+    pairs = canonicalize.same_as_pairs(_t(spark, sf_dir))
     return canonicalize.connected_components(pairs)
 
 
@@ -71,8 +71,8 @@ def q_rebind_current_db(spark, sf_dir):
 
 def q_triples_final(spark, sf_dir):
     t = _t(spark, sf_dir)
+    cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
     raw = extract_triples_raw(t)
-    cmap = canonicalize.connected_components(canonicalize.same_as_edges(raw))
     static = canonicalize.canonicalize_triples(raw, cmap)
     dyn = canonicalize.canonicalize_triples(rebind.dbcur_triples(t), cmap)
     return materialize.dedup_triples(static.unionByName(dyn))

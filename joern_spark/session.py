@@ -16,6 +16,9 @@ import os
 from pyspark.sql import SparkSession
 
 
+_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -43,7 +46,18 @@ def get_spark(
         # Non-ANSI so integer hash arithmetic wraps instead of erroring;
         # all our hashes stay in [0, 2^61) anyway.
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM.
+        # Fixed-size, pre-touched heap with a non-concurrent GC: G1's heap
+        # grow/shrink (uncommit) churn causes munmap/madvise TLB-shootdown
+        # IPI storms that burn 80%+ of 32 vCPUs in *kernel* time on
+        # virtualized hosts (measured here: identical 14M-turn extraction
+        # jobs swinging 1.5s ↔ 75s). -Xms=-Xmx + AlwaysPreTouch +
+        # ParallelGC pins the mapping once and makes runtimes flat.
+        .config("spark.driver.memory", _DRIVER_MEM)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_DRIVER_MEM} -XX:+UseParallelGC -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -1,0 +1,65 @@
+"""Incremental transcript ingestion via Structured Streaming.
+
+The reference is batch-only (no watermarks/streaming anywhere — SURVEY.md
+§1.4), but a production transcript firehose arrives continuously. The
+extraction stage (S2) is per-turn stateless, so it streams unchanged:
+`readStream` over the landing directory → the SAME extract_* plans used
+in batch → append sink with checkpointing (exactly-once per epoch via
+the file-source offset log + sink commit log).
+
+Conversation-level stages (window assembly, rebind resolution,
+canonicalization) need cross-turn state; they run as periodic batch
+compaction over the streamed raw tables — the classic lambda-free
+"stream the cheap 95%, batch the stateful 5%" split. `run_increment`
+uses Trigger.AvailableNow so each invocation drains exactly the new
+files then stops — the pattern for cron-scheduled incremental jobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from joern_spark import schemas as S
+from joern_spark.operators.extract import extract_triples_raw
+
+
+def read_transcript_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(S.TRANSCRIPT_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+def run_increment(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain all currently-available new transcript files through triple
+    extraction into the raw-triples table, exactly once, then stop.
+    Re-invoking after new files land processes only the delta (the
+    file-source offset log under checkpoint_dir is the resume manifest)."""
+    stream = read_transcript_stream(spark, landing_dir)
+    triples = extract_triples_raw(stream)
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streamed_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    if not os.path.isdir(out_dir):
+        raise FileNotFoundError(out_dir)
+    return spark.read.schema(
+        "subj string, pred string, obj string, conv_id string, turn_idx int"
+    ).parquet(out_dir)

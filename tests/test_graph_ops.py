@@ -95,3 +95,19 @@ def test_linking_hit_miss(spark, make_transcripts, entities):
     assert ents.filter((F.col("entity_key") == "atlantis") & F.col("is_external")).count() == 1
     # vocabulary rows keep is_external=false
     assert ents.filter((F.col("entity_key") == "paris") & ~F.col("is_external")).count() == 1
+
+
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """Driver-side union-find (small fast path) and the distributed
+    min-label loop must produce identical components."""
+    from joern_spark.operators import canonicalize as C
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q"), ("y", "z")],
+        "a string, b string",
+    )
+    fast = {(r.entity_key, r.canon) for r in C.connected_components(pairs).collect()}
+    monkeypatch.setattr(C, "SMALL_COMPONENT_THRESHOLD", 0)
+    slow = {(r.entity_key, r.canon) for r in C.connected_components(pairs).collect()}
+    assert fast == slow
+    assert ("c", "a") in fast and ("z", "x") in fast

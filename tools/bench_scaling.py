@@ -1,0 +1,108 @@
+"""Two-parallelism scaling bench (north-rule evidence).
+
+The rule requires throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so per the driver
+instructions we run the IDENTICAL job at two local parallelism levels
+(local[8] vs local[32]) on the same input and report throughput at both
+plus efficiency = (thr_4N / thr_N) / 4.
+
+Each level runs in its own subprocess (own JVM — `local[n]` is fixed at
+session creation). Every timed path is warmed once (JIT + codegen + page
+cache) and measured as best-of-2, so neither level pays one-time costs.
+
+Modes:
+  extract — the headline turns/sec triple-extraction metric (extract and
+            extract+link paths); run at the largest corpus (sf10).
+  full    — the end-to-end flagship path (extract → link → rebind →
+            canonicalize → dedup); run at sf3 (3 timed full runs per
+            level fit the sandbox timeout).
+
+Usage: python tools/bench_scaling.py [sf] [n_small] [n_large] [mode]
+Writes bench_scaling_<mode>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores, sf, mode = int(sys.argv[1]), float(sys.argv[2]), sys.argv[3]
+from joern_spark import generator as G
+from joern_spark.session import get_spark
+from joern_spark.queries import q_triples_final, q_triples_raw, q_linked_mentions
+
+G.ensure_entities(); G.ensure_transcripts(sf)
+spark = get_spark(app_name=f"scale_{cores}", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = f"sf{sf:g}"
+n_turns = spark.read.parquet(G.transcripts_path(sf)).count()
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+def best2(fn):
+    noop(fn(spark, sf_dir))  # warm-up: JIT, codegen, parquet footers
+    ts = []
+    for _ in range(2):
+        t0 = time.time(); noop(fn(spark, sf_dir)); ts.append(time.time() - t0)
+    return min(ts)
+
+out = {"cores": cores, "sf": sf, "n_turns": n_turns, "mode": mode}
+if mode == "extract":
+    e = best2(q_triples_raw)
+    l = best2(q_linked_mentions)
+    out |= {"extract_s": round(e, 3), "link_s": round(l, 3),
+            "extract_turns_per_sec": round(n_turns / e, 1),
+            "link_turns_per_sec": round(n_turns / l, 1)}
+else:
+    f = best2(q_triples_final)
+    out |= {"full_s": round(f, 3), "full_turns_per_sec": round(n_turns / f, 1)}
+print(json.dumps(out))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf: float, mode: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), str(sf), mode],
+        capture_output=True,
+        text=True,
+        env=dict(os.environ),
+        check=False,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker cores={cores} failed:\n{out.stderr[-2000:]}")
+
+
+def main() -> dict:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    mode = sys.argv[4] if len(sys.argv) > 4 else "extract"
+    small = run_level(n_small, sf, mode)
+    large = run_level(n_large, sf, mode)
+    ratio = n_large / n_small
+    result = {"sf": sf, "n_turns": large["n_turns"], "mode": mode,
+              "levels": {str(n_small): small, str(n_large): large}}
+    for key in ("extract", "link", "full"):
+        tk = f"{key}_turns_per_sec"
+        if tk in small:
+            result[f"{key}_speedup"] = round(large[tk] / small[tk], 3)
+            result[f"{key}_scaling_efficiency"] = round(
+                large[tk] / small[tk] / ratio, 3
+            )
+    print(json.dumps(result))
+    with open(f"/root/repo/bench_scaling_{mode}.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

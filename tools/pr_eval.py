@@ -1,0 +1,66 @@
+"""Triple precision/recall harness (north-rule gate: P/R ≥ 0.95).
+
+The reference extractor's emitted (subj, pred, obj) set is modeled by the
+independent DuckDB oracle implementation (joern_spark.oracle.triples_final_sql
+— same rule table, separate engine + separate code path, mirroring the
+reference's querydb codeExamples regression corpus, SURVEY.md §5.3).
+
+We compare the Spark pipeline's canonical triple set against it at sf0.01:
+  precision = |spark ∩ oracle| / |spark|
+  recall    = |spark ∩ oracle| / |oracle|
+
+Usage: python tools/pr_eval.py [sf]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> dict:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.01
+
+    from joern_spark import generator as G
+    from joern_spark import oracle as O
+    from joern_spark.queries import q_triples_final
+    from joern_spark.session import get_spark
+
+    G.ensure_entities()
+    G.ensure_transcripts(sf)
+
+    spark = get_spark(app_name="pr_eval", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark_set = {
+        (r.subj, r.pred, r.obj)
+        for r in q_triples_final(spark, f"sf{sf:g}").select("subj", "pred", "obj").collect()
+    }
+    con = duckdb.connect()
+    oracle_set = {
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            f"SELECT subj, pred, obj FROM ({O.triples_final_sql(sf)})"
+        ).fetchall()
+    }
+    inter = spark_set & oracle_set
+    result = {
+        "sf": sf,
+        "spark_triples": len(spark_set),
+        "oracle_triples": len(oracle_set),
+        "precision": round(len(inter) / len(spark_set), 6) if spark_set else 0.0,
+        "recall": round(len(inter) / len(oracle_set), 6) if oracle_set else 0.0,
+        "spark_only_sample": sorted(spark_set - oracle_set)[:5],
+        "oracle_only_sample": sorted(oracle_set - spark_set)[:5],
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    r = main()
+    sys.exit(0 if r["precision"] >= 0.95 and r["recall"] >= 0.95 else 1)
