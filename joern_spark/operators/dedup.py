@@ -100,16 +100,31 @@ def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold, blocked by shared shingle
-    (a pair is compared iff it shares ≥1 shingle — exact, not approximate)."""
+    (a pair is compared iff it shares ≥1 shingle — exact, not approximate).
+
+    One self-join: |A∩B| falls straight out of groupBy(a, b).count() over
+    the shingle-equality join (each shared shingle contributes exactly one
+    row because shingle sets are distinct per doc) — no candidate
+    materialization + re-join pass."""
     sh = shingles(documents)
-    cand = (
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
         sh.alias("x")
         .join(sh.alias("y"), "shingle")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _verify_pairs(sh, cand, threshold)
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            _jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:

@@ -117,10 +117,28 @@ RULES: list[Rule] = [
 RULES_BY_NAME = {r.name: r for r in RULES}
 
 
+def _literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of an anchored regex (stops at the first
+    metacharacter) — a cheap dispatch gate evaluated before the regex."""
+    assert pattern.startswith("^")
+    out = []
+    for ch in pattern[1:]:
+        if ch in r"\^$.|?*+()[]{":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def _match_cond(rule: Rule) -> Column:
+    """role equality, then a literal-prefix startswith, then the full
+    anchored regex. The prefix gate means each row runs ~one regex instead
+    of one per rule — regex evaluation dominates the scan at scale."""
     cond = F.col("text").rlike(rule.pattern)
+    prefix = _literal_prefix(rule.pattern)
+    if prefix:
+        cond = F.col("text").startswith(prefix) & cond
     if rule.role:
-        cond = cond & (F.col("role") == rule.role)
+        cond = (F.col("role") == rule.role) & cond
     return cond
 
 

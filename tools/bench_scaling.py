@@ -55,9 +55,11 @@ def best2(fn):
 out = {"cores": cores, "sf": sf, "n_turns": n_turns, "mode": mode}
 if mode == "extract":
     e = best2(q_triples_raw)
+    out |= {"extract_s": round(e, 3),
+            "extract_turns_per_sec": round(n_turns / e, 1)}
+elif mode == "link":
     l = best2(q_linked_mentions)
-    out |= {"extract_s": round(e, 3), "link_s": round(l, 3),
-            "extract_turns_per_sec": round(n_turns / e, 1),
+    out |= {"link_s": round(l, 3),
             "link_turns_per_sec": round(n_turns / l, 1)}
 else:
     f = best2(q_triples_final)
