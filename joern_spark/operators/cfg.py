@@ -115,9 +115,34 @@ def immediate_dominators(transcripts: DataFrame) -> DataFrame:
             F.col("next_idx").alias("dst_idx"),
         )
     )
+    return _run_idom(edges)
+
+
+def post_dominators(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, pdom_idx): immediate post-dominators — CHK on
+    the REVERSED edge set (CfgDominatorPass.scala:51 builds the postdom
+    tree the same way). For linear chains pdom = next turn."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = (
+        transcripts.select(
+            "conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx")
+        )
+        .where(F.col("next_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("next_idx").alias("src_idx"),  # reversed
+            F.col("turn_idx").alias("dst_idx"),
+        )
+    )
+    return _run_idom(edges).withColumnRenamed("idom_idx", "pdom_idx")
+
+
+def _run_idom(edges: DataFrame) -> DataFrame:
     # parts = buckets of conversations, not single conversations: one
     # Arrow batch carries ~|convs|/256 groups, so per-group scheduling
-    # cost amortizes (measured 65s → ~5s at sf0.01)
+    # cost amortizes (measured 65s → ~17s at sf0.01)
     bucketed = edges.withColumn(
         "_b", F.pmod(F.xxhash64("conv_id"), F.lit(256)).cast("int")
     )

@@ -238,6 +238,26 @@ FROM t QUALIFY idom_idx IS NOT NULL
 """
 
 
+def postdom_sql(sf: float) -> str:
+    """Linear-chain closed form: pdom = next turn."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id, turn_idx,
+       lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pdom_idx
+FROM t QUALIFY pdom_idx IS NOT NULL
+"""
+
+
+def reach_k_sql(sf: float, k: int = 5) -> str:
+    """Bounded-emit expansion from turn 0 over linear chains = turns with
+    index ≤ k (roots included by the emit policy)."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
+FROM t WHERE turn_idx <= {k}
+"""
+
+
 def entity_degree_sql(sf: float) -> str:
     key = NORM.format(x="surface")
     return f"""

@@ -103,6 +103,24 @@ def q_idom(spark, sf_dir):
     return cfg.immediate_dominators(_t(spark, sf_dir))
 
 
+def q_postdom(spark, sf_dir):
+    """Immediate post-dominators (CHK on reversed edges)."""
+    return cfg.post_dominators(_t(spark, sf_dir))
+
+
+def q_reach_k(spark, sf_dir):
+    """repeat(cfgNext)(_.emit.maxDepth(5)) from every conversation's first
+    turn — the bounded transitive-expansion step over the edge table."""
+    from joern_spark.functions.graph import expand
+
+    t = _t(spark, sf_dir)
+    edges = assemble.next_turn_edges(t).select("src", "dst")
+    roots = t.where(F.col("turn_idx") == 0).select(
+        F.concat("conv_id", F.lit(":"), F.col("turn_idx").cast("string")).alias("id")
+    )
+    return expand(roots, edges, max_depth=5, emit=True)
+
+
 def q_entity_degree(spark, sf_dir):
     """Mention count per entity key — salted two-stage aggregation
     (hub-entity skew defense); result identical to a plain groupBy."""
@@ -198,6 +216,8 @@ TPG_QUERIES = {
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
+    "tpg_postdom": q_postdom,
+    "tpg_reach_k": q_reach_k,
     "tpg_entity_degree": q_entity_degree,
     "tpg_findings": q_findings,
     "tpg_tool_pairs": q_tool_pairs,
