@@ -1,0 +1,73 @@
+"""SQL console surface — the interactive-query analog.
+
+The reference's console compiles user queries as Scala over the traversal
+DSL (console/.../BridgeBase.scala:207-308; starters generated per node
+label, semanticcpg/.../NodeTypeStarters.scala:14-92). Spark already has
+the compiler the reference lacks (Catalyst), so the console surface here
+is: register every graph layer as a temp view, then `spark.sql(...)`.
+`cpg.method` → `SELECT * FROM turns`, `cpg.call.name("x")` →
+`WHERE text rlike 'x'`, edge-layer filters → `WHERE label = '...'`.
+
+`register_views` + `sql` make the whole property graph queryable by any
+SQL client; canned starter queries mirror the DSL's curated starters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from joern_spark.pipeline import GraphResult
+
+VIEWS = (
+    "transcripts",
+    "turns",
+    "conversations",
+    "next_turn",
+    "contains",
+    "mentions",
+    "triples_raw",
+    "linked",
+    "entities_all",
+    "canonical_map",
+    "triples",
+    "triples_final",
+    "edges",
+)
+
+
+def register_views(g: GraphResult, prefix: str = "tpg_") -> list[str]:
+    """Register every layer of the graph as `{prefix}{name}` temp views."""
+    names = []
+    for name in VIEWS:
+        df: DataFrame = getattr(g, name)
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names
+
+
+# Curated starters (NodeTypeStarters analog): name → SQL over the views.
+STARTERS: dict[str, str] = {
+    # cpg.method / cpg.file
+    "conversations": "SELECT * FROM tpg_conversations",
+    # cpg.call.nameExact(x) — call sites for one tool
+    "calls_of_tool": (
+        "SELECT t.conv_id, t.turn_idx, t.text FROM tpg_turns t "
+        "WHERE t.tool = '{tool}' AND t.role = 'assistant'"
+    ),
+    # cpg.identifier → mention surfaces
+    "mentions_of_kind": "SELECT * FROM tpg_mentions WHERE kind = '{kind}'",
+    # x.callee / call-graph step over LINKS_TO
+    "entities_of_conversation": (
+        "SELECT DISTINCT e.dst AS entity_key FROM tpg_edges e "
+        "WHERE e.label = 'LINKS_TO' AND e.src LIKE '{conv_id}:%'"
+    ),
+    # dataflow result: canonical facts about one entity
+    "facts_about": (
+        "SELECT * FROM tpg_triples_final WHERE subj = '{key}' OR obj = '{key}'"
+    ),
+}
+
+
+def sql(spark: SparkSession, starter: str, **params: str) -> DataFrame:
+    return spark.sql(STARTERS[starter].format(**params))

@@ -1,0 +1,62 @@
+"""Graph export — the JoernExport analog.
+
+The reference exports the CPG to neo4j-admin CSV, graphml, graphson and
+dot (joern-cli/src/main/scala/io/joern/joerncli/JoernExport.scala:97-119).
+Here the graph already lives in columnar tables, so export = projection +
+write in the target naming convention. Neo4j bulk-import CSV is the
+scale-relevant target (headers + :ID/:START_ID/:END_ID/:LABEL/:TYPE
+columns); parquet is the native interchange (materialize.write_graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from joern_spark.pipeline import GraphResult
+
+
+def export_neo4j_csv(g: GraphResult, out_dir: str) -> dict[str, int]:
+    """Write neo4j-admin bulk-import CSVs; returns row counts per file set.
+
+    Distributed-safe: each table writes as a directory of CSV parts with
+    a single header line per part (neo4j-admin accepts multiple files per
+    group); no driver-side collect."""
+    counts = {}
+
+    conv_nodes = g.conversations.select(
+        F.col("id").alias("id:ID"),
+        F.lit("CONVERSATION").alias(":LABEL"),
+        F.col("n_turns").alias("n_turns:int"),
+        F.col("n_tool_turns").alias("n_tool_turns:int"),
+    )
+    turn_nodes = g.turns.select(
+        F.col("id").alias("id:ID"),
+        F.lit("TURN").alias(":LABEL"),
+        "role",
+        "text",
+        F.col("turn_idx").alias("turn_idx:int"),
+    )
+    entity_nodes = g.entities_all.select(
+        F.col("entity_key").alias("id:ID"),
+        F.lit("ENTITY").alias(":LABEL"),
+        "name",
+        "kind",
+        F.col("is_external").cast("string").alias("is_external:boolean"),
+    )
+    rels = g.edges.select(
+        F.col("src").alias(":START_ID"),
+        F.col("dst").alias(":END_ID"),
+        F.col("label").alias(":TYPE"),
+        "property",
+    )
+    for name, df in (
+        ("nodes_conversation", conv_nodes),
+        ("nodes_turn", turn_nodes),
+        ("nodes_entity", entity_nodes),
+        ("relationships", rels),
+    ):
+        df.write.mode("overwrite").option("header", True).option(
+            "escape", '"'
+        ).csv(f"{out_dir}/{name}")
+        counts[name] = df.count()
+    return counts

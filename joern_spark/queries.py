@@ -183,7 +183,7 @@ def q_dd_simhash_pairs(spark, sf_dir):
 
 
 def q_sim_topk(spark, sf_dir):
-    return similarity.cosine_topk_bruteforce(read_embeddings(spark, sf_dir))
+    return similarity.cosine_topk_matmul(read_embeddings(spark, sf_dir))
 
 
 def q_sim_topk_lsh(spark, sf_dir):

@@ -1,0 +1,34 @@
+"""SQL console views/starters and neo4j CSV export."""
+
+from __future__ import annotations
+
+from joern_spark import console
+from joern_spark.operators.export import export_neo4j_csv
+from joern_spark.pipeline import build_graph
+
+
+def test_console_and_export(spark, make_transcripts, entities, tmp_path):
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Please check the weather in Paris.", None),
+            ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+            ("c1", 2, "tool", "Paris: 12C, sunny.", "weather_api"),
+            ("c1", 3, "assistant", "It is 12C and sunny in Paris.", None),
+        ]
+    )
+    g = build_graph(t, entities)
+    views = console.register_views(g)
+    assert "tpg_turns" in views
+    assert spark.sql("SELECT count(*) n FROM tpg_turns").first().n == 4
+    calls = console.sql(spark, "calls_of_tool", tool="weather_api").collect()
+    assert len(calls) == 1 and calls[0].turn_idx == 1  # assistant call turn
+    facts = console.sql(spark, "facts_about", key="paris").collect()
+    preds = {r.pred for r in facts}
+    assert {"has_temperature", "has_condition"} <= preds
+
+    counts = export_neo4j_csv(g, str(tmp_path / "neo"))
+    assert counts["nodes_turn"] == 4
+    assert counts["nodes_conversation"] == 1
+    assert counts["relationships"] == g.edges.count()
+    header = open(next((tmp_path / "neo" / "relationships").glob("part-*.csv"))).readline()
+    assert header.strip().split(",")[:3] == [":START_ID", ":END_ID", ":TYPE"]

@@ -148,3 +148,10 @@ def test_multimodal_plumbing(docs):
     # 43 bytes → 3 frames (16B) → keep frame_idx 0 and 2
     assert sorted(r.frame_idx for r in f0) == [0, 2]
     assert bytes(f0[0].frame) == raw[:16]
+
+
+def test_matmul_topk_equals_zipwith(embs):
+    df, _ = embs
+    a = {(r.src, r.dst, r.rank) for r in similarity.cosine_topk_bruteforce(df, k=3).collect()}
+    b = {(r.src, r.dst, r.rank) for r in similarity.cosine_topk_matmul(df, k=3).collect()}
+    assert a == b
