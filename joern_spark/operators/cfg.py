@@ -139,6 +139,77 @@ def post_dominators(transcripts: DataFrame) -> DataFrame:
     return _run_idom(edges).withColumnRenamed("idom_idx", "pdom_idx")
 
 
+def _cdg_group(pdf):
+    """Control-dependence edges for one conversation via the
+    post-dominance frontier (CdgPass.scala:22-62 over
+    CfgDominatorFrontier.scala:1-38): b is control-dependent on a iff
+    a ∈ frontier(b) in the reversed graph. Linear chains yield no edges
+    (every node post-dominates its predecessors) — branching DAGs do."""
+    import pandas as pd  # noqa: PLC0415
+
+    conv_id = pdf["conv_id"].iloc[0]
+    # post-dominator tree = dominator tree of the reversed graph
+    rev = pdf.assign(src_idx=pdf["dst_idx"], dst_idx=pdf["src_idx"])
+    pdom = {
+        int(r.turn_idx): int(r.idom_idx) for r in _idom_group(rev).itertuples()
+    }
+    # preds in the REVERSED graph = successors in the original graph
+    preds_r: dict[int, list[int]] = {}
+    for s, d in zip(pdf["src_idx"], pdf["dst_idx"]):
+        preds_r.setdefault(int(s), []).append(int(d))
+    rows = []
+    # Cooper-style dominance frontier on the reversed graph: for each
+    # R-join node b, walk each R-pred up the pdom tree to pdom(b);
+    # b ∈ PDF(runner) ⇒ runner is control-dependent on b ⇒ edge b→runner
+    for b, ps in preds_r.items():
+        if len(ps) < 2:
+            continue
+        stop = pdom.get(b)
+        for p in ps:
+            runner = p
+            while runner is not None and runner != stop:
+                rows.append((conv_id, b, runner))
+                runner = pdom.get(runner)
+    out = pd.DataFrame(rows, columns=["conv_id", "src_idx", "dst_idx"])
+    return out.drop_duplicates()
+
+
+def cdg_edges(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, src_idx, dst_idx) control-dependence edges. Empty on
+    linear transcripts by construction; the kernel is exercised on
+    branching DAGs in tests."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = (
+        transcripts.select(
+            "conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx")
+        )
+        .where(F.col("next_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("src_idx"),
+            F.col("next_idx").alias("dst_idx"),
+        )
+        .withColumn("_b", F.pmod(F.xxhash64("conv_id"), F.lit(256)).cast("int"))
+    )
+    schema = "conv_id string, src_idx int, dst_idx int"
+
+    def batch(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        outs = [
+            _cdg_group(g) for _, g in pdf.drop(columns=["_b"]).groupby("conv_id", sort=False)
+        ]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=["conv_id", "src_idx", "dst_idx"])
+        )
+
+    return edges.groupBy("_b").applyInPandas(batch, schema)
+
+
 def _run_idom(edges: DataFrame) -> DataFrame:
     # parts = buckets of conversations, not single conversations: one
     # Arrow batch carries ~|convs|/256 groups, so per-group scheduling

@@ -248,6 +248,17 @@ FROM t QUALIFY pdom_idx IS NOT NULL
 """
 
 
+def cdg_sql(sf: float) -> str:
+    """Linear chains have an empty post-dominance frontier — zero CDG
+    edges, asserted literally."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS conv_id,
+       CAST(NULL AS INTEGER) AS src_idx,
+       CAST(NULL AS INTEGER) AS dst_idx
+WHERE FALSE
+"""
+
+
 def reach_k_sql(sf: float, k: int = 5) -> str:
     """Bounded-emit expansion from turn 0 over linear chains = turns with
     index ≤ k (roots included by the emit policy)."""

@@ -121,6 +121,13 @@ def q_reach_k(spark, sf_dir):
     return expand(roots, edges, max_depth=5, emit=True)
 
 
+def q_cdg(spark, sf_dir):
+    """Control-dependence edges (post-dominance frontier). Provably empty
+    on linear transcript chains — the oracle asserts exactly that; the
+    branching-DAG kernel is covered by unit tests."""
+    return cfg.cdg_edges(_t(spark, sf_dir))
+
+
 def q_entity_degree(spark, sf_dir):
     """Mention count per entity key — salted two-stage aggregation
     (hub-entity skew defense); result identical to a plain groupBy."""
@@ -217,6 +224,7 @@ TPG_QUERIES = {
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
     "tpg_postdom": q_postdom,
+    "tpg_cdg": q_cdg,
     "tpg_reach_k": q_reach_k,
     "tpg_entity_degree": q_entity_degree,
     "tpg_findings": q_findings,

@@ -73,3 +73,43 @@ def test_tool_cooccurrence(make_transcripts):
     )
     out = {(r.tool_a, r.tool_b): r.n_convs for r in scan.tool_cooccurrence(t).collect()}
     assert out == {("search_api", "weather_api"): 1}
+
+
+def test_cdg_diamond():
+    """0→1, 0→2, 1→3, 2→3: the branch arms (1, 2) are control-dependent
+    on the branch point 0; nothing else is."""
+    from joern_spark.operators.cfg import _cdg_group
+
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * 4, "src_idx": [0, 0, 1, 2], "dst_idx": [1, 2, 3, 3]}
+    )
+    edges = {(r.src_idx, r.dst_idx) for r in _cdg_group(pdf).itertuples()}
+    assert edges == {(0, 1), (0, 2)}
+
+
+def test_cdg_nested_branch():
+    """Nested diamond inside one arm: 0→(1|5); 1→(2|3)→4; 4→6, 5→6.
+    Arms of the inner branch depend on 1; 1/4/5 depend on 0."""
+    from joern_spark.operators.cfg import _cdg_group
+
+    e = [(0, 1), (0, 5), (1, 2), (1, 3), (2, 4), (3, 4), (4, 6), (5, 6)]
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * len(e), "src_idx": [a for a, _ in e], "dst_idx": [b for _, b in e]}
+    )
+    edges = {(r.src_idx, r.dst_idx) for r in _cdg_group(pdf).itertuples()}
+    assert edges == {(0, 1), (0, 4), (0, 5), (1, 2), (1, 3)}
+
+
+def test_cdg_linear_empty(make_transcripts):
+    from joern_spark.operators.cfg import cdg_edges
+
+    t = make_transcripts([("c1", i, "user", "x", None) for i in range(6)])
+    assert cdg_edges(t).count() == 0
+
+
+def test_postdom_linear(make_transcripts):
+    from joern_spark.operators.cfg import post_dominators
+
+    t = make_transcripts([("c1", i, "user", "x", None) for i in range(4)])
+    out = {r.turn_idx: r.pdom_idx for r in post_dominators(t).collect()}
+    assert out == {0: 1, 1: 2, 2: 3}
