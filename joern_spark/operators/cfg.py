@@ -191,7 +191,27 @@ def cdg_edges(transcripts: DataFrame) -> DataFrame:
             F.col("turn_idx").alias("src_idx"),
             F.col("next_idx").alias("dst_idx"),
         )
-        .withColumn("_b", F.pmod(F.xxhash64("conv_id"), F.lit(256)).cast("int"))
+    )
+    return cdg_from_edges(edges)
+
+
+def cdg_from_edges(edges: DataFrame) -> DataFrame:
+    """General entry: control-dependence over an arbitrary per-conversation
+    edge table (conv_id, src_idx, dst_idx) — DAGs included."""
+    # CDG edges require a branch node (out-degree ≥ 2): prune branchless
+    # conversations BEFORE the Python kernel — the frontier of a linear
+    # chain is provably empty, so the common shape costs one aggregation
+    # and zero Arrow traffic (the reference's early-exit discipline,
+    # DynamicCallLinker.scala:51-55, applied per part)
+    branching = (
+        edges.groupBy("conv_id", "src_idx")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > 1)
+        .select("conv_id")
+        .distinct()
+    )
+    edges = edges.join(branching, "conv_id", "left_semi").withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(256)).cast("int")
     )
     schema = "conv_id string, src_idx int, dst_idx int"
 

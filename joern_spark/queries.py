@@ -198,7 +198,7 @@ def q_sim_topk_lsh(spark, sf_dir):
 
 
 def q_dd_embed_cosine(spark, sf_dir):
-    return similarity.cosine_dup_pairs(read_embeddings(spark, sf_dir))
+    return similarity.cosine_dup_pairs_matmul(read_embeddings(spark, sf_dir))
 
 
 def q_mm_image_meta(spark, sf_dir):

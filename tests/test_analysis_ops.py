@@ -113,3 +113,15 @@ def test_postdom_linear(make_transcripts):
     t = make_transcripts([("c1", i, "user", "x", None) for i in range(4)])
     out = {r.turn_idx: r.pdom_idx for r in post_dominators(t).collect()}
     assert out == {0: 1, 1: 2, 2: 3}
+
+
+def test_cdg_from_edges_dag(spark):
+    """The distributed CDG path handles branching edge tables (semi-join
+    keeps the branching conversation, prunes the linear one)."""
+    from joern_spark.operators.cfg import cdg_from_edges
+
+    rows = [("br", 0, 1), ("br", 0, 2), ("br", 1, 3), ("br", 2, 3)]
+    rows += [("lin", i, i + 1) for i in range(4)]
+    e = spark.createDataFrame(rows, "conv_id string, src_idx int, dst_idx int")
+    out = {(r.conv_id, r.src_idx, r.dst_idx) for r in cdg_from_edges(e).collect()}
+    assert out == {("br", 0, 1), ("br", 0, 2)}

@@ -155,3 +155,10 @@ def test_matmul_topk_equals_zipwith(embs):
     a = {(r.src, r.dst, r.rank) for r in similarity.cosine_topk_bruteforce(df, k=3).collect()}
     b = {(r.src, r.dst, r.rank) for r in similarity.cosine_topk_matmul(df, k=3).collect()}
     assert a == b
+
+
+def test_matmul_dup_pairs_equals_zipwith(embs):
+    df, _ = embs
+    a = {(r.a, r.b) for r in similarity.cosine_dup_pairs(df, threshold=0.5).collect()}
+    b = {(r.a, r.b) for r in similarity.cosine_dup_pairs_matmul(df, threshold=0.5).collect()}
+    assert a == b and (0, 1) in a
