@@ -125,3 +125,18 @@ def test_cdg_from_edges_dag(spark):
     e = spark.createDataFrame(rows, "conv_id string, src_idx int, dst_idx int")
     out = {(r.conv_id, r.src_idx, r.dst_idx) for r in cdg_from_edges(e).collect()}
     assert out == {("br", 0, 1), ("br", 0, 2)}
+
+
+def test_idom_mixed_shapes(spark):
+    """Shape-split execution: chain conversations take the closed form,
+    branching ones the CHK kernel — one call, identical semantics."""
+    from joern_spark.operators.cfg import _run_idom
+
+    rows = [("br", 0, 1), ("br", 0, 2), ("br", 1, 3), ("br", 2, 3)]
+    rows += [("lin", i, i + 1) for i in range(3)]
+    e = spark.createDataFrame(rows, "conv_id string, src_idx int, dst_idx int")
+    out = {(r.conv_id, r.turn_idx): r.idom_idx for r in _run_idom(e).collect()}
+    assert out == {
+        ("br", 1): 0, ("br", 2): 0, ("br", 3): 0,
+        ("lin", 1): 0, ("lin", 2): 1, ("lin", 3): 2,
+    }
