@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) — the randomized layer the reference
+lacks (SURVEY.md §5 notes no property testing there; we add it for the
+algorithmic kernels where hand-picked fixtures are weakest)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from joern_spark.operators.canonicalize import _union_find_local
+from joern_spark.operators.cfg import _idom_group
+
+# --- random single-entry DAGs: CHK vs brute-force dominators -----------------
+
+
+@st.composite
+def single_entry_dag(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    edges = []
+    for j in range(1, n):
+        preds = draw(
+            st.sets(st.integers(0, j - 1), min_size=1, max_size=min(j, 3))
+        )
+        edges.extend((p, j) for p in sorted(preds))
+    return n, edges
+
+
+def _brute_dominators(n, edges, node):
+    """dom(node) = {d : removing d disconnects 0 → node}."""
+    succ = {}
+    for a, b in edges:
+        succ.setdefault(a, []).append(b)
+
+    def reachable(removed):
+        if removed == 0:
+            return set()
+        seen, stack = {0}, [0]
+        while stack:
+            x = stack.pop()
+            for y in succ.get(x, ()):
+                if y != removed and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    return {d for d in range(n) if d == node or node not in reachable(d)}
+
+
+@settings(max_examples=30, deadline=None)
+@given(single_entry_dag())
+def test_chk_idom_matches_brute_force(dag):
+    n, edges = dag
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(edges),
+            "src_idx": [a for a, _ in edges],
+            "dst_idx": [b for _, b in edges],
+        }
+    )
+    got = {r.turn_idx: r.idom_idx for r in _idom_group(pdf).itertuples()}
+    for node in range(1, n):
+        doms = _brute_dominators(n, edges, node) - {node}
+        # idom = the dominator dominated by every other dominator (chain max)
+        idom = max(doms, key=lambda d: len(_brute_dominators(n, edges, d)))
+        assert got[node] == idom, (edges, node, got, doms)
+
+
+# --- union-find: canon = component min ---------------------------------------
+
+
+class _FakeSpark:
+    def createDataFrame(self, rows, schema):
+        return rows  # the test only needs the row list
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).map(
+            lambda t: (f"k{t[0]}", f"k{t[1]}")
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_union_find_component_min(pairs):
+    rows = _union_find_local(pairs, _FakeSpark())
+    canon = dict(rows)
+    # brute-force components via BFS over the symmetric adjacency
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node in adj:
+        seen, stack = {node}, [node]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert canon[node] == min(seen)
+    assert set(canon) == set(adj)
