@@ -238,19 +238,18 @@ def _run_idom(edges: DataFrame) -> DataFrame:
     CHK kernel. Same split a production pass makes at 10^12 turns: the
     closed form costs one aggregation, the kernel runs on the rare
     general-DAG tail."""
-    in_deg = (
-        edges.groupBy("conv_id", "dst_idx")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .where(F.col("d") > 1)
+    # a repeated src endpoint = out-degree ≥ 2; repeated dst = join node.
+    # One aggregation (count > countDistinct) instead of two unioned ones.
+    nonlinear = (
+        edges.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("src_idx").alias("ns"),
+            F.countDistinct("dst_idx").alias("nd"),
+        )
+        .where((F.col("n") > F.col("ns")) | (F.col("n") > F.col("nd")))
         .select("conv_id")
     )
-    out_deg = (
-        edges.groupBy("conv_id", "src_idx")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .where(F.col("d") > 1)
-        .select("conv_id")
-    )
-    nonlinear = in_deg.union(out_deg).distinct()
 
     linear = edges.join(nonlinear, "conv_id", "left_anti").select(
         "conv_id",
