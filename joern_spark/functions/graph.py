@@ -61,19 +61,27 @@ def expand(
     max_depth: int = 10,
     emit: bool = True,
     id_col: str = "id",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """repeat(step)(_.emit.maxDepth(k)) — bounded transitive expansion with
-    accumulator union and frontier dedup; localCheckpoint every round keeps
-    the plan linear (SURVEY.md §7 hard-part (a))."""
+    accumulator union and frontier dedup. localCheckpoint keeps the plan
+    linear (SURVEY.md §7 hard-part (a)), but eagerly materializing every
+    round costs one blocking job each — so checkpoint (and probe the
+    empty-frontier early exit) every `checkpoint_every` rounds; in between,
+    lineage grows by only a join+union per round, which Catalyst handles
+    fine for single-digit depths."""
     seen = frontier.select(id_col).dropDuplicates().localCheckpoint(eager=True)
     cur = seen
     acc = seen if emit else None
-    for _ in range(max_depth):
+    for i in range(max_depth):
         nxt = step(cur, edges, id_col).join(seen, id_col, "left_anti")
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        seen = seen.union(nxt).localCheckpoint(eager=True)
+        if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            seen = seen.union(nxt).localCheckpoint(eager=True)
+        else:
+            seen = seen.union(nxt)
         acc = seen if emit else nxt
         cur = nxt
-    return acc if acc is not None else cur
+    return (acc if acc is not None else cur).dropDuplicates()
