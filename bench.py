@@ -44,13 +44,18 @@ def main() -> None:
     # warm the JVM + parquet footer caches once, outside timed sections
     n_turns = spark.read.parquet(G.transcripts_path(sf)).count()
 
-    times: dict[str, float] = {}
+    times: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, fn in TPG_QUERIES.items():
         t0 = time.time()
-        materialize(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        try:
+            materialize(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+            times[name] = None
+            errors[name] = str(e)[:200]
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(t for t in times.values() if t), 3)
     flagship = times.get("tpg_triples_final") or total
     print(
         json.dumps(
@@ -63,6 +68,7 @@ def main() -> None:
                 "n_turns": n_turns,
                 "cpus": cpus,
                 "turns_per_sec": round(n_turns / flagship, 1),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -32,11 +32,14 @@ DIM = 64
 COSINE_DUP_THRESHOLD = 0.45
 
 
-def hyperplanes(nplanes: int = NPLANES, dim: int = DIM) -> list[list[int]]:
+def hyperplanes(
+    nplanes: int = NPLANES, dim: int = DIM, offset: int = 0
+) -> list[list[int]]:
     """Deterministic integer hyperplanes in [-1000, 1000], derived from
-    md5 so the SQL oracle can embed the identical literals."""
+    md5 so the SQL oracle can embed the identical literals. `offset`
+    selects an independent table (plane indices offset..offset+nplanes)."""
     return [
-        [md5_long_py(f"plane:{p}:{d}") % 2001 - 1000 for d in range(dim)]
+        [md5_long_py(f"plane:{offset + p}:{d}") % 2001 - 1000 for d in range(dim)]
         for p in range(nplanes)
     ]
 
@@ -135,9 +138,11 @@ def cosine_topk_matmul(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def lsh_buckets(embeddings: DataFrame, nplanes: int = NPLANES) -> DataFrame:
+def lsh_buckets(
+    embeddings: DataFrame, nplanes: int = NPLANES, offset: int = 0
+) -> DataFrame:
     """Random-hyperplane bucket id per vector: bit p = sign(w_p · e)."""
-    planes = hyperplanes(nplanes)
+    planes = hyperplanes(nplanes, DIM, offset)
     bucket = None
     for p, w in enumerate(planes):
         dot = _dot(F.col("embedding"), F.array(*[F.lit(float(c)) for c in w]))
@@ -167,6 +172,52 @@ def cosine_topk_lsh(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     sims = (
         x.join(y, "bucket")
         .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    return _topk(sims, k)
+
+
+def cosine_topk_lsh_multi(
+    embeddings: DataFrame, k: int = TOP_K, n_tables: int = 2
+) -> DataFrame:
+    """Approximate top-k with N independent LSH tables: a pair is a
+    candidate if it shares a bucket in ANY table, so miss probability
+    drops multiplicatively (the standard LSH recall knob) while each
+    table's bucket join stays small. Exact cosine + ranking over the
+    unioned candidate set."""
+    n = _normed(embeddings)
+    cands = None
+    for t in range(n_tables):
+        b = lsh_buckets(embeddings, NPLANES, offset=t * NPLANES).select(
+            "vec_id", "bucket"
+        )
+        pairs = (
+            b.alias("x")
+            .join(b.alias("y"), "bucket")
+            .where(F.col("x.vec_id") != F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst")
+            )
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    x = n.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    y = n.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sims = (
+        cands.join(x, "src")
+        .join(y, "dst")
         .select(
             "src",
             "dst",

@@ -243,8 +243,8 @@ SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
 """
 
 
-def _bucket_expr(table_alias: str) -> str:
-    planes = hyperplanes(NPLANES, DIM)
+def _bucket_expr(table_alias: str, offset: int = 0) -> str:
+    planes = hyperplanes(NPLANES, DIM, offset)
     terms = []
     for p, w in enumerate(planes):
         lits = "[" + ", ".join(str(c) for c in w) + "]"
@@ -268,6 +268,38 @@ sims AS (
          {_DOT_XY} / (x.norm * y.norm) AS sim
   FROM bucketed x JOIN bucketed y USING (bucket)
   WHERE x.vec_id <> y.vec_id
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM sims
+)
+SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_topk_lsh_multi_sql(k: int = TOP_K, n_tables: int = 2) -> str:
+    buckets = ",\n".join(
+        f"b{t} AS (SELECT n.vec_id, {_bucket_expr('n', t * NPLANES)} AS bucket "
+        f"FROM normed n)"
+        for t in range(n_tables)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT x.vec_id AS src, y.vec_id AS dst FROM b{t} x "
+        f"JOIN b{t} y USING (bucket) WHERE x.vec_id <> y.vec_id"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH {_NORM},
+{buckets},
+cand AS ({cand_union}),
+sims AS (
+  SELECT c.src, c.dst,
+         list_sum([(x.embedding[i]::DOUBLE) * (y.embedding[i]::DOUBLE)
+                   FOR i IN range(1, {DIM + 1})]) / (x.norm * y.norm) AS sim
+  FROM cand c
+  JOIN normed x ON x.vec_id = c.src
+  JOIN normed y ON y.vec_id = c.dst
 ),
 ranked AS (
   SELECT src, dst, sim,

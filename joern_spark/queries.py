@@ -197,6 +197,10 @@ def q_sim_topk_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(read_embeddings(spark, sf_dir))
 
 
+def q_sim_topk_lsh_multi(spark, sf_dir):
+    return similarity.cosine_topk_lsh_multi(read_embeddings(spark, sf_dir))
+
+
 def q_dd_embed_cosine(spark, sf_dir):
     return similarity.cosine_dup_pairs_matmul(read_embeddings(spark, sf_dir))
 
@@ -240,6 +244,7 @@ TPG_QUERIES = {
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "sim_topk": q_sim_topk,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
     "dd_embed_cosine": q_dd_embed_cosine,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
