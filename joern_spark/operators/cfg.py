@@ -54,32 +54,44 @@ def _idom_group(pdf):
         nodes.add(d)
     entries = sorted(n for n in nodes if n not in preds)
 
-    # reverse post-order via iterative DFS from the entries
+    # Multi-root graphs would make the CHK intersect non-terminating (two
+    # walks reaching two distinct fixed points idom[e]=e never meet), so
+    # root every run at a single VIRTUAL entry with an edge to each real
+    # entry — the reference sidesteps this by only running on single-entry
+    # method CFGs; the virtual root generalizes it to arbitrary DAGs.
+    # Nodes whose idom resolves to the virtual root (join points of
+    # otherwise-disjoint roots) have no real immediate dominator and emit
+    # no row, exactly like the entries themselves.
+    virt = min(nodes) - 1
+    for e in entries:
+        preds[e] = [virt]
+
+    # reverse post-order via iterative DFS from the virtual root
     rpo: list[int] = []
-    succ: dict[int, list[int]] = {}
+    succ: dict[int, list[int]] = {virt: list(entries)}
     for s, d in zip(pdf["src_idx"], pdf["dst_idx"]):
         succ.setdefault(int(s), []).append(int(d))
-    seen: set[int] = set()
-    for root in entries:
-        stack = [(root, iter(succ.get(root, ())))]
-        seen.add(root)
-        while stack:
-            node, it = stack[-1]
-            nxt = next(it, None)
-            if nxt is None:
-                rpo.append(node)
-                stack.pop()
-            elif nxt not in seen:
-                seen.add(nxt)
-                stack.append((nxt, iter(succ.get(nxt, ()))))
+    seen: set[int] = {virt}
+    stack = [(virt, iter(succ[virt]))]
+    while stack:
+        node, it = stack[-1]
+        nxt = next(it, None)
+        if nxt is None:
+            rpo.append(node)
+            stack.pop()
+        elif nxt not in seen:
+            seen.add(nxt)
+            stack.append((nxt, iter(succ.get(nxt, ()))))
     rpo.reverse()
     order = {n: i for i, n in enumerate(rpo)}
 
-    idom: dict[int, int] = {e: e for e in entries}
+    idom: dict[int, int] = {virt: virt}
     changed = True
     while changed:  # CHK fixpoint (CfgDominator.scala:20-64)
         changed = False
         for n in rpo:
+            if n == virt:
+                continue
             ps = [p for p in preds.get(n, ()) if p in idom]
             if not ps:
                 continue
@@ -92,10 +104,14 @@ def _idom_group(pdf):
                     while order[b] > order[a]:
                         b = idom[b]
                 new = a
-            if idom.get(n) != new and n not in entries:
+            if idom.get(n) != new:
                 idom[n] = new
                 changed = True
-    rows = [(conv_id, n, idom[n]) for n in sorted(nodes) if n not in entries]
+    rows = [
+        (conv_id, n, idom[n])
+        for n in sorted(nodes)
+        if n not in entries and idom.get(n, virt) != virt
+    ]
     return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "idom_idx"])
 
 

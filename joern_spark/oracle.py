@@ -88,7 +88,7 @@ def conversations_sql(sf: float) -> str:
 WITH t AS (SELECT * FROM {t_src(sf)})
 SELECT conv_id,
        count(*) AS n_turns,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_tool_turns,
        epoch_us(min(ts)) AS started_us,
        epoch_us(max(ts)) AS ended_us
 FROM t GROUP BY conv_id

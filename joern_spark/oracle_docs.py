@@ -21,9 +21,13 @@ from joern_spark.operators.dedup import (
 from joern_spark.operators.similarity import (
     COSINE_DUP_THRESHOLD,
     DIM,
+    MULTI_NPLANES,
+    MULTI_PROBE_H,
+    MULTI_TABLES,
     NPLANES,
     TOP_K,
     hyperplanes,
+    probe_masks,
 )
 from joern_spark.operators.textstats import LANG_PROFILES, STOPWORDS
 
@@ -189,7 +193,7 @@ votes AS (
   FROM h32, generate_series(0, {SIMHASH_BITS - 1}) g(i) GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY 1
 """
 
@@ -243,8 +247,8 @@ SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
 """
 
 
-def _bucket_expr(table_alias: str, offset: int = 0) -> str:
-    planes = hyperplanes(NPLANES, DIM, offset)
+def _bucket_expr(table_alias: str, offset: int = 0, nplanes: int = NPLANES) -> str:
+    planes = hyperplanes(nplanes, DIM, offset)
     terms = []
     for p, w in enumerate(planes):
         lits = "[" + ", ".join(str(c) for c in w) + "]"
@@ -278,14 +282,20 @@ SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
 """
 
 
-def cosine_topk_lsh_multi_sql(k: int = TOP_K, n_tables: int = 2) -> str:
+def cosine_topk_lsh_multi_sql(k: int = TOP_K, n_tables: int = MULTI_TABLES) -> str:
+    masks = "[" + ", ".join(str(m) for m in probe_masks()) + "]"
     buckets = ",\n".join(
-        f"b{t} AS (SELECT n.vec_id, {_bucket_expr('n', t * NPLANES)} AS bucket "
-        f"FROM normed n)"
+        f"b{t} AS (SELECT n.vec_id,"
+        f" {_bucket_expr('n', t * MULTI_NPLANES, MULTI_NPLANES)} AS bucket"
+        f" FROM normed n)"
         for t in range(n_tables)
     )
+    # multiprobe mirror: x probes bucket^mask for every ≤MULTI_PROBE_H-bit
+    # mask, so a pair is a candidate iff its signatures differ in ≤H bits
     cand_union = "\nUNION\n".join(
-        f"SELECT x.vec_id AS src, y.vec_id AS dst FROM b{t} x "
+        f"SELECT x.vec_id AS src, y.vec_id AS dst FROM "
+        f"(SELECT vec_id, xor(bucket, m.mask) AS bucket FROM b{t},"
+        f" (SELECT unnest({masks}) AS mask) m) x "
         f"JOIN b{t} y USING (bucket) WHERE x.vec_id <> y.vec_id"
         for t in range(n_tables)
     )

@@ -36,8 +36,18 @@ def q_conversations(spark, sf_dir):
         "conv_id",
         "n_turns",
         "n_tool_turns",
-        F.unix_micros("started_at").alias("started_us"),
-        F.unix_micros("ended_at").alias("ended_us"),
+        # Pure NTZ arithmetic (micros since the naive epoch) — matches
+        # DuckDB's epoch_us() exactly and is invariant under the driver
+        # session's spark.sql.session.timeZone (unix_micros on an LTZ cast
+        # would not be).
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', started_at)"
+        ).alias("started_us"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ended_at)"
+        ).alias("ended_us"),
     )
 
 

@@ -24,7 +24,12 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("role", T.StringType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("tool", T.StringType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        # NTZ on purpose: the lake stores naive wall-clock micros (parquet
+        # isAdjustedToUTC=false). Reading as TIMESTAMP_NTZ makes every
+        # downstream epoch computation independent of the session timezone
+        # (an LTZ read shifts the stored value by the session offset, so the
+        # same query returns different micros under different driver TZs).
+        T.StructField("ts", T.TimestampNTZType(), True),
     ]
 )
 

@@ -162,3 +162,36 @@ def test_matmul_dup_pairs_equals_zipwith(embs):
     a = {(r.a, r.b) for r in similarity.cosine_dup_pairs(df, threshold=0.5).collect()}
     b = {(r.a, r.b) for r in similarity.cosine_dup_pairs_matmul(df, threshold=0.5).collect()}
     assert a == b and (0, 1) in a
+
+
+def test_matmul_topk_multiblock(embs):
+    """block_rows=6 forces 4 blocks → the tile/cogroup path (partial
+    per-tile top-k + global window) must still be exactly the brute-force
+    answer, including cross-block neighbors."""
+    df, _ = embs
+    a = {(r.src, r.dst, r.rank) for r in similarity.cosine_topk_bruteforce(df, k=3).collect()}
+    b = {(r.src, r.dst, r.rank) for r in similarity.cosine_topk_matmul(df, k=3, block_rows=6).collect()}
+    assert a == b
+
+
+def test_matmul_dup_pairs_multiblock(embs):
+    """Triangular block grid: every unordered pair must be emitted exactly
+    once regardless of which blocks its endpoints hash into."""
+    df, _ = embs
+    a = sorted((r.a, r.b) for r in similarity.cosine_dup_pairs(df, threshold=0.3).collect())
+    b = sorted((r.a, r.b) for r in similarity.cosine_dup_pairs_matmul(df, threshold=0.3, block_rows=6).collect())
+    assert a == b
+
+
+def test_lsh_multi_recall_gate(spark):
+    """ANN usability gate (VERDICT r1 #3): multiprobe multi-table LSH must
+    recover ≥ 0.8 of the true brute-force top-k pairs on the real test
+    embeddings — an approximate index with 0.15 recall is not a similarity
+    search."""
+    from joern_spark.sources.testdata import read_embeddings
+
+    df = read_embeddings(spark, "/root/testdata/sf0.01")
+    brute = {(r.src, r.dst) for r in similarity.cosine_topk_matmul(df).collect()}
+    approx = {(r.src, r.dst) for r in similarity.cosine_topk_lsh_multi(df).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.8, recall

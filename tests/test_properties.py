@@ -66,6 +66,103 @@ def test_chk_idom_matches_brute_force(dag):
         assert got[node] == idom, (edges, node, got, doms)
 
 
+# --- multi-root DAGs (ADVICE regression: CHK used to hang on these) ----------
+
+
+@st.composite
+def multi_root_dag(draw):
+    """DAG over nodes 0..n-1 where edges only go low→high but node j may
+    have no predecessor (extra root) — reversed branching graphs and
+    multi-entry conversations have exactly this shape."""
+    n = draw(st.integers(min_value=2, max_value=8))
+    edges = []
+    for j in range(1, n):
+        preds = draw(
+            st.sets(st.integers(0, j - 1), min_size=0, max_size=min(j, 3))
+        )
+        edges.extend((p, j) for p in sorted(preds))
+    if not edges:
+        edges = [(0, 1)]
+    return n, edges
+
+
+def _brute_idom_multi(edges):
+    """Reference semantics with a virtual super-root: idom over the
+    augmented graph; nodes whose only common dominator is the virtual
+    root have no real idom."""
+    nodes = sorted({x for e in edges for x in e})
+    preds = {}
+    for a, b in edges:
+        preds.setdefault(b, set()).add(a)
+    entries = [n for n in nodes if n not in preds]
+    virt = min(nodes) - 1
+    aug = list(edges) + [(virt, e) for e in entries]
+    succ = {}
+    for a, b in aug:
+        succ.setdefault(a, []).append(b)
+
+    def reachable(removed):
+        if removed == virt:
+            return set()
+        seen, stack = {virt}, [virt]
+        while stack:
+            x = stack.pop()
+            for y in succ.get(x, ()):
+                if y != removed and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    def doms(node):
+        return {
+            d
+            for d in nodes + [virt]
+            if d == node or node not in reachable(d)
+        }
+
+    out = {}
+    for node in nodes:
+        if node in entries:
+            continue
+        ds = doms(node) - {node}
+        idom = max(ds, key=lambda d: len(doms(d)))
+        if idom != virt:
+            out[node] = idom
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(multi_root_dag())
+def test_chk_idom_multi_root(dag):
+    n, edges = dag
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(edges),
+            "src_idx": [a for a, _ in edges],
+            "dst_idx": [b for _, b in edges],
+        }
+    )
+    got = {r.turn_idx: r.idom_idx for r in _idom_group(pdf).itertuples()}
+    assert got == _brute_idom_multi(edges)
+
+
+def test_chk_idom_two_roots_regression():
+    """The exact graph from ADVICE that made the intersect walk hang
+    forever: {0->2, 1->2}. Node 2 has no real immediate dominator."""
+    pdf = pd.DataFrame({"conv_id": ["c", "c"], "src_idx": [0, 1], "dst_idx": [2, 2]})
+    assert _idom_group(pdf).empty
+
+
+def test_cdg_non_reconverging_branch():
+    """A branch whose arms never reconverge reverses to a multi-root
+    graph; both arms are control-dependent on the branch node."""
+    from joern_spark.operators.cfg import _cdg_group
+
+    pdf = pd.DataFrame({"conv_id": ["c", "c"], "src_idx": [0, 0], "dst_idx": [1, 2]})
+    got = {(r.src_idx, r.dst_idx) for r in _cdg_group(pdf).itertuples()}
+    assert got == {(0, 1), (0, 2)}
+
+
 # --- union-find: canon = component min ---------------------------------------
 
 
