@@ -47,27 +47,32 @@ def register_views(g: GraphResult, prefix: str = "tpg_") -> list[str]:
 
 
 # Curated starters (NodeTypeStarters analog): name → SQL over the views.
+# Parameters are :named placeholders bound via Spark's parameterized
+# spark.sql(query, args=...) — values are passed as literals, never
+# interpolated into the query text, so a quote in a caller param cannot
+# break or inject SQL.
 STARTERS: dict[str, str] = {
     # cpg.method / cpg.file
     "conversations": "SELECT * FROM tpg_conversations",
     # cpg.call.nameExact(x) — call sites for one tool
     "calls_of_tool": (
         "SELECT t.conv_id, t.turn_idx, t.text FROM tpg_turns t "
-        "WHERE t.tool = '{tool}' AND t.role = 'assistant'"
+        "WHERE t.tool = :tool AND t.role = 'assistant'"
     ),
     # cpg.identifier → mention surfaces
-    "mentions_of_kind": "SELECT * FROM tpg_mentions WHERE kind = '{kind}'",
+    "mentions_of_kind": "SELECT * FROM tpg_mentions WHERE kind = :kind",
     # x.callee / call-graph step over LINKS_TO
     "entities_of_conversation": (
         "SELECT DISTINCT e.dst AS entity_key FROM tpg_edges e "
-        "WHERE e.label = 'LINKS_TO' AND e.src LIKE '{conv_id}:%'"
+        "WHERE e.label = 'LINKS_TO' AND e.src LIKE :conv_id || ':%'"
     ),
     # dataflow result: canonical facts about one entity
     "facts_about": (
-        "SELECT * FROM tpg_triples_final WHERE subj = '{key}' OR obj = '{key}'"
+        "SELECT * FROM tpg_triples_final WHERE subj = :key OR obj = :key"
     ),
 }
 
 
 def sql(spark: SparkSession, starter: str, **params: str) -> DataFrame:
-    return spark.sql(STARTERS[starter].format(**params))
+    query = STARTERS[starter]
+    return spark.sql(query, args=params) if params else spark.sql(query)

@@ -42,6 +42,14 @@ JACCARD_THRESHOLD = 0.3
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 HAMMING_THRESHOLD = 2
+# Hub-shingle guard for the exact-Jaccard self-join: a shingle shared by
+# f documents contributes f² join rows, so one stop-word-ish shingle is
+# quadratic at corpus scale. Shingles with document frequency above the
+# cap are dropped from BOTH the intersection and the set sizes (Jaccard
+# over the capped shingle universe) — the reference's lone-identifier /
+# bail-out discipline (ReachingDefProblem.scala:304-349) applied to
+# blocking keys. Sub-cap corpora are byte-identical to the uncapped op.
+SHINGLE_DF_CAP = 1000
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -71,6 +79,22 @@ def shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
+def capped_shingles(
+    documents: DataFrame, n: int = NGRAM, cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Shingles minus hubs (document frequency > cap). The hub set is tiny
+    by construction (only keys heavier than the cap), so the filter is a
+    broadcast anti-join — the shingle table itself never reshuffles."""
+    sh = shingles(documents, n)
+    hubs = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hubs), "shingle", "left_anti")
+
+
 def _jaccard(inter: Column, na: Column, nb: Column) -> Column:
     return inter.cast("double") / (na + nb - inter)
 
@@ -97,16 +121,21 @@ def _verify_pairs(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold, blocked by shared shingle
-    (a pair is compared iff it shares ≥1 shingle — exact, not approximate).
+    (a pair is compared iff it shares ≥1 sub-cap shingle — exact over the
+    capped shingle universe; see SHINGLE_DF_CAP for why hubs are dropped).
 
     One self-join: |A∩B| falls straight out of groupBy(a, b).count() over
     the shingle-equality join (each shared shingle contributes exactly one
     row because shingle sets are distinct per doc) — no candidate
-    materialization + re-join pass."""
-    sh = shingles(documents)
+    materialization + re-join pass. The join input is provably bounded:
+    every key has ≤ cap rows per side, so no key contributes more than
+    cap² rows."""
+    sh = capped_shingles(documents, cap=cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("x")

@@ -119,8 +119,26 @@ RULES_BY_NAME = {r.name: r for r in RULES}
 
 def _literal_prefix(pattern: str) -> str:
     """Longest literal prefix of an anchored regex (stops at the first
-    metacharacter) — a cheap dispatch gate evaluated before the regex."""
+    metacharacter) — a cheap dispatch gate evaluated before the regex.
+
+    Top-level alternation makes any non-empty prefix unsound (`^abc|xyz`
+    matches rows that do not start with "abc"), so such patterns get an
+    empty prefix and skip the gate entirely instead of silently losing
+    the right-hand alternatives."""
     assert pattern.startswith("^")
+    depth = 0
+    esc = False
+    for ch in pattern[1:]:
+        if esc:
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return ""
     out = []
     for ch in pattern[1:]:
         if ch in r"\^$.|?*+()[]{":

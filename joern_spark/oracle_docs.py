@@ -15,6 +15,7 @@ from joern_spark.functions.hashing import MINHASH_P, N_MINHASH
 from joern_spark.operators.dedup import (
     HAMMING_THRESHOLD,
     JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
@@ -142,15 +143,21 @@ SELECT a, b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def ngram_jaccard_sql() -> str:
+    # shc mirrors dedup.capped_shingles: hub shingles (df > cap) leave
+    # both the candidate join and the set sizes
     return f"""
 WITH {TOKS},
 {SHINGLES},
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {SHINGLE_DF_CAP})
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM sh x JOIN sh y USING (shingle)
+  FROM shc x JOIN shc y USING (shingle)
   WHERE x.doc_id < y.doc_id
 ),
-{_VERIFY}
+{_VERIFY.replace("FROM sh ", "FROM shc ").replace("JOIN sh ", "JOIN shc ")}
 """
 
 
@@ -347,11 +354,26 @@ FROM documents
 
 
 def decode_features_sql() -> str:
-    return """
+    # Per-character codepoint → UTF-8 byte list, so mean/max are over the
+    # ACTUAL encoded bytes (the Spark kernel reads np.frombuffer of the
+    # UTF-8 blob) — exact for arbitrary text, not just ASCII.
+    utf8 = """
+  CASE WHEN c < 128 THEN [c]
+       WHEN c < 2048 THEN [192 + (c >> 6), 128 + (c & 63)]
+       WHEN c < 65536 THEN [224 + (c >> 12), 128 + ((c >> 6) & 63), 128 + (c & 63)]
+       ELSE [240 + (c >> 18), 128 + ((c >> 12) & 63),
+             128 + ((c >> 6) & 63), 128 + (c & 63)]
+  END"""
+    return f"""
+WITH bytes AS (
+  SELECT doc_id,
+         flatten([{utf8} FOR c IN
+                  [unicode(ch) FOR ch IN string_split(text, '')]]) AS bs
+  FROM documents
+)
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       list_sum([unicode(c) FOR c IN string_split(text, '')])::DOUBLE
-         / octet_length(encode(text)) AS mean_byte,
-       list_max([unicode(c) FOR c IN string_split(text, '')]) AS max_byte
-FROM documents
+       len(bs) AS n_bytes,
+       list_sum(bs)::DOUBLE / len(bs) AS mean_byte,
+       list_max(bs) AS max_byte
+FROM bytes
 """

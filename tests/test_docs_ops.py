@@ -183,6 +183,36 @@ def test_matmul_dup_pairs_multiblock(embs):
     assert a == b
 
 
+def test_shingle_cap_bounds_hub_join(spark):
+    """A shingle shared by every doc would make the Jaccard self-join
+    quadratic; above the DF cap it must leave both the candidate join and
+    the set sizes. Docs 0-4 share ONLY the hub trigram (cap=3 → dropped →
+    no candidate pairs); docs 5-6 share a selective trigram and still pair."""
+    hub = "zz yy xx"
+    rows = [(i, f"{hub} unique{i} a{i} b{i}") for i in range(5)]
+    rows += [(5, "the quick brown fox"), (6, "the quick brown wolf")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(df, threshold=0.1, cap=3).collect()}
+    assert all(a >= 5 for a, _ in pairs), pairs
+    assert (5, 6) in pairs
+    # sub-cap corpus: capped result identical to uncapped
+    small = spark.createDataFrame(rows[5:], "doc_id long, text string")
+    a = sorted((r.a, r.b, r.jaccard) for r in dedup.ngram_jaccard_pairs(small, threshold=0.1, cap=1000).collect())
+    b = sorted((r.a, r.b, r.jaccard) for r in dedup.ngram_jaccard_pairs(small, threshold=0.1, cap=3).collect())
+    assert a == b
+
+
+def test_literal_prefix_alternation_guard():
+    """ADVICE regression: `^abc|xyz` must not gate on prefix 'abc' (the
+    'xyz' alternative would be lost); grouped alternation keeps its gate."""
+    from joern_spark.operators.extract import _literal_prefix
+
+    assert _literal_prefix(r"^abc|xyz") == ""
+    assert _literal_prefix(r"^abc(d|e)f") == "abc"
+    assert _literal_prefix(r"^Calling ([a-z_]+) for") == "Calling "
+    assert _literal_prefix(r"^a\|b") == "a"  # escaped pipe is literal
+
+
 def test_lsh_multi_recall_gate(spark):
     """ANN usability gate (VERDICT r1 #3): multiprobe multi-table LSH must
     recover ≥ 0.8 of the true brute-force top-k pairs on the real test
