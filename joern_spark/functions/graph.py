@@ -62,6 +62,8 @@ def expand(
     emit: bool = True,
     id_col: str = "id",
     checkpoint_every: int = 4,
+    until=None,
+    emit_all_but_first: bool = False,
 ) -> DataFrame:
     """repeat(step)(_.emit.maxDepth(k)) — bounded transitive expansion with
     accumulator union and frontier dedup. localCheckpoint keeps the plan
@@ -69,10 +71,35 @@ def expand(
     round costs one blocking job each — so checkpoint (and probe the
     empty-frontier early exit) every `checkpoint_every` rounds; in between,
     lineage grows by only a join+union per round, which Catalyst handles
-    fine for single-digit depths."""
+    fine for single-digit depths.
+
+    Emission policies (AstNodeTraversal.scala:75-79):
+      * emit=True                → emit every visited node (incl. frontier)
+      * emit_all_but_first=True  → emit every visited node EXCEPT the
+        initial frontier (repeat(...)(_.emitAllButFirst))
+      * until=fn(Column→Column)  → repeat(...)(_.until(pred)): nodes whose
+        id satisfies pred(col(id)) are emitted but not expanded further —
+        the walk stops descending at the first match on each branch.
+
+    The edge table is repartitioned on the join key and lazily
+    checkpointed ONCE, so every round's join reuses the same co-located,
+    materialized edge partitions instead of re-shuffling the (big) edge
+    side per round — at 100× scale the per-round cost is the frontier
+    shuffle only."""
+    edges = (
+        edges.select("src", "dst")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
     seen = frontier.select(id_col).dropDuplicates().localCheckpoint(eager=True)
-    cur = seen
-    acc = seen if emit else None
+    stopped = None  # until-matched nodes (the result set when not emitting all)
+    if until is not None:
+        stopped = seen.where(until(F.col(id_col)))
+        cur = seen.where(~until(F.col(id_col)))
+    else:
+        cur = seen
+    acc = None if emit_all_but_first else (seen if emit else None)
+    emit_visited = emit or emit_all_but_first
     for i in range(max_depth):
         nxt = step(cur, edges, id_col).join(seen, id_col, "left_anti")
         if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
@@ -82,6 +109,91 @@ def expand(
             seen = seen.union(nxt).localCheckpoint(eager=True)
         else:
             seen = seen.union(nxt)
-        acc = seen if emit else nxt
-        cur = nxt
+        if emit_visited:
+            acc = nxt if acc is None else acc.union(nxt)
+        else:
+            acc = nxt
+        if until is not None:
+            stopped = stopped.union(nxt.where(until(F.col(id_col))))
+            cur = nxt.where(~until(F.col(id_col)))
+        else:
+            cur = nxt
+    if until is not None and not emit_visited:
+        # repeat(t)(_.until(p)): result = nodes where p held, plus walk
+        # ends left in the frontier when the depth budget ran out
+        return stopped.union(cur).dropDuplicates()
     return (acc if acc is not None else cur).dropDuplicates()
+
+
+PATHS_SCHEMA = "src string, dst string, depth int, path array<string>"
+
+
+def expand_paths(
+    frontier: DataFrame,
+    edges: DataFrame,
+    max_depth: int = 5,
+    id_col: str = "id",
+    checkpoint_every: int = 4,
+    keep: str = "max",
+) -> DataFrame:
+    """reachableByFlows analog — bounded expansion that carries the full
+    evidence path (ExtendedCfgNode.scala:40-63): returns one row per
+    surviving flow `(src, dst, depth, path)` with path = [src, …, dst].
+
+    Semantics kept from the reference engine:
+      * path-cycle exclusion — a path never revisits a node
+        (Engine.scala:252-269);
+      * depth k-limit — max_depth caps expansion like maxCallDepth
+        (Engine.scala:309-326);
+      * final dedup keeps the MAX-length path per (src, dst) pair,
+        ties broken by lexicographic path (Engine.scala:154-179);
+        keep="all" returns every cycle-free path instead.
+
+    Scale shape: per round one co-partitioned join frontier⋈edges (edge
+    table repartitioned + checkpointed once, as in `expand`); the path
+    column rides along as an array, so state per row is O(depth).
+    Checkpoints every few rounds truncate lineage exactly like `expand`."""
+    edges = (
+        edges.select("src", "dst")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    cur = frontier.select(
+        F.col(id_col).alias("src"),
+        F.col(id_col).alias("dst"),
+        F.lit(0).alias("depth"),
+        F.array(F.col(id_col)).alias("path"),
+    ).dropDuplicates(["src"])
+    acc = None
+    for i in range(max_depth):
+        nxt = (
+            cur.alias("c")
+            .join(edges.alias("e"), F.col("c.dst") == F.col("e.src"))
+            .where(~F.array_contains(F.col("c.path"), F.col("e.dst")))
+            .select(
+                F.col("c.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("c.depth") + 1).alias("depth"),
+                F.array_append(F.col("c.path"), F.col("e.dst")).alias("path"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+        acc = nxt if acc is None else acc.union(nxt)
+        cur = nxt
+    if acc is None:
+        return frontier.sparkSession.createDataFrame([], PATHS_SCHEMA)
+    if keep == "all":
+        return acc
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("src", "dst").orderBy(
+        F.desc("depth"), F.asc(F.array_join("path", "->"))
+    )
+    return (
+        acc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

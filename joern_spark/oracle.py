@@ -269,6 +269,43 @@ FROM t WHERE turn_idx <= {k}
 """
 
 
+def reach_paths_sql(sf: float, k: int = 5) -> str:
+    """Path-returning flows (reachableByFlows analog): recursive walk over
+    NEXT_TURN edges from turn 0, depth ≤ k, then max-length-per-(src,dst)
+    dedup (Engine.scala:154-179 semantics — trivial on linear chains but
+    asserted anyway so the dedup is part of the checked contract)."""
+    return f"""
+WITH RECURSIVE t AS (SELECT * FROM {t_src(sf)}),
+e AS (
+  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
+         conv_id || ':' || CAST(next_idx AS VARCHAR) AS dst
+  FROM (SELECT conv_id, turn_idx,
+               lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_idx
+        FROM t)
+  WHERE next_idx IS NOT NULL
+),
+roots AS (
+  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
+  FROM t WHERE turn_idx = 0
+),
+walk AS (
+  SELECT r.id AS src, e.dst AS dst, 1 AS depth, r.id || '->' || e.dst AS path
+  FROM roots r JOIN e ON e.src = r.id
+  UNION ALL
+  SELECT w.src, e.dst, w.depth + 1, w.path || '->' || e.dst
+  FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.depth < {k}
+),
+ranked AS (
+  SELECT src, dst, depth, path,
+         row_number() OVER (PARTITION BY src, dst
+                            ORDER BY depth DESC, path ASC) AS rn
+  FROM walk
+)
+SELECT src, dst, depth, path FROM ranked WHERE rn = 1
+"""
+
+
 def entity_degree_sql(sf: float) -> str:
     key = NORM.format(x="surface")
     return f"""

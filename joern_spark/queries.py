@@ -131,6 +131,23 @@ def q_reach_k(spark, sf_dir):
     return expand(roots, edges, max_depth=5, emit=True)
 
 
+def q_reach_paths(spark, sf_dir):
+    """reachableByFlows analog (ExtendedCfgNode.scala:40-63): bounded
+    expansion from every conversation's first turn carrying the full
+    evidence path; max-length dedup per (src, dst) pair."""
+    from joern_spark.functions.graph import expand_paths
+
+    t = _t(spark, sf_dir)
+    edges = assemble.next_turn_edges(t).select("src", "dst")
+    roots = t.where(F.col("turn_idx") == 0).select(
+        F.concat("conv_id", F.lit(":"), F.col("turn_idx").cast("string")).alias("id")
+    )
+    p = expand_paths(roots, edges, max_depth=5)
+    return p.select(
+        "src", "dst", "depth", F.array_join("path", "->").alias("path")
+    )
+
+
 def q_cdg(spark, sf_dir):
     """Control-dependence edges (post-dominance frontier). Provably empty
     on linear transcript chains — the oracle asserts exactly that; the
@@ -240,6 +257,7 @@ TPG_QUERIES = {
     "tpg_postdom": q_postdom,
     "tpg_cdg": q_cdg,
     "tpg_reach_k": q_reach_k,
+    "tpg_reach_paths": q_reach_paths,
     "tpg_entity_degree": q_entity_degree,
     "tpg_findings": q_findings,
     "tpg_tool_pairs": q_tool_pairs,

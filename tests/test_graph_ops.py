@@ -76,6 +76,71 @@ def test_expand_cycle_terminates(spark):
     assert rows_set(expand(frontier, e, max_depth=50)) == {("a",), ("b",), ("c",)}
 
 
+def test_expand_paths_branching_and_dedup(spark):
+    """Diamond a→{b1,b2}→c: two distinct 2-hop paths to c; max-length
+    dedup per (src, dst) keeps exactly one, tie-broken lexicographically
+    (Engine.scala:154-179). keep='all' returns both."""
+    from joern_spark.functions.graph import expand_paths
+
+    e = edges_df(spark, [("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c")])
+    roots = spark.createDataFrame([("a",)], "id string")
+    out = {
+        (r.src, r.dst): (r.depth, list(r.path))
+        for r in expand_paths(roots, e, max_depth=4).collect()
+    }
+    assert out[("a", "b1")] == (1, ["a", "b1"])
+    assert out[("a", "c")] == (2, ["a", "b1", "c"])  # lexicographic winner
+    all_paths = expand_paths(roots, e, max_depth=4, keep="all")
+    assert all_paths.where(F.col("dst") == "c").count() == 2
+
+
+def test_expand_paths_longer_path_wins(spark):
+    """a→d direct AND a→b→c→d: dedup keeps the depth-3 evidence path, the
+    reference's max-length rule."""
+    from joern_spark.functions.graph import expand_paths
+
+    e = edges_df(spark, [("a", "d"), ("a", "b"), ("b", "c"), ("c", "d")])
+    roots = spark.createDataFrame([("a",)], "id string")
+    out = {
+        (r.src, r.dst): (r.depth, list(r.path))
+        for r in expand_paths(roots, e, max_depth=5).collect()
+    }
+    assert out[("a", "d")] == (3, ["a", "b", "c", "d"])
+
+
+def test_expand_paths_cycle_excluded(spark):
+    """a→b→a cycle: paths never revisit a node (Engine.scala:252-269), so
+    the walk terminates with the two 1-hop/2-hop prefixes only."""
+    from joern_spark.functions.graph import expand_paths
+
+    e = edges_df(spark, [("a", "b"), ("b", "a")])
+    roots = spark.createDataFrame([("a",)], "id string")
+    rows = expand_paths(roots, e, max_depth=10, keep="all").collect()
+    assert {(r.src, r.dst, r.depth) for r in rows} == {("a", "b", 1)}
+
+
+def test_expand_until_and_emit_all_but_first(spark):
+    """repeat(...)(_.until(pred)) stops descending at the first match on
+    each branch; emitAllButFirst drops the initial frontier from the
+    result (AstNodeTraversal.scala:75-79)."""
+    e = edges_df(
+        spark, [("a", "b"), ("b", "stop1"), ("stop1", "d"), ("a", "stop2")]
+    )
+    roots = spark.createDataFrame([("a",)], "id string")
+    got = rows_set(
+        expand(
+            roots, e, max_depth=10, emit=False,
+            until=lambda c: c.startswith("stop"),
+        )
+    )
+    # both stop nodes reached; the walk never expands past stop1 → no d
+    assert got == {("stop1",), ("stop2",)}
+
+    got2 = rows_set(expand(roots, e, max_depth=10, emit_all_but_first=True))
+    assert ("a",) not in got2
+    assert {("b",), ("stop1",), ("stop2",), ("d",)} <= got2
+
+
 def test_linking_hit_miss(spark, make_transcripts, entities):
     """LinkingUtil.scala:38-93 semantics: hit → link, miss → stub."""
     from joern_spark.operators.extract import extract_mentions
