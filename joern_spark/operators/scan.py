@@ -77,9 +77,167 @@ def scan_rebind_conversations(transcripts: DataFrame) -> DataFrame:
     )
 
 
+HUB_SHARE = 0.01  # mention share above which an entity is a "hub"
+
+
+def scan_temperature_contradictions(transcripts: DataFrame) -> DataFrame:
+    """Locations reported with ≥ 2 distinct temperatures across the corpus
+    (querydb-style semantic inconsistency check: the same entity carrying
+    conflicting facts). Scored by the number of distinct values."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    rule = RULES_BY_NAME["result"]
+    obs = transcripts.where(_match_cond(rule)).select(
+        normalize_surface_col(
+            F.regexp_extract("text", rule.pattern, 1)
+        ).alias("loc"),
+        F.regexp_extract("text", rule.pattern, 2).alias("temp"),
+    )
+    return (
+        obs.groupBy("loc")
+        .agg(F.countDistinct("temp").alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("temperature-contradiction").alias("query_name"),
+            F.col("loc").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_stale_binding_use(transcripts: DataFrame) -> DataFrame:
+    """dbcur queries issued BEFORE the conversation's first rebind (they
+    silently hit the default binding that a later turn replaces — the
+    use-before-redefinition smell). Scored by count of such turns."""
+    rebind = RULES_BY_NAME["rebind"]
+    dbcur = RULES_BY_NAME["dbcur"]
+    marks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        _match_cond(rebind).alias("is_rebind"),
+        _match_cond(dbcur).alias("is_dbcur"),
+    ).where(F.col("is_rebind") | F.col("is_dbcur"))
+    agg = marks.groupBy("conv_id").agg(
+        F.min(F.when(F.col("is_rebind"), F.col("turn_idx"))).alias("first_rebind"),
+        F.collect_list(
+            F.when(F.col("is_dbcur"), F.col("turn_idx"))
+        ).alias("dbcur_turns"),
+    )
+    return (
+        agg.where(F.col("first_rebind").isNotNull())
+        .select(
+            "conv_id",
+            F.size(
+                F.filter(
+                    F.col("dbcur_turns"), lambda x: x < F.col("first_rebind")
+                )
+            ).alias("n"),
+        )
+        .where(F.col("n") >= 1)
+        .select(
+            F.lit("stale-binding-use").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_alias_chains(transcripts: DataFrame) -> DataFrame:
+    """SAME_AS components of ≥ 3 surfaces — alias chains like
+    Big Apple → NYC → New York City that force multi-hop resolution
+    (the DynamicCallLinker subclass-closure smell). Evidence = the
+    component's canonical key, scored by component size."""
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+
+    cmap = connected_components(same_as_pairs(transcripts))
+    return (
+        cmap.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select(
+            F.lit("alias-chain").alias("query_name"),
+            F.col("canon").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_hub_entities(transcripts: DataFrame) -> DataFrame:
+    """Entities holding more than HUB_SHARE of all mentions — the skew
+    keys that salted aggregation / AQE skew-split exist for, surfaced as
+    findings (the planner's skew defense made visible). Scored by mention
+    count."""
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import keyed_mentions
+
+    m = keyed_mentions(extract_mentions(transcripts))
+    counts = m.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.col("total") * HUB_SHARE)
+        .select(
+            F.lit("hub-entity").alias("query_name"),
+            F.col("entity_key").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+TOOL_FANOUT_MIN = 6  # distinct tools per conversation
+
+
+def scan_tool_fanout(transcripts: DataFrame) -> DataFrame:
+    """Conversations invoking ≥ TOOL_FANOUT_MIN distinct tools — the
+    dynamic-dispatch fan-out smell (DynamicCallLinker resolving one call
+    site to many candidates). Scored by the distinct-tool count."""
+    return (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("tool").alias("n"))
+        .where(F.col("n") >= TOOL_FANOUT_MIN)
+        .select(
+            F.lit("tool-fanout").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_lone_mentions(transcripts: DataFrame) -> DataFrame:
+    """Entity keys mentioned exactly once in the whole corpus — the
+    lone-identifier discipline (ReachingDefProblem.scala:304-349) as a
+    finding: these keys carry no corroboration and are candidates for
+    exclusion from propagation. Provably empty on the synthetic corpus
+    (its vocabulary keys all recur); exercised on fixtures in tests."""
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import keyed_mentions
+
+    m = keyed_mentions(extract_mentions(transcripts))
+    return (
+        m.groupBy("entity_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .select(
+            F.lit("lone-mention").alias("query_name"),
+            F.col("entity_key").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
+    "temperature-contradiction": scan_temperature_contradictions,
+    "stale-binding-use": scan_stale_binding_use,
+    "alias-chain": scan_alias_chains,
+    "hub-entity": scan_hub_entities,
+    "tool-fanout": scan_tool_fanout,
+    "lone-mention": scan_lone_mentions,
 }
 
 

@@ -315,18 +315,33 @@ SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
 
 
 def findings_sql(sf: float) -> str:
+    from joern_spark.operators.scan import (  # shared constants
+        HUB_SHARE,
+        TOOL_FANOUT_MIN,
+    )
+
     rebind = RULES_BY_NAME["rebind"]
+    result = RULES_BY_NAME["result"]
+    dbcur = RULES_BY_NAME["dbcur"]
     key = NORM.format(x="m.surface")
+    loc = NORM.format(x=f"regexp_extract(text, '{result.pattern}', 1)")
     return f"""
-WITH t AS (SELECT * FROM {t_src(sf)}),
+WITH RECURSIVE {_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
 m AS ({mentions_sql(sf)}),
-e AS (SELECT entity_key FROM {e_src()})
+e AS (SELECT entity_key FROM {e_src()}),
+mc AS (SELECT {key} AS k, count(*) AS n FROM m GROUP BY 1)
 SELECT 'mega-conversation' AS query_name, conv_id AS evidence,
        count(*)::BIGINT AS score
 FROM t GROUP BY conv_id HAVING count(*) >= 256
 UNION ALL
 SELECT 'rebind-conversation', conv_id, count(*)::BIGINT
-FROM t WHERE role = '{rebind.role}' AND regexp_matches(text, '{rebind.pattern}')
+FROM t WHERE {_rule_where(rebind)}
 GROUP BY conv_id
 UNION ALL
 SELECT 'unknown-entity', k, n::BIGINT FROM (
@@ -334,6 +349,30 @@ SELECT 'unknown-entity', k, n::BIGINT FROM (
   FROM m LEFT JOIN e ON {key} = e.entity_key
   WHERE e.entity_key IS NULL GROUP BY 1
 )
+UNION ALL
+SELECT 'temperature-contradiction', loc, count(DISTINCT temp)::BIGINT FROM (
+  SELECT {loc} AS loc, regexp_extract(text, '{result.pattern}', 2) AS temp
+  FROM t WHERE {_rule_where(result)}
+) GROUP BY loc HAVING count(DISTINCT temp) >= 2
+UNION ALL
+SELECT 'stale-binding-use', d.conv_id, count(*)::BIGINT
+FROM (SELECT conv_id, turn_idx FROM t WHERE {_rule_where(dbcur)}) d
+JOIN (SELECT conv_id, min(turn_idx) AS fr FROM t
+      WHERE {_rule_where(rebind)} GROUP BY 1) r
+  ON d.conv_id = r.conv_id AND d.turn_idx < r.fr
+GROUP BY d.conv_id
+UNION ALL
+SELECT 'alias-chain', canon, count(*)::BIGINT
+FROM cmap GROUP BY canon HAVING count(*) >= 3
+UNION ALL
+SELECT 'hub-entity', k, n::BIGINT FROM mc
+WHERE n > {HUB_SHARE} * (SELECT sum(n) FROM mc)
+UNION ALL
+SELECT 'tool-fanout', conv_id, count(DISTINCT tool)::BIGINT
+FROM t WHERE tool IS NOT NULL
+GROUP BY conv_id HAVING count(DISTINCT tool) >= {TOOL_FANOUT_MIN}
+UNION ALL
+SELECT 'lone-mention', k, n::BIGINT FROM mc WHERE n = 1
 """
 
 

@@ -62,6 +62,78 @@ def test_scan_battery(make_transcripts, entities):
     assert found[("unknown-entity", "zarqa")] == 1
 
 
+def test_scan_temperature_contradiction(make_transcripts):
+    """codeExamples style: Paris reported at two temps (positive); Rome
+    consistent across repeats (negative)."""
+    t = make_transcripts(
+        [
+            ("c1", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+            ("c2", 0, "tool", "Paris: 20C, rainy.", "weather_api"),
+            ("c3", 0, "tool", "Rome: 15C, sunny.", "weather_api"),
+            ("c4", 0, "tool", "Rome: 15C, cloudy.", "weather_api"),
+        ]
+    )
+    out = {r.evidence: r.score for r in scan.scan_temperature_contradictions(t).collect()}
+    assert out == {"paris": 2}
+
+
+def test_scan_stale_binding_use(make_transcripts):
+    """dbcur BEFORE the first rebind is stale (positive, c1 turn 0);
+    dbcur after the rebind (c1 turn 2) and dbcur with no rebind at all
+    (c2) are not findings."""
+    t = make_transcripts(
+        [
+            ("c1", 0, "assistant", "Querying the current database for records about Lima.", "db_query"),
+            ("c1", 1, "user", "From now on use staging_db instead of prod_db.", None),
+            ("c1", 2, "assistant", "Querying the current database for records about Lima.", "db_query"),
+            ("c2", 0, "assistant", "Querying the current database for records about Oslo.", "db_query"),
+        ]
+    )
+    out = {r.evidence: r.score for r in scan.scan_stale_binding_use(t).collect()}
+    assert out == {"c1": 1}
+
+
+def test_scan_alias_chain(make_transcripts):
+    """A 3-surface SAME_AS chain is a finding; an isolated 2-surface alias
+    pair is not."""
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+            ("c1", 1, "user", "Note that Big Apple is also known as NYC.", None),
+            ("c2", 0, "user", "Note that LA is also known as Los Angeles.", None),
+        ]
+    )
+    out = {r.evidence: r.score for r in scan.scan_alias_chains(t).collect()}
+    assert out == {"big_apple": 3}
+
+
+def test_scan_hub_and_lone_mentions(make_transcripts):
+    """One location mentioned in most turns (hub, > 1% share) vs one
+    mentioned exactly once (lone)."""
+    rows = [
+        ("c%d" % i, 0, "user", "Please check the weather in Hubtown.", None)
+        for i in range(99)
+    ]
+    rows.append(("cx", 0, "user", "Please check the weather in Loneville.", None))
+    t = make_transcripts(rows)
+    hubs = {r.evidence: r.score for r in scan.scan_hub_entities(t).collect()}
+    assert hubs["hubtown"] == 99
+    assert "loneville" not in hubs  # exactly 1% share, not strictly above
+    lone = {r.evidence: r.score for r in scan.scan_lone_mentions(t).collect()}
+    assert lone == {"loneville": 1}
+
+
+def test_scan_tool_fanout(make_transcripts):
+    rows = [
+        ("c1", i, "assistant", f"Calling tool_{i} for Lima.", f"tool_{i}")
+        for i in range(scan.TOOL_FANOUT_MIN)
+    ]
+    rows += [("c2", 0, "assistant", "Calling weather_api for Lima.", "weather_api")]
+    t = make_transcripts(rows)
+    out = {r.evidence: r.score for r in scan.scan_tool_fanout(t).collect()}
+    assert out == {"c1": scan.TOOL_FANOUT_MIN}
+
+
 def test_tool_cooccurrence(make_transcripts):
     t = make_transcripts(
         [
