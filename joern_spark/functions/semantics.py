@@ -1,0 +1,137 @@
+"""Flow-semantics table — external-call behavior as DATA, not code.
+
+The reference drives its dataflow engine off a loadable semantics table:
+`FlowSemantic(methodFullName, mappings)` rows say how taint moves through
+calls the engine cannot see into (dataflowengineoss/.../semanticsloader/
+Semantics.scala:87-167), with a default table of ~80 operators
+(DefaultSemantics.scala:8-62) and a PassThroughMapping fallback.
+
+The transcript analog: per-PREDICATE rows say how a triple behaves in
+canonicalization — whether it is kept as a fact at all, and whether its
+subject / object are rewritten through the SAME_AS canonical map or kept
+as raw surface keys. Changing one row changes the output (tested); the
+table is broadcast and consumed by a plain conditional join, so adding
+predicates costs a row, not code.
+
+The DuckDB oracle SQL is GENERATED from the same rows (oracle.py
+triples_semantics_sql), so Spark and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PredSemantics:
+    """One semantics row (the FlowSemantic analog).
+
+    keep       — emit triples with this predicate as graph facts
+                 (False = structural input only, like same_as edges
+                 feeding the component build).
+    canon_subj — rewrite the subject through the canonical map.
+    canon_obj  — rewrite the object through the canonical map.
+    """
+
+    pred: str
+    keep: bool
+    canon_subj: bool
+    canon_obj: bool
+
+
+# The default table. Non-passthrough rows are deliberate semantics, not
+# optimization: measures/conditions are literals (never alias targets),
+# db names live outside the location-alias vocabulary, and same_as facts
+# are emitted RAW — (nyc same_as new_york_city), not the vacuous
+# (big_apple same_as big_apple) the canonical rewrite would produce.
+DEFAULT_SEMANTICS: list[PredSemantics] = [
+    PredSemantics("same_as", keep=True, canon_subj=False, canon_obj=False),
+    PredSemantics("replaces", keep=True, canon_subj=False, canon_obj=False),
+    PredSemantics("mentions_location", keep=True, canon_subj=True, canon_obj=True),
+    PredSemantics("uses_tool", keep=True, canon_subj=True, canon_obj=True),
+    PredSemantics("called_for", keep=True, canon_subj=True, canon_obj=True),
+    PredSemantics("has_temperature", keep=True, canon_subj=True, canon_obj=False),
+    PredSemantics("has_condition", keep=True, canon_subj=True, canon_obj=True),
+    PredSemantics("queried_about", keep=True, canon_subj=False, canon_obj=True),
+]
+
+# Unknown predicates fall through to PassThroughMapping
+# (Semantics.scala PassThroughMapping): keep + canonicalize both ends.
+PASSTHROUGH = PredSemantics("*", keep=True, canon_subj=True, canon_obj=True)
+
+SEMANTICS_SCHEMA = "pred string, keep boolean, canon_subj boolean, canon_obj boolean"
+
+
+def semantics_df(
+    spark: SparkSession, rows: list[PredSemantics] | None = None
+) -> DataFrame:
+    rows = DEFAULT_SEMANTICS if rows is None else rows
+    return spark.createDataFrame(
+        [(r.pred, r.keep, r.canon_subj, r.canon_obj) for r in rows],
+        SEMANTICS_SCHEMA,
+    )
+
+
+def apply_semantics(
+    triples: DataFrame, canonical_map: DataFrame, semantics: DataFrame
+) -> DataFrame:
+    """Rewrite raw triples onto entity keys under table-driven semantics.
+
+    One broadcast join against the (tiny) semantics table resolves the
+    per-predicate flags; two broadcast joins against the (tiny) canonical
+    map resolve the rewrites; flags gate them per row. The big triple
+    side never shuffles — identical physical shape to the non-table
+    canonicalize_triples, plus one broadcast."""
+    from joern_spark.operators.canonicalize import subj_key_col
+
+    t = triples.select(
+        subj_key_col(F.col("subj")).alias("subj"),
+        "pred",
+        subj_key_col(F.col("obj")).alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )
+    sem = F.broadcast(semantics)
+    cmap = F.broadcast(canonical_map)
+    t = (
+        t.join(sem, "pred", "left")
+        .withColumn("keep", F.coalesce("keep", F.lit(PASSTHROUGH.keep)))
+        .withColumn(
+            "canon_subj", F.coalesce("canon_subj", F.lit(PASSTHROUGH.canon_subj))
+        )
+        .withColumn(
+            "canon_obj", F.coalesce("canon_obj", F.lit(PASSTHROUGH.canon_obj))
+        )
+        .where(F.col("keep"))
+    )
+    t = (
+        t.join(
+            cmap.withColumnRenamed("entity_key", "subj").withColumnRenamed(
+                "canon", "subj_canon"
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            cmap.withColumnRenamed("entity_key", "obj").withColumnRenamed(
+                "canon", "obj_canon"
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            F.when(F.col("canon_subj"), F.coalesce("subj_canon", "subj"))
+            .otherwise(F.col("subj"))
+            .alias("subj"),
+            "pred",
+            F.when(F.col("canon_obj"), F.coalesce("obj_canon", "obj"))
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+            "conv_id",
+            "turn_idx",
+        )
+    )
+    return t

@@ -215,6 +215,91 @@ FROM canon GROUP BY subj, pred, obj
 """
 
 
+def triples_semantics_sql(sf: float) -> str:
+    """Generated from the SAME DEFAULT_SEMANTICS rows the Spark operator
+    broadcasts (functions/semantics.py) — per-predicate keep / rewrite
+    behavior rendered as IN-list CASEs, so changing a semantics row
+    changes both sides identically."""
+    from joern_spark.functions.semantics import DEFAULT_SEMANTICS
+
+    kept = [s.pred for s in DEFAULT_SEMANTICS if s.keep]
+    cs = [s.pred for s in DEFAULT_SEMANTICS if s.keep and s.canon_subj]
+    co = [s.pred for s in DEFAULT_SEMANTICS if s.keep and s.canon_obj]
+
+    def inlist(preds: list[str]) -> str:
+        return ", ".join(f"'{p}'" for p in preds) or "''"
+
+    subj_key = (
+        "CASE WHEN subj LIKE 'conv:%' THEN subj ELSE " + NORM.format(x="subj") + " END"
+    )
+    obj_key = (
+        "CASE WHEN obj LIKE 'conv:%' THEN obj ELSE " + NORM.format(x="obj") + " END"
+    )
+    return f"""
+WITH RECURSIVE {_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
+raw AS ({triples_raw_sql(sf)}),
+dyn AS ({dbcur_triples_sql(sf)}),
+allt AS (
+  SELECT {subj_key} AS subj, pred, {obj_key} AS obj, conv_id, turn_idx
+  FROM (SELECT * FROM raw UNION ALL SELECT * FROM dyn)
+  WHERE pred IN ({inlist(kept)})
+),
+canon AS (
+  SELECT CASE WHEN a.pred IN ({inlist(cs)})
+              THEN coalesce(s.canon, a.subj) ELSE a.subj END AS subj,
+         a.pred,
+         CASE WHEN a.pred IN ({inlist(co)})
+              THEN coalesce(o.canon, a.obj) ELSE a.obj END AS obj,
+         a.conv_id, a.turn_idx
+  FROM allt a
+  LEFT JOIN cmap s ON a.subj = s.entity_key
+  LEFT JOIN cmap o ON a.obj = o.entity_key
+)
+SELECT subj, pred, obj, count(*) AS n_support,
+       min(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')) AS first_seen
+FROM canon GROUP BY subj, pred, obj
+"""
+
+
+def kind_recovery_sql(sf: float) -> str:
+    """Two-iteration kind refinement: direct per-key vote, then the
+    SAME_AS-component majority (XTypeRecovery.scala:152 semantics)."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH RECURSIVE {_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
+m AS ({mentions_sql(sf)}),
+votes AS (
+  SELECT {key} AS entity_key, kind, count(*) AS n FROM m GROUP BY 1, 2
+),
+compv AS (
+  SELECT coalesce(c.canon, v.entity_key) AS canon, v.kind, sum(v.n) AS n
+  FROM votes v LEFT JOIN cmap c ON v.entity_key = c.entity_key
+  GROUP BY 1, 2
+),
+compk AS (
+  SELECT canon, kind, n,
+         row_number() OVER (PARTITION BY canon ORDER BY n DESC, kind ASC) AS rn
+  FROM compv
+)
+SELECT k.entity_key, ck.kind, ck.n::BIGINT AS n_obs
+FROM (SELECT DISTINCT entity_key FROM votes) k
+LEFT JOIN cmap c ON k.entity_key = c.entity_key
+JOIN compk ck ON ck.canon = coalesce(c.canon, k.entity_key) AND ck.rn = 1
+"""
+
+
 def tool_stats_sql(sf: float) -> str:
     call = next(r for r in RULES if r.name == "call")
     return f"""

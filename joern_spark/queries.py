@@ -89,6 +89,34 @@ def q_triples_final(spark, sf_dir):
     return materialize.dedup_triples(static.unionByName(dyn))
 
 
+def q_triples_semantics(spark, sf_dir):
+    """Table-driven canonicalization (DefaultSemantics.scala analog):
+    identical pipeline to triples_final but every predicate's behavior —
+    kept? subject/object rewritten through SAME_AS? — comes from the
+    broadcast DEFAULT_SEMANTICS table. Differs from triples_final by
+    design: same_as facts are emitted raw instead of being dropped."""
+    from joern_spark.functions.semantics import apply_semantics, semantics_df
+
+    t = _t(spark, sf_dir)
+    cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
+    raw = extract_triples_raw(t)
+    dyn = rebind.dbcur_triples(t)
+    sem = semantics_df(spark)
+    out = apply_semantics(raw.unionByName(dyn), cmap, sem)
+    return materialize.dedup_triples(out)
+
+
+def q_kind_recovery(spark, sf_dir):
+    """XTypeRecovery analog: 2-iteration kind refinement — keys adopt the
+    majority kind of their SAME_AS component (fixpoint at iteration 2,
+    tested)."""
+    from joern_spark.operators.recover import recover_kinds
+
+    t = _t(spark, sf_dir)
+    cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
+    return recover_kinds(extract_mentions(t), cmap)
+
+
 def q_tool_stats(spark, sf_dir):
     """joern-scan style findings aggregation (ScanPass analog)."""
     call = RULES_BY_NAME["call"]
@@ -251,6 +279,8 @@ TPG_QUERIES = {
     "tpg_canonical_map": q_canonical_map,
     "tpg_rebind_current_db": q_rebind_current_db,
     "tpg_triples_final": q_triples_final,
+    "tpg_triples_semantics": q_triples_semantics,
+    "tpg_kind_recovery": q_kind_recovery,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,

@@ -134,6 +134,106 @@ def test_scan_tool_fanout(make_transcripts):
     assert out == {"c1": scan.TOOL_FANOUT_MIN}
 
 
+def test_semantics_table_drives_output(spark, make_transcripts):
+    """DefaultSemantics analog: flipping ONE row of the broadcast
+    semantics table changes the canonicalization output — the behavior is
+    data, not code."""
+    from dataclasses import replace
+
+    from joern_spark.functions.semantics import (
+        DEFAULT_SEMANTICS,
+        apply_semantics,
+        semantics_df,
+    )
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+    from joern_spark.operators.extract import extract_triples_raw
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+            ("c1", 1, "user", "Please check the weather in NYC.", None),
+        ]
+    )
+    raw = extract_triples_raw(t)
+    cmap = connected_components(same_as_pairs(t))
+    trip = lambda sem: {  # noqa: E731
+        (r.subj, r.pred, r.obj)
+        for r in apply_semantics(raw, cmap, semantics_df(spark, sem)).collect()
+    }
+    default = trip(DEFAULT_SEMANTICS)
+    # default: mention object canonicalized, same_as fact kept raw
+    assert ("conv:c1", "mentions_location", "new_york_city") in default
+    assert ("nyc", "same_as", "new_york_city") in default
+    # flip one row: mentions_location stops canonicalizing its object
+    flipped = [
+        replace(s, canon_obj=False) if s.pred == "mentions_location" else s
+        for s in DEFAULT_SEMANTICS
+    ]
+    got = trip(flipped)
+    assert ("conv:c1", "mentions_location", "nyc") in got
+    assert ("conv:c1", "mentions_location", "new_york_city") not in got
+    # flip keep: same_as becomes structural-only and vanishes
+    dropped = [
+        replace(s, keep=False) if s.pred == "same_as" else s
+        for s in DEFAULT_SEMANTICS
+    ]
+    assert not any(p == "same_as" for _, p, _ in trip(dropped))
+    # unknown predicates fall through to PassThroughMapping (canon both)
+    extra = spark.createDataFrame(
+        [("NYC", "visited_by", "NYC", "c1", 9)],
+        "subj string, pred string, obj string, conv_id string, turn_idx int",
+    )
+    got2 = {
+        (r.subj, r.pred, r.obj)
+        for r in apply_semantics(
+            extra, cmap, semantics_df(spark, DEFAULT_SEMANTICS)
+        ).collect()
+    }
+    assert got2 == {("new_york_city", "visited_by", "new_york_city")}
+
+
+def test_kind_recovery_refines_and_converges(spark, make_transcripts):
+    """XTypeRecovery analog: a key observed with a minority kind adopts
+    its alias component's majority on iteration 2; iteration 3 changes
+    nothing (fixpoint), mirroring the reference's fixed 2-iteration
+    default."""
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.recover import recover_kinds
+
+    rows = [
+        ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+        # nyc observed twice as a location…
+        ("c1", 1, "user", "Please check the weather in NYC.", None),
+        ("c2", 0, "user", "Please check the weather in NYC.", None),
+        # …new_york_city observed once as a db name (the noisy kind)
+        ("c2", 1, "assistant", "Querying new_york_city for records about Lima.", "db_query"),
+    ]
+    t = make_transcripts(rows)
+    m = extract_mentions(t)
+    cmap = connected_components(same_as_pairs(t))
+
+    def kinds(iters):
+        return {
+            r.entity_key: r.kind
+            for r in recover_kinds(m, cmap, iterations=iters).collect()
+        }
+
+    direct = kinds(1)
+    assert direct["new_york_city"] == "db"  # its only direct observation
+    refined = kinds(2)
+    # component {nyc, new_york_city}: location outvotes db (3+ vs 1)
+    assert refined["new_york_city"] == "location"
+    assert refined["nyc"] == "location"
+    assert kinds(3) == refined  # fixpoint
+
+
 def test_tool_cooccurrence(make_transcripts):
     t = make_transcripts(
         [
