@@ -60,3 +60,150 @@ def export_neo4j_csv(g: GraphResult, out_dir: str) -> dict[str, int]:
         ).csv(f"{out_dir}/{name}")
         counts[name] = df.count()
     return counts
+
+
+def _escaped(col, pairs):
+    for a, b in pairs:
+        col = F.replace(col, F.lit(a), F.lit(b))
+    return col
+
+
+def _xml(col):
+    # '&' first so later entities aren't double-escaped
+    return _escaped(
+        col, [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]
+    )
+
+
+def _all_nodes(g: GraphResult):
+    """(id, label) across every node table."""
+    return (
+        g.conversations.select("id", F.lit("CONVERSATION").alias("label"))
+        .unionByName(g.turns.select("id", F.lit("TURN").alias("label")))
+        .unionByName(
+            g.entities_all.select(
+                F.col("entity_key").alias("id"), F.lit("ENTITY").alias("label")
+            )
+        )
+    )
+
+
+def _write_single_text(fragments, out_path: str) -> str:
+    """Assemble ordered text fragments into ONE file. graphml/dot are
+    whole-document interchange formats (JoernExport.scala:107-117 writes
+    one file too) — fragment GENERATION is distributed (JVM-side string
+    exprs over the tables); only the final byte assembly funnels through
+    a single writer, the unavoidable cost of a single-document format.
+    For graphs past memory scale use neo4j-csv/parquet instead."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    tmp = out_path + ".d"
+    fragments.coalesce(1).sortWithinPartitions("ord", "line").select(
+        "line"
+    ).write.mode("overwrite").text(tmp)
+    part = glob.glob(f"{tmp}/part-*")[0]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp)
+    return out_path
+
+
+def export_graphml(g: GraphResult, out_path: str) -> str:
+    """GraphML export (JoernExport.scala:107 Format.Graphml analog):
+    nodes carry a `label` data key, edges a `label` + optional `property`.
+    XML-escaped JVM-side; one document file on disk."""
+    spark = g.edges.sparkSession
+    header = spark.createDataFrame(
+        [
+            (0, '<?xml version="1.0" encoding="UTF-8"?>'),
+            (1, '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'),
+            (2, '<key id="label" for="node" attr.name="label" attr.type="string"/>'),
+            (3, '<key id="elabel" for="edge" attr.name="label" attr.type="string"/>'),
+            (4, '<key id="eprop" for="edge" attr.name="property" attr.type="string"/>'),
+            (5, '<graph id="tpg" edgedefault="directed">'),
+        ],
+        "ord int, line string",
+    )
+    nodes = _all_nodes(g).select(
+        F.lit(10).alias("ord"),
+        F.concat(
+            F.lit('<node id="'),
+            _xml(F.col("id")),
+            F.lit('"><data key="label">'),
+            _xml(F.col("label")),
+            F.lit("</data></node>"),
+        ).alias("line"),
+    )
+    edges = g.edges.select(
+        F.lit(20).alias("ord"),
+        F.concat(
+            F.lit('<edge source="'),
+            _xml(F.col("src")),
+            F.lit('" target="'),
+            _xml(F.col("dst")),
+            F.lit('"><data key="elabel">'),
+            _xml(F.col("label")),
+            F.lit("</data>"),
+            F.when(
+                F.col("property").isNotNull(),
+                F.concat(
+                    F.lit('<data key="eprop">'),
+                    _xml(F.col("property")),
+                    F.lit("</data>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</edge>"),
+        ).alias("line"),
+    )
+    footer = spark.createDataFrame(
+        [(30, "</graph>"), (31, "</graphml>")], "ord int, line string"
+    )
+    return _write_single_text(
+        header.unionByName(nodes).unionByName(edges).unionByName(footer), out_path
+    )
+
+
+def export_dot(g: GraphResult, out_path: str) -> str:
+    """Graphviz dot export (JoernExport Format.Dot analog): one directed
+    graph, edge label = layer (+ property when present)."""
+    spark = g.edges.sparkSession
+    esc = lambda c: _escaped(c, [("\\", "\\\\"), ('"', '\\"')])  # noqa: E731
+    header = spark.createDataFrame(
+        [(0, "digraph tpg {")], "ord int, line string"
+    )
+    nodes = _all_nodes(g).select(
+        F.lit(1).alias("ord"),
+        F.concat(
+            F.lit('"'),
+            esc(F.col("id")),
+            F.lit('" [label="'),
+            esc(F.col("label")),
+            F.lit('"];'),
+        ).alias("line"),
+    )
+    edges = g.edges.select(
+        F.lit(2).alias("ord"),
+        F.concat(
+            F.lit('"'),
+            esc(F.col("src")),
+            F.lit('" -> "'),
+            esc(F.col("dst")),
+            F.lit('" [label="'),
+            esc(
+                F.concat(
+                    F.col("label"),
+                    F.when(
+                        F.col("property").isNotNull(),
+                        F.concat(F.lit(": "), F.col("property")),
+                    ).otherwise(F.lit("")),
+                )
+            ),
+            F.lit('"];'),
+        ).alias("line"),
+    )
+    footer = spark.createDataFrame([(3, "}")], "ord int, line string")
+    return _write_single_text(
+        header.unionByName(nodes).unionByName(edges).unionByName(footer), out_path
+    )

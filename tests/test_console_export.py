@@ -32,3 +32,54 @@ def test_console_and_export(spark, make_transcripts, entities, tmp_path):
     assert counts["relationships"] == g.edges.count()
     header = open(next((tmp_path / "neo" / "relationships").glob("part-*.csv"))).readline()
     assert header.strip().split(",")[:3] == [":START_ID", ":END_ID", ":TYPE"]
+
+
+def test_graphml_round_trip(spark, make_transcripts, entities, tmp_path):
+    """Export → parse back with an XML parser → node/edge counts and
+    labels survive (JoernExportTests-style round trip). The fixture text
+    contains &, <, " to prove escaping."""
+    import xml.etree.ElementTree as ET
+
+    from joern_spark.operators.export import export_graphml
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", 'Please check the weather in Paris.', None),
+            ("c1", 1, "assistant", 'Weird <&"> turn text.', None),
+        ]
+    )
+    g = build_graph(t, entities)
+    path = export_graphml(g, str(tmp_path / "out.graphml"))
+    root = ET.parse(path).getroot()
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    nodes = root.findall(".//g:node", ns)
+    edges = root.findall(".//g:edge", ns)
+    n_nodes = g.conversations.count() + g.turns.count() + g.entities_all.count()
+    assert len(nodes) == n_nodes
+    assert len(edges) == g.edges.count()
+    ids = {n.get("id") for n in nodes}
+    assert "c1:0" in ids and "c1" in ids
+    labels = {e.find("g:data", ns).text for e in edges}
+    assert "NEXT_TURN" in labels and "CONTAINS" in labels
+
+
+def test_dot_round_trip(spark, make_transcripts, entities, tmp_path):
+    import re
+
+    from joern_spark.operators.export import export_dot
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", 'A "quoted" turn.', None),
+            ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+        ]
+    )
+    g = build_graph(t, entities)
+    path = export_dot(g, str(tmp_path / "out.dot"))
+    lines = open(path).read().splitlines()
+    assert lines[0] == "digraph tpg {" and lines[-1] == "}"
+    edge_lines = [ln for ln in lines if "->" in ln]
+    assert len(edge_lines) == g.edges.count()
+    # every edge line is well-formed: "src" -> "dst" [label="..."];
+    pat = re.compile(r'^"(\\.|[^"\\])*" -> "(\\.|[^"\\])*" \[label="(\\.|[^"\\])*"\];$')
+    assert all(pat.match(ln) for ln in edge_lines), edge_lines[:3]
