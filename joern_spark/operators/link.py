@@ -70,6 +70,69 @@ def all_entities(mentions: DataFrame, entities: DataFrame) -> DataFrame:
     return vocab.unionByName(stubs)
 
 
+def candidate_table(canonical_map: DataFrame, entities: DataFrame) -> DataFrame:
+    """(entity_key, candidate_key, is_internal): every alias-component
+    member each key may resolve to — the memoized subclass-closure cache
+    of DynamicCallLinker (DynamicCallLinker.scala:31-33,94-111), with the
+    internal-preferred filter (:184-185): when a component contains ANY
+    vocabulary entity, stub members are dropped from its candidate set.
+
+    All inputs are vocabulary-bounded (the canonical map holds only
+    aliased keys), so the whole table is computed with tiny-table windows
+    and shipped as one broadcast — the corpus-scale mention side never
+    shuffles."""
+    from pyspark.sql.window import Window
+
+    members = canonical_map.select(
+        "canon", F.col("entity_key").alias("candidate_key")
+    )
+    flagged = members.join(
+        entities.select(
+            F.col("entity_key").alias("candidate_key"),
+            F.lit(True).alias("is_internal"),
+        ),
+        "candidate_key",
+        "left",
+    ).withColumn("is_internal", F.coalesce("is_internal", F.lit(False)))
+    w = Window.partitionBy("canon")
+    pref = flagged.withColumn(
+        "_any_int", F.max(F.col("is_internal").cast("int")).over(w)
+    ).where(F.col("is_internal") | (F.col("_any_int") == 0))
+    return canonical_map.join(pref, "canon").select(
+        "entity_key", "candidate_key", "is_internal"
+    )
+
+
+def link_mentions_cha(
+    mentions: DataFrame, entities: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """CHA-style multi-candidate resolution (DynamicCallLinker.scala:
+    173-196): one mention links to EVERY member of its alias component
+    (internal-preferred), falling back to exact-key resolution — the
+    `fallbackToStaticResolution` path (:201-206) — for keys outside any
+    component. Output has one row per (mention, candidate)."""
+    m = keyed_mentions(mentions)
+    ct = F.broadcast(candidate_table(canonical_map, entities))
+    exact = F.broadcast(
+        entities.select("entity_key", F.lit(True).alias("_exact_int"))
+    )
+    return (
+        m.join(ct, "entity_key", "left")
+        .join(exact, "entity_key", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "rule",
+            "kind",
+            "surface",
+            F.coalesce("candidate_key", "entity_key").alias("candidate_key"),
+            F.coalesce(
+                "is_internal", F.coalesce("_exact_int", F.lit(False))
+            ).alias("is_internal"),
+        )
+    )
+
+
 def links_to_edges(linked: DataFrame) -> DataFrame:
     """LINKS_TO edges turn→entity, property = mention kind."""
     return linked.select(

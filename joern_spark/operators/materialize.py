@@ -32,6 +32,28 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     )
 
 
+def tag_nodes(findings: DataFrame) -> DataFrame:
+    """One TAG node per distinct scanner (NewTagNodePairTraversal.scala:
+    8-19 creates TAG nodes through a diff; here a distinct projection)."""
+    return findings.select(
+        F.concat(F.lit("tag:"), F.col("query_name")).alias("id"),
+        F.lit("TAG").alias("label"),
+        F.col("query_name").alias("name"),
+    ).dropDuplicates(["id"])
+
+
+def tagged_by_edges(findings: DataFrame) -> DataFrame:
+    """TAGGED_BY edges evidence-node → TAG node, property = score — the
+    write-back that materializes scan results INTO the graph instead of
+    leaving them as a side table (the reference's .store() diff)."""
+    return findings.select(
+        F.col("evidence").alias("src"),
+        F.concat(F.lit("tag:"), F.col("query_name")).alias("dst"),
+        F.lit("TAGGED_BY").alias("label"),
+        F.col("score").cast("string").alias("property"),
+    )
+
+
 def write_graph(
     out_dir: str,
     nodes: dict[str, DataFrame],

@@ -267,6 +267,57 @@ FROM canon GROUP BY subj, pred, obj
 """
 
 
+def linked_multi_sql(sf: float) -> str:
+    """CHA-style multi-candidate linking: component members via the
+    recursive SAME_AS closure, internal-preferred, exact-key fallback."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH RECURSIVE {_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
+m AS ({mentions_sql(sf)}),
+e AS (SELECT entity_key FROM {e_src()}),
+members AS (SELECT canon, entity_key AS candidate_key FROM cmap),
+flagged AS (
+  SELECT mm.canon, mm.candidate_key,
+         (e.entity_key IS NOT NULL) AS is_internal
+  FROM members mm LEFT JOIN e ON mm.candidate_key = e.entity_key
+),
+pref AS (
+  SELECT * FROM flagged f
+  WHERE f.is_internal OR NOT EXISTS (
+    SELECT 1 FROM flagged f2 WHERE f2.canon = f.canon AND f2.is_internal)
+),
+ct AS (
+  SELECT c.entity_key, p.candidate_key, p.is_internal
+  FROM cmap c JOIN pref p ON p.canon = c.canon
+),
+keyed AS (
+  SELECT conv_id, turn_idx, rule, kind, surface, {key} AS entity_key FROM m
+)
+SELECT k.conv_id, k.turn_idx, k.rule, k.kind, k.surface,
+       coalesce(ct.candidate_key, k.entity_key) AS candidate_key,
+       coalesce(ct.is_internal, e2.entity_key IS NOT NULL) AS is_internal
+FROM keyed k
+LEFT JOIN ct ON k.entity_key = ct.entity_key
+LEFT JOIN e e2 ON k.entity_key = e2.entity_key
+"""
+
+
+def tagged_by_sql(sf: float) -> str:
+    """TAGGED_BY write-back: one edge per finding, projected from the
+    same findings battery SQL."""
+    return f"""
+SELECT evidence AS src, 'tag:' || query_name AS dst,
+       'TAGGED_BY' AS label, CAST(score AS VARCHAR) AS property
+FROM ({findings_sql(sf)})
+"""
+
+
 def kind_recovery_sql(sf: float) -> str:
     """Two-iteration kind refinement: direct per-key vote, then the
     SAME_AS-component majority (XTypeRecovery.scala:152 semantics)."""

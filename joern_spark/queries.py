@@ -201,6 +201,21 @@ def q_tool_pairs(spark, sf_dir):
     return scan.tool_cooccurrence(_t(spark, sf_dir))
 
 
+def q_linked_multi(spark, sf_dir):
+    """CHA-style multi-candidate entity resolution: one mention row per
+    alias-component candidate, internal-preferred."""
+    t = _t(spark, sf_dir)
+    cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
+    return link.link_mentions_cha(extract_mentions(t), read_entities(spark), cmap)
+
+
+def q_tagged_by(spark, sf_dir):
+    """Findings written back into the graph as TAGGED_BY edges (the
+    newTagNodePair(...).store() analog)."""
+    findings = scan.run_scan(_t(spark, sf_dir), read_entities(spark))
+    return materialize.tagged_by_edges(findings)
+
+
 def q_edge_stats(spark, sf_dir):
     """Row counts per edge layer of the materialized property graph."""
     from joern_spark.pipeline import build_graph
@@ -291,6 +306,8 @@ TPG_QUERIES = {
     "tpg_entity_degree": q_entity_degree,
     "tpg_findings": q_findings,
     "tpg_tool_pairs": q_tool_pairs,
+    "tpg_linked_multi": q_linked_multi,
+    "tpg_tagged_by": q_tagged_by,
     "tpg_edge_stats": q_edge_stats,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,

@@ -162,6 +162,72 @@ def test_linking_hit_miss(spark, make_transcripts, entities):
     assert ents.filter((F.col("entity_key") == "paris") & ~F.col("is_external")).count() == 1
 
 
+def test_link_mentions_cha(spark, make_transcripts, entities):
+    """CHA semantics: a mention of an aliased surface fans out to every
+    component member, internal-preferred (stub members drop when the
+    component holds vocabulary entities); non-aliased keys fall back to
+    exact resolution."""
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import link_mentions_cha
+
+    t = make_transcripts(
+        [
+            # component {nyc, new_york_city, big_apple}: big_apple is in
+            # the vocabulary; which members survive depends on vocab flags
+            ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+            ("c1", 1, "user", "Note that Big Apple is also known as NYC.", None),
+            ("c1", 2, "user", "Please check the weather in NYC.", None),
+            # unaliased known entity → exact fallback, internal
+            ("c1", 3, "user", "Please check the weather in Paris.", None),
+            # unaliased unknown entity → exact fallback, external
+            ("c1", 4, "user", "Please check the weather in Zarqa.", None),
+        ]
+    )
+    cmap = connected_components(same_as_pairs(t))
+    out = link_mentions_cha(extract_mentions(t), entities, cmap)
+    vocab = {r.entity_key for r in entities.collect()}
+    nyc = {
+        (r.candidate_key, r.is_internal)
+        for r in out.where(
+            (F.col("turn_idx") == 2) & (F.col("surface") == "NYC")
+        ).collect()
+    }
+    comp = {"nyc", "new_york_city", "big_apple"}
+    internal_members = comp & vocab
+    expect = internal_members if internal_members else comp
+    assert {k for k, _ in nyc} == expect
+    assert all(i == (k in vocab) for k, i in nyc)
+    paris = [r for r in out.where(F.col("turn_idx") == 3).collect()]
+    assert len(paris) == 1 and paris[0].candidate_key == "paris" and paris[0].is_internal
+    zarqa = [r for r in out.where(F.col("turn_idx") == 4).collect()]
+    assert len(zarqa) == 1 and zarqa[0].candidate_key == "zarqa" and not zarqa[0].is_internal
+
+
+def test_tagged_by_write_back(spark, make_transcripts, entities):
+    """Findings materialize back into the graph as TAG nodes + TAGGED_BY
+    edges (the .store() analog), composable with the edge table."""
+    from joern_spark.operators.materialize import tag_nodes, tagged_by_edges
+    from joern_spark.operators.scan import run_scan
+    from joern_spark.pipeline import build_graph
+
+    rows = [("mega", i, "user", f"pad {i}", None) for i in range(256)]
+    t = make_transcripts(rows)
+    findings = run_scan(t, entities)
+    tags = tag_nodes(findings).collect()
+    assert {r.id for r in tags} == {"tag:mega-conversation"}
+    edges = tagged_by_edges(findings)
+    e = edges.collect()
+    assert len(e) == 1 and e[0].src == "mega" and e[0].property == "256"
+    # unions cleanly into the graph's edge table (same schema)
+    g = build_graph(t, entities)
+    combined = g.edges.unionByName(edges)
+    assert combined.where(F.col("label") == "TAGGED_BY").count() == 1
+
+
 def test_connected_components_paths_agree(spark, monkeypatch):
     """Driver-side union-find (small fast path) and the distributed
     min-label loop must produce identical components."""
