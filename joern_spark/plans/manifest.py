@@ -121,8 +121,32 @@ class StageRunner:
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.out_root, stage)
 
+    def _schema_path(self, stage: str) -> str:
+        # ".schema.json" (not "__N.json") so Manifest.completed's
+        # bucket-filename parse never sees it
+        return os.path.join(self.out_root, "_manifest", f"{stage}.schema.json")
+
+    def _write_schema(self, stage: str, schema) -> None:
+        """Persist the stage schema so empty stages (zero rows in every
+        bucket) still read back typed instead of failing schema
+        inference."""
+        p = self._schema_path(stage)
+        tmp = p + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(schema.json())
+        os.replace(tmp, p)
+
     def read_stage(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._stage_dir(stage))
+        from pyspark.sql import types as T
+
+        path = self._stage_dir(stage)
+        sp = self._schema_path(stage)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                schema = T.StructType.fromJson(json.load(f))
+            os.makedirs(path, exist_ok=True)
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.parquet(path)
 
     def run_stage(
         self,
@@ -146,8 +170,21 @@ class StageRunner:
         ]
         path = self._stage_dir(stage)
         if pending:
+            import shutil  # noqa: PLC0415
+
             t0 = time.time()
             df = compute(pending)
+            self._write_schema(stage, df.schema)
+            # Dynamic partition overwrite only replaces partitions PRESENT
+            # in the new output — a pending bucket whose recompute now
+            # yields zero rows would silently keep (and re-commit) its
+            # stale files. Drop every pending bucket's directory first so
+            # the write starts from a clean slate for exactly those
+            # buckets (completed buckets are untouched).
+            for b in pending:
+                shutil.rmtree(
+                    os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True
+                )
             (
                 df.where(F.col(BUCKET_COL).isin(pending))
                 .write.mode("overwrite")
@@ -155,7 +192,7 @@ class StageRunner:
                 .parquet(path)
             )
             wall = time.time() - t0
-            written = self.spark.read.parquet(path)
+            written = self.read_stage(stage)
             counts = {
                 r[BUCKET_COL]: r["n"]
                 for r in written.where(F.col(BUCKET_COL).isin(pending))
@@ -197,8 +234,9 @@ class StageRunner:
         if done is None or done["fingerprint"] != fingerprint:
             t0 = time.time()
             df = compute()
+            self._write_schema(stage, df.schema)
             df.write.mode("overwrite").parquet(path)
-            n = self.spark.read.parquet(path).count()
+            n = self.read_stage(stage).count()
             self.manifest.commit(
                 stage,
                 0,

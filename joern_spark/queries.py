@@ -81,9 +81,14 @@ def q_rebind_current_db(spark, sf_dir):
 
 
 def q_triples_final(spark, sf_dir):
+    """Two transcript scans total (was three): the SAME_AS pairs feeding
+    canonicalization are sliced from the raw-triple extraction instead of
+    re-scanning, and the extraction itself is lazily checkpointed so the
+    cmap build and the static rewrite share one materialization. Only the
+    window-shaped dbcur resolution still needs its own scan."""
     t = _t(spark, sf_dir)
-    cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
-    raw = extract_triples_raw(t)
+    raw = extract_triples_raw(t).localCheckpoint(eager=False)
+    cmap = canonicalize.connected_components(canonicalize.same_as_edges(raw))
     static = canonicalize.canonicalize_triples(raw, cmap)
     dyn = canonicalize.canonicalize_triples(rebind.dbcur_triples(t), cmap)
     return materialize.dedup_triples(static.unionByName(dyn))
@@ -217,11 +222,28 @@ def q_tagged_by(spark, sf_dir):
 
 
 def q_edge_stats(spark, sf_dir):
-    """Row counts per edge layer of the materialized property graph."""
-    from joern_spark.pipeline import build_graph
+    """Row counts per edge layer of the materialized property graph.
+    Builds only the edge-table union (NEXT_TURN/CONTAINS/LINKS_TO/SAME_AS)
+    — the full build_graph used to run the EAGER canonical-map solve whose
+    output the edge table never references; counting 4 edge layers now
+    costs 4 pruned scans and one aggregation."""
+    from joern_spark import schemas as S
 
-    g = build_graph(_t(spark, sf_dir), read_entities(spark))
-    return g.edges.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = _t(spark, sf_dir)
+    linked = link.link_mentions(extract_mentions(t), read_entities(spark))
+    same_as = canonicalize.same_as_pairs(t).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.lit(S.SAME_AS).alias("label"),
+        F.lit(None).cast("string").alias("property"),
+    )
+    edges = (
+        assemble.next_turn_edges(t)
+        .unionByName(assemble.contains_edges(t))
+        .unionByName(link.links_to_edges(linked))
+        .unionByName(same_as)
+    )
+    return edges.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
 # --- training-data pipeline ops over documents/embeddings (TESTDATA.md) ------

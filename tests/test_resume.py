@@ -90,3 +90,61 @@ def test_changed_input_recomputes_bucket(spark, tmp_path_factory):
     assert all(
         r["run_id"] == r1.run_id for b, r in done.items() if b != victim
     )
+
+
+def test_recompute_to_zero_rows_purges_stale_partition(spark, tmp_path_factory):
+    """ADVICE regression: dynamic partition overwrite only rewrites
+    partitions present in the new output, so a bucket whose recompute
+    yields ZERO rows used to keep its stale files and re-commit their
+    count under the new fingerprint. The runner must purge pending bucket
+    directories first."""
+    out = str(tmp_path_factory.mktemp("zero_out"))
+    from joern_spark.plans.manifest import input_fingerprint, with_bucket
+    from joern_spark.sources.transcripts import read_transcripts
+
+    t = with_bucket(read_transcripts(spark, SF), BUCKETS)
+    fps = input_fingerprint(t, ["conv_id", "turn_idx", "text"])
+    victim = sorted(fps)[0]
+
+    r1 = StageRunner(spark, out, BUCKETS)
+    r1.run_stage("probe", lambda p: t.where(F.col("_bucket").isin(p)), fps)
+    m = Manifest(f"{out}/_manifest")
+    assert m.completed("probe")[victim]["n_rows"] > 0
+
+    # input changed: the victim bucket now legitimately produces nothing
+    fps2 = dict(fps)
+    fps2[victim] = "changed:0"
+    r2 = StageRunner(spark, out, BUCKETS)
+    r2.run_stage(
+        "probe",
+        lambda p: t.where(
+            F.col("_bucket").isin([b for b in p if b != victim])
+        ),
+        fps2,
+    )
+    assert m.completed("probe")[victim]["n_rows"] == 0
+    got = r2.read_stage("probe").where(F.col("_bucket") == victim).count()
+    assert got == 0  # stale rows are gone, not silently served
+
+
+def test_all_empty_stage_reads_back_typed(spark, tmp_path_factory):
+    """ADVICE regression: a stage whose FIRST run emits zero rows in every
+    bucket wrote no parquet and read_stage failed schema inference. The
+    persisted stage schema must make it read back empty but typed."""
+    out = str(tmp_path_factory.mktemp("empty_out"))
+    from joern_spark.plans.manifest import input_fingerprint, with_bucket
+    from joern_spark.sources.transcripts import read_transcripts
+
+    t = with_bucket(read_transcripts(spark, SF), BUCKETS)
+    fps = input_fingerprint(t, ["conv_id", "turn_idx", "text"])
+    r = StageRunner(spark, out, BUCKETS)
+    empty = r.run_stage(
+        "probe", lambda p: t.where(F.lit(False)), fps
+    )
+    assert empty.count() == 0
+    assert set(t.columns) == set(empty.columns)
+    # global stages too
+    g = r.run_global_stage(
+        "gprobe", lambda: t.where(F.lit(False)), "fp0"
+    )
+    assert g.count() == 0 and set(g.columns) == set(t.columns)
