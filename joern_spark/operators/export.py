@@ -165,6 +165,35 @@ def export_graphml(g: GraphResult, out_path: str) -> str:
     )
 
 
+def export_graphson(g: GraphResult, out_path: str) -> str:
+    """GraphSON export (JoernExport Format.Graphson analog): one JSON
+    object per line — `{"type":"vertex",...}` then `{"type":"edge",...}`
+    — serialized JVM-side with to_json (correct escaping for free)."""
+    nodes = _all_nodes(g).select(
+        F.lit(1).alias("ord"),
+        F.to_json(
+            F.struct(
+                F.lit("vertex").alias("type"),
+                F.col("id"),
+                F.col("label"),
+            )
+        ).alias("line"),
+    )
+    edges = g.edges.select(
+        F.lit(2).alias("ord"),
+        F.to_json(
+            F.struct(
+                F.lit("edge").alias("type"),
+                F.col("src").alias("outV"),
+                F.col("dst").alias("inV"),
+                F.col("label"),
+                F.col("property"),
+            )
+        ).alias("line"),
+    )
+    return _write_single_text(nodes.unionByName(edges), out_path)
+
+
 def export_dot(g: GraphResult, out_path: str) -> str:
     """Graphviz dot export (JoernExport Format.Dot analog): one directed
     graph, edge label = layer (+ property when present)."""

@@ -285,11 +285,25 @@ def cosine_topk_lsh_multi(
     the brute-force oracle ≥ 0.9 at both test scales (pytest gate ≥ 0.8)."""
     n = _normed(embeddings)
     masks = probe_masks(nplanes, probe_h)
+    # All tables' signatures in ONE embedding scan (48 plane dots fused in
+    # one projection), lazily checkpointed: the per-table joins then touch
+    # only the compact (vec_id, b0..bN-1) table — the embeddings are never
+    # re-scanned per table/probe side.
+    sig_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(nplanes, DIM, offset=t * nplanes)
+        bucket = None
+        for p, wgt in enumerate(planes):
+            dot = _dot(
+                F.col("embedding"), F.array(*[F.lit(float(c)) for c in wgt])
+            )
+            bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        sig_cols.append(bucket.alias(f"b{t}"))
+    sigs = embeddings.select("vec_id", *sig_cols).localCheckpoint(eager=False)
     cands = None
     for t in range(n_tables):
-        b = lsh_buckets(embeddings, nplanes, offset=t * nplanes).select(
-            "vec_id", "bucket"
-        )
+        b = sigs.select("vec_id", F.col(f"b{t}").alias("bucket"))
         probes = b.select(
             "vec_id",
             F.explode(

@@ -1,0 +1,69 @@
+"""Data-flow slicing and feature vectors — the JoernSlice / JoernVectors
+analogs (joern-cli/src/main/scala/io/joern/joerncli/JoernSlice.scala,
+JoernVectors.scala).
+
+JoernSlice cuts the subgraph of nodes data-flow-relevant to a seed;
+JoernVectors emits bag-of-feature vectors per compilation unit. Here:
+
+  * `triple_slice(triples, seeds, depth)` — the triples whose
+    subject/object lies within `depth` hops of a seed entity over the
+    UNDIRECTED fact graph (subj—obj adjacency). Bounded iterative
+    frontier expansion with dedup, same skeleton as functions/graph.expand
+    (the engine's fingerprint-dedup discipline).
+  * `conversation_vectors(linked)` — sparse bag-of-entities vector per
+    conversation: (conv_id, entity_key, n). One map-side-combined
+    aggregation; the dense-matrix assembly belongs to the consumer
+    (training pipelines read sparse COO directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triple_slice(
+    triples: DataFrame, seeds: list[str], depth: int = 2
+) -> DataFrame:
+    """Triples within `depth` undirected hops of any seed entity.
+
+    Hop 0 keys = seeds; each hop adds the opposite endpoints of every
+    triple touching the current key set. Returns the distinct triple rows
+    (subj, pred, obj) of the final neighborhood — the slice a user asks
+    for with "show me everything connected to X within k facts"."""
+    spark = triples.sparkSession
+    edges = triples.select("subj", "pred", "obj").dropDuplicates()
+    keys = spark.createDataFrame([(s,) for s in seeds], "k string")
+    seen = keys.localCheckpoint(eager=True)
+    cur = seen
+    for _ in range(depth):
+        nxt = (
+            edges.join(cur, edges["subj"] == cur["k"])
+            .select(F.col("obj").alias("k"))
+            .unionByName(
+                edges.join(cur, edges["obj"] == cur["k"]).select(
+                    F.col("subj").alias("k")
+                )
+            )
+            .dropDuplicates()
+            .join(seen, "k", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.union(nxt).localCheckpoint(eager=True)
+        cur = nxt
+    # a triple belongs to the slice iff EITHER endpoint is in the
+    # neighborhood (the slice keeps boundary facts, like the reference
+    # slice keeps boundary calls)
+    in_subj = edges.join(seen, edges["subj"] == seen["k"], "left_semi")
+    in_obj = edges.join(seen, edges["obj"] == seen["k"], "left_semi")
+    return in_subj.unionByName(in_obj).dropDuplicates()
+
+
+def conversation_vectors(linked: DataFrame) -> DataFrame:
+    """(conv_id, entity_key, n) sparse bag-of-entities vectors — the
+    JoernVectors bag-of-features analog over linked mentions."""
+    return linked.groupBy("conv_id", "entity_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -318,6 +318,67 @@ FROM ({findings_sql(sf)})
 """
 
 
+def _canon_triples_ctes(sf: float) -> str:
+    """Shared CTE chain: SAME_AS closure → cmap → canonicalized triple
+    rows (`canon`), reused by slice/vectors-style derived queries."""
+    subj_key = (
+        "CASE WHEN subj LIKE 'conv:%' THEN subj ELSE " + NORM.format(x="subj") + " END"
+    )
+    obj_key = (
+        "CASE WHEN obj LIKE 'conv:%' THEN obj ELSE " + NORM.format(x="obj") + " END"
+    )
+    return f"""{_same_as_pairs_cte(sf)},
+reach(n, m) AS (
+    SELECT DISTINCT a AS n, a AS m FROM sym
+    UNION
+    SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
+raw AS ({triples_raw_sql(sf)}),
+dyn AS ({dbcur_triples_sql(sf)}),
+allt AS (
+  SELECT {subj_key} AS subj, pred, {obj_key} AS obj, conv_id, turn_idx
+  FROM (SELECT * FROM raw WHERE pred <> 'same_as' UNION ALL SELECT * FROM dyn)
+),
+canon AS (
+  SELECT coalesce(cs.canon, a.subj) AS subj, a.pred,
+         coalesce(co.canon, a.obj) AS obj, a.conv_id, a.turn_idx
+  FROM allt a
+  LEFT JOIN cmap cs ON a.subj = cs.entity_key
+  LEFT JOIN cmap co ON a.obj = co.entity_key
+)"""
+
+
+def slice_sql(sf: float, seeds: list[str], depth: int = 2) -> str:
+    """Undirected k-hop fact-graph slice around the seed entities —
+    recursive reachability bounded by hop count."""
+    seed_rows = " UNION ALL ".join(f"SELECT '{s}' AS k, 0 AS d" for s in seeds)
+    return f"""
+WITH RECURSIVE {_canon_triples_ctes(sf)},
+fedges AS (SELECT DISTINCT subj, pred, obj FROM canon),
+nb(k, d) AS (
+  {seed_rows}
+  UNION
+  SELECT CASE WHEN e.subj = nb.k THEN e.obj ELSE e.subj END AS k, nb.d + 1
+  FROM nb JOIN fedges e ON (e.subj = nb.k OR e.obj = nb.k)
+  WHERE nb.d < {depth}
+),
+ks AS (SELECT DISTINCT k FROM nb)
+SELECT DISTINCT e.subj, e.pred, e.obj
+FROM fedges e JOIN ks ON (e.subj = ks.k OR e.obj = ks.k)
+"""
+
+
+def conv_vectors_sql(sf: float) -> str:
+    """Bag-of-entities vector per conversation over linked mentions."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)})
+SELECT conv_id, {key} AS entity_key, count(*)::BIGINT AS n
+FROM m GROUP BY 1, 2
+"""
+
+
 def kind_recovery_sql(sf: float) -> str:
     """Two-iteration kind refinement: direct per-key vote, then the
     SAME_AS-component majority (XTypeRecovery.scala:152 semantics)."""

@@ -214,6 +214,29 @@ def q_linked_multi(spark, sf_dir):
     return link.link_mentions_cha(extract_mentions(t), read_entities(spark), cmap)
 
 
+SLICE_SEEDS = ["big_apple"]
+# depth 1 keeps the slice a strict subgraph (~2/3 of the facts at sf0.01);
+# at depth 2 the conversation nodes already connect the whole graph
+SLICE_DEPTH = 1
+
+
+def q_slice(spark, sf_dir):
+    """JoernSlice analog: the canonical-fact subgraph within SLICE_DEPTH
+    undirected hops of the seed entity."""
+    from joern_spark.operators.slice import triple_slice
+
+    tf = q_triples_final(spark, sf_dir).select("subj", "pred", "obj")
+    return triple_slice(tf, SLICE_SEEDS, SLICE_DEPTH)
+
+
+def q_conv_vectors(spark, sf_dir):
+    """JoernVectors analog: sparse bag-of-entities vector per conversation."""
+    from joern_spark.operators.slice import conversation_vectors
+
+    linked = link.link_mentions(extract_mentions(_t(spark, sf_dir)), read_entities(spark))
+    return conversation_vectors(linked)
+
+
 def q_tagged_by(spark, sf_dir):
     """Findings written back into the graph as TAGGED_BY edges (the
     newTagNodePair(...).store() analog)."""
@@ -330,6 +353,8 @@ TPG_QUERIES = {
     "tpg_tool_pairs": q_tool_pairs,
     "tpg_linked_multi": q_linked_multi,
     "tpg_tagged_by": q_tagged_by,
+    "tpg_slice": q_slice,
+    "tpg_conv_vectors": q_conv_vectors,
     "tpg_edge_stats": q_edge_stats,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,

@@ -63,6 +63,29 @@ def test_graphml_round_trip(spark, make_transcripts, entities, tmp_path):
     assert "NEXT_TURN" in labels and "CONTAINS" in labels
 
 
+def test_graphson_round_trip(spark, make_transcripts, entities, tmp_path):
+    import json
+
+    from joern_spark.operators.export import export_graphson
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", 'Text with "quotes" and \\ backslash.', None),
+            ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+        ]
+    )
+    g = build_graph(t, entities)
+    path = export_graphson(g, str(tmp_path / "out.graphson"))
+    objs = [json.loads(ln) for ln in open(path)]
+    vertices = [o for o in objs if o["type"] == "vertex"]
+    edges = [o for o in objs if o["type"] == "edge"]
+    assert len(vertices) == (
+        g.conversations.count() + g.turns.count() + g.entities_all.count()
+    )
+    assert len(edges) == g.edges.count()
+    assert {"outV", "inV", "label"} <= set(edges[0])
+
+
 def test_dot_round_trip(spark, make_transcripts, entities, tmp_path):
     import re
 
