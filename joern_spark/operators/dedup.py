@@ -134,8 +134,10 @@ def ngram_jaccard_pairs(
     row because shingle sets are distinct per doc) — no candidate
     materialization + re-join pass. The join input is provably bounded:
     every key has ≤ cap rows per side, so no key contributes more than
-    cap² rows."""
-    sh = capped_shingles(documents, cap=cap)
+    cap² rows. The capped shingle table feeds three plan branches (both
+    join sides + sizes) — checkpoint it once so the explode + hub
+    aggregation don't run three times."""
+    sh = capped_shingles(documents, cap=cap).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("x")

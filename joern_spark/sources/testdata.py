@@ -13,9 +13,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The testdata tables ship as ONE small parquet file, so every
+    downstream explode/UDF would run in a single task. One cheap
+    round-robin shuffle of the raw rows spreads them across the executor
+    slots — the local stand-in for a lake table that is already written
+    in many files (transcripts are; see generator.ensure_transcripts)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _spread(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
