@@ -61,9 +61,10 @@ def expand(
     max_depth: int = 10,
     emit: bool = True,
     id_col: str = "id",
-    checkpoint_every: int = 4,
+    checkpoint_every: int | None = None,
     until=None,
     emit_all_but_first: bool = False,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """repeat(step)(_.emit.maxDepth(k)) — bounded transitive expansion with
     accumulator union and frontier dedup. localCheckpoint keeps the plan
@@ -81,16 +82,27 @@ def expand(
         id satisfies pred(col(id)) are emitted but not expanded further —
         the walk stops descending at the first match on each branch.
 
-    The edge table is repartitioned on the join key and lazily
-    checkpointed ONCE, so every round's join reuses the same co-located,
-    materialized edge partitions instead of re-shuffling the (big) edge
-    side per round — at 100× scale the per-round cost is the frontier
-    shuffle only."""
-    edges = (
-        edges.select("src", "dst")
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=False)
-    )
+    Join strategy: the edge table is lazily checkpointed ONCE (computed a
+    single time, reused every round). With broadcast_frontier=True (the
+    default — reach queries start from a selective root set, so the
+    frontier stays orders of magnitude smaller than the edge table) each
+    round is a broadcast-hash join: the big edge side NEVER shuffles and
+    the per-round cost is shipping the small frontier. Set it False for
+    frontiers too big to broadcast — the edge table is then additionally
+    pre-partitioned on the join key so every round's shuffle join
+    co-partitions (measured 2.1× in favor of broadcast at sf0.1)."""
+    edges = edges.select("src", "dst")
+    if not broadcast_frontier:
+        edges = edges.repartition(F.col("src"))
+    edges = edges.localCheckpoint(eager=False)
+    maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    if checkpoint_every is None:
+        # broadcast mode driver-collects each round's frontier anyway, so
+        # eager per-round materialization is free and stops plan
+        # re-execution (measured 4.9s vs 10.6s at sf0.1 depth 5); in
+        # shuffle mode each eager checkpoint costs a blocking job, so
+        # amortize over 4 rounds.
+        checkpoint_every = 1 if broadcast_frontier else 4
     seen = frontier.select(id_col).dropDuplicates().localCheckpoint(eager=True)
     stopped = None  # until-matched nodes (the result set when not emitting all)
     if until is not None:
@@ -101,7 +113,9 @@ def expand(
     acc = None if emit_all_but_first else (seen if emit else None)
     emit_visited = emit or emit_all_but_first
     for i in range(max_depth):
-        nxt = step(cur, edges, id_col).join(seen, id_col, "left_anti")
+        nxt = step(maybe_bc(cur), edges, id_col).join(
+            maybe_bc(seen), id_col, "left_anti"
+        )
         if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
@@ -133,8 +147,9 @@ def expand_paths(
     edges: DataFrame,
     max_depth: int = 5,
     id_col: str = "id",
-    checkpoint_every: int = 4,
+    checkpoint_every: int | None = None,
     keep: str = "max",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """reachableByFlows analog — bounded expansion that carries the full
     evidence path (ExtendedCfgNode.scala:40-63): returns one row per
@@ -149,15 +164,18 @@ def expand_paths(
         ties broken by lexicographic path (Engine.scala:154-179);
         keep="all" returns every cycle-free path instead.
 
-    Scale shape: per round one co-partitioned join frontier⋈edges (edge
-    table repartitioned + checkpointed once, as in `expand`); the path
-    column rides along as an array, so state per row is O(depth).
-    Checkpoints every few rounds truncate lineage exactly like `expand`."""
-    edges = (
-        edges.select("src", "dst")
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=False)
-    )
+    Scale shape: per round one join frontier⋈edges — broadcast-hash with
+    the frontier shipped (default; the edge table never shuffles) or
+    co-partitioned shuffle join for huge frontiers, exactly as in
+    `expand`; the path column rides along as an array, so state per row
+    is O(depth). Checkpoints every few rounds truncate lineage."""
+    edges = edges.select("src", "dst")
+    if not broadcast_frontier:
+        edges = edges.repartition(F.col("src"))
+    edges = edges.localCheckpoint(eager=False)
+    maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    if checkpoint_every is None:
+        checkpoint_every = 1 if broadcast_frontier else 4
     cur = frontier.select(
         F.col(id_col).alias("src"),
         F.col(id_col).alias("dst"),
@@ -167,7 +185,7 @@ def expand_paths(
     acc = None
     for i in range(max_depth):
         nxt = (
-            cur.alias("c")
+            maybe_bc(cur).alias("c")
             .join(edges.alias("e"), F.col("c.dst") == F.col("e.src"))
             .where(~F.array_contains(F.col("c.path"), F.col("e.dst")))
             .select(

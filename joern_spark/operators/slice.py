@@ -32,21 +32,28 @@ def triple_slice(
     (subj, pred, obj) of the final neighborhood — the slice a user asks
     for with "show me everything connected to X within k facts"."""
     spark = triples.sparkSession
-    edges = triples.select("subj", "pred", "obj").dropDuplicates()
+    # computed once, reused per hop and for the final membership joins
+    edges = (
+        triples.select("subj", "pred", "obj")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     keys = spark.createDataFrame([(s,) for s in seeds], "k string")
     seen = keys.localCheckpoint(eager=True)
     cur = seen
     for _ in range(depth):
+        # the key frontier is entity-vocabulary-bounded → broadcast it;
+        # the fact table never shuffles
         nxt = (
-            edges.join(cur, edges["subj"] == cur["k"])
+            edges.join(F.broadcast(cur), edges["subj"] == cur["k"])
             .select(F.col("obj").alias("k"))
             .unionByName(
-                edges.join(cur, edges["obj"] == cur["k"]).select(
+                edges.join(F.broadcast(cur), edges["obj"] == cur["k"]).select(
                     F.col("subj").alias("k")
                 )
             )
             .dropDuplicates()
-            .join(seen, "k", "left_anti")
+            .join(F.broadcast(seen), "k", "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
@@ -56,8 +63,8 @@ def triple_slice(
     # a triple belongs to the slice iff EITHER endpoint is in the
     # neighborhood (the slice keeps boundary facts, like the reference
     # slice keeps boundary calls)
-    in_subj = edges.join(seen, edges["subj"] == seen["k"], "left_semi")
-    in_obj = edges.join(seen, edges["obj"] == seen["k"], "left_semi")
+    in_subj = edges.join(F.broadcast(seen), edges["subj"] == seen["k"], "left_semi")
+    in_obj = edges.join(F.broadcast(seen), edges["obj"] == seen["k"], "left_semi")
     return in_subj.unionByName(in_obj).dropDuplicates()
 
 
