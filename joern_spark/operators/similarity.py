@@ -342,6 +342,109 @@ def cosine_topk_lsh_multi(
     return _topk(sims, k)
 
 
+IVF_CELLS = 8
+IVF_PROBES = 5  # measured recall ≈ 0.80 at both test scales (gate ≥ 0.75)
+
+
+def ivf_centroids(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
+    """K deterministic centroid vectors: the k vectors whose md5(vec_id)
+    ranks lowest — a seeded sample, reproducible in SQL (no k-means
+    iterations, so the DuckDB oracle rebuilds the identical index; at
+    cluster scale you would refine these with a few Lloyd rounds over a
+    sample, which only changes the centroid table, not the plan shape)."""
+    from joern_spark.functions.hashing import md5_long
+
+    w = Window.orderBy(md5_long(F.col("vec_id").cast("string")), "vec_id")
+    return (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(
+            (F.col("_r") - 1).alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+
+
+def _cell_assignments(
+    embeddings: DataFrame, centroids: list, probes: int
+) -> DataFrame:
+    """(vec_id, cell, rank) for each vector's `probes` nearest centroid
+    cells by cosine — computed as one fused projection over literal
+    centroid arrays (the centroid table is tiny and ships in the plan)."""
+    # first struct field = NEGATIVE sim so array_sort's ascending
+    # field-order compare yields (sim desc, cell asc) — an explicit,
+    # total ordering the SQL oracle replicates exactly
+    sims = F.array(
+        *[
+            F.struct(
+                (
+                    -_dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+                    / (
+                        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                        * float(sum(x * x for x in c) ** 0.5)
+                    )
+                ).alias("negsim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.array_sort(sims), 1, probes)
+    return embeddings.select(
+        "vec_id",
+        F.posexplode(ranked).alias("rank", "s"),
+    ).select("vec_id", F.col("s.cell").alias("cell"), "rank")
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF approximate top-k: index side = each vector in its single
+    nearest cell; query side probes its `probes` nearest cells; exact
+    cosine + ranking over the candidate pairs. One shuffle on cell id
+    (AQE splits hub cells); candidate count ~ n/probes-th of brute force
+    per query. The centroid list is collected once — it is K rows, the
+    legitimate driver-side dimension table (vs. the banned full-table
+    collect)."""
+    cents = [
+        list(r.centroid)
+        for r in ivf_centroids(embeddings, n_cells).orderBy("cell").collect()
+    ]
+    assign = _cell_assignments(embeddings, cents, probes)
+    n = _normed(embeddings)
+    x = assign.join(n, "vec_id").select(
+        F.col("vec_id").alias("src"),
+        "cell",
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    y = (
+        assign.where(F.col("rank") == 0)
+        .join(n, "vec_id")
+        .select(
+            F.col("vec_id").alias("dst"),
+            "cell",
+            F.col("embedding").alias("eb"),
+            F.col("norm").alias("nb"),
+        )
+    )
+    sims = (
+        x.join(y, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return _topk(sims, k)
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:

@@ -22,6 +22,8 @@ from joern_spark.operators.dedup import (
 from joern_spark.operators.similarity import (
     COSINE_DUP_THRESHOLD,
     DIM,
+    IVF_CELLS,
+    IVF_PROBES,
     MULTI_NPLANES,
     MULTI_PROBE_H,
     MULTI_TABLES,
@@ -317,6 +319,56 @@ sims AS (
   FROM cand c
   JOIN normed x ON x.vec_id = c.src
   JOIN normed y ON y.vec_id = c.dst
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM sims
+)
+SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_topk_ivf_sql(k: int = TOP_K) -> str:
+    """IVF mirror: identical deterministic centroid choice (k lowest
+    md5(vec_id)), identical (sim desc, cell asc) probe ranking, exact
+    re-rank over the celled candidates."""
+    h = H.format(x="CAST(vec_id AS VARCHAR)")
+    cdot = (
+        "list_sum([(n.embedding[i]::DOUBLE) * (c.centroid[i]::DOUBLE) "
+        f"FOR i IN range(1, {DIM + 1})])"
+    )
+    return f"""
+WITH {_NORM},
+cent AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell,
+         embedding AS centroid,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS cnorm
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {IVF_CELLS}
+),
+pairsim AS (
+  SELECT n.vec_id, c.cell, {cdot} / (n.norm * c.cnorm) AS sim
+  FROM normed n CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cell ASC) - 1 AS rank
+  FROM pairsim
+  QUALIFY rank < {IVF_PROBES}
+),
+x AS (
+  SELECT a.vec_id AS src, a.cell, n.embedding, n.norm
+  FROM assign a JOIN normed n USING (vec_id)
+),
+y AS (
+  SELECT a.vec_id AS dst, a.cell, n.embedding, n.norm
+  FROM assign a JOIN normed n USING (vec_id) WHERE a.rank = 0
+),
+sims AS (
+  SELECT DISTINCT x.src, y.dst, {_DOT_XY} / (x.norm * y.norm) AS sim
+  FROM x JOIN y USING (cell) WHERE x.src <> y.dst
 ),
 ranked AS (
   SELECT src, dst, sim,

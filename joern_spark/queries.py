@@ -81,14 +81,18 @@ def q_rebind_current_db(spark, sf_dir):
 
 
 def q_triples_final(spark, sf_dir):
-    """Two transcript scans total (was three): the SAME_AS pairs feeding
-    canonicalization are sliced from the raw-triple extraction instead of
-    re-scanning, and the extraction itself is lazily checkpointed so the
-    cmap build and the static rewrite share one materialization. Only the
-    window-shaped dbcur resolution still needs its own scan."""
+    """Scan accounting (measured, sf3, 8 cores): the full extraction runs
+    ONCE (feeding the static rewrite); the alias pairs feeding
+    canonicalization come from a separate scan that is nearly free — its
+    literal-prefix + regex filter is pushed to the parquet scan and keeps
+    ~1.5% of rows; dbcur resolution needs its own window-shaped scan.
+    Deriving the pairs from a checkpointed extraction instead (one fewer
+    scan) was tried and reverted: materializing the full raw-triple set
+    costs far more than the selective re-scan and halved 8-core
+    throughput at sf3."""
     t = _t(spark, sf_dir)
-    raw = extract_triples_raw(t).localCheckpoint(eager=False)
-    cmap = canonicalize.connected_components(canonicalize.same_as_edges(raw))
+    cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
+    raw = extract_triples_raw(t)
     static = canonicalize.canonicalize_triples(raw, cmap)
     dyn = canonicalize.canonicalize_triples(rebind.dbcur_triples(t), cmap)
     return materialize.dedup_triples(static.unionByName(dyn))
@@ -316,6 +320,10 @@ def q_sim_topk_lsh_multi(spark, sf_dir):
     return similarity.cosine_topk_lsh_multi(read_embeddings(spark, sf_dir))
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    return similarity.cosine_topk_ivf(read_embeddings(spark, sf_dir))
+
+
 def q_dd_embed_cosine(spark, sf_dir):
     return similarity.cosine_dup_pairs_matmul(read_embeddings(spark, sf_dir))
 
@@ -367,6 +375,7 @@ TPG_QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
+    "sim_topk_ivf": q_sim_topk_ivf,
     "dd_embed_cosine": q_dd_embed_cosine,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,

@@ -1,0 +1,153 @@
+"""Stateful Structured-Streaming operators over the transcript firehose.
+
+The reference is batch-only (SURVEY.md §1.4); these are the streaming
+counterparts a continuous transcript feed needs:
+
+  * `windowed_turn_counts` — watermark + tumbling event-time window
+    aggregation with append-mode finalization: late turns within the
+    watermark still count; windows emit exactly once, when the watermark
+    passes them. The classic late-data-tolerant rollup.
+  * `run_rebind_state` — the streaming analog of the batch
+    reaching-definitions pass (operators/rebind.py): per-conversation
+    live-binding state carried ACROSS micro-batches via
+    applyInPandasWithState, so a rebind drained in one increment
+    resolves dbcur turns drained in a later increment. Per-group logic
+    is vectorized pandas (sort + ffill), never per-row Python.
+
+Both run with Trigger.AvailableNow — each invocation drains exactly the
+new files then stops (cron-style incremental jobs), with the checkpoint
+directory as the resume manifest. State ordering note: the binding state
+assumes increments arrive in turn order per conversation (true for an
+append-only transcript log); out-of-order feeds would add an event-time
+timeout buffer, which the transcript lake does not need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from joern_spark.generator import DEFAULT_DB
+from joern_spark.operators.extract import RULES_BY_NAME
+from joern_spark.streaming.ingest import read_transcript_stream
+
+STATE_SCHEMA = "live_db string"
+REBIND_OUT_SCHEMA = "conv_id string, turn_idx int, live_db string"
+
+
+def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
+                         late: str = "2 hours") -> DataFrame:
+    """(window_start, role, n_turns) per closed event-time window.
+
+    Watermarks require an instant (LTZ) event-time column, so the lake's
+    naive NTZ micros round-trip through the session clock — the LTZ cast
+    and the NTZ cast back use the same session timezone, so window starts
+    come out as the same naive values under any session TZ."""
+    return (
+        stream.withColumn("_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("_evt", late)
+        .groupBy(F.window("_evt", window).alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str,
+    window: str = "1 hour", late: str = "2 hours",
+) -> None:
+    """Drain available files; append every window the advancing watermark
+    has closed. Re-invoking after later data lands finalizes (and emits)
+    the earlier windows exactly once."""
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        windowed_turn_counts(stream, window, late)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _rebind_state_fn(key, pdfs, state: GroupState):
+    """Vectorized per-conversation state transition: forward-fill the
+    binding within the batch, seeded from (and updating) the carried
+    state. Emits one row per dbcur turn with its resolved live binding."""
+    import pandas as pd  # noqa: PLC0415 — executor-side
+
+    (conv_id,) = key
+    carried = state.get[0] if state.exists else None
+    outs = []
+    last = carried
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        live = pdf["bound_db"].ffill()
+        if last is not None:
+            live = live.fillna(last)
+        cur = pdf["cur_city"].notna()
+        if cur.any():
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": pdf.loc[cur, "turn_idx"],
+                        "live_db": live[cur].fillna(DEFAULT_DB),
+                    }
+                )
+            )
+        nn = pdf["bound_db"].dropna()
+        if not nn.empty:
+            last = nn.iloc[-1]
+    if last is not None:
+        state.update((last,))
+    if outs:
+        yield pd.concat(outs, ignore_index=True)
+
+
+def rebind_state_stream(stream: DataFrame) -> DataFrame:
+    """dbcur turns resolved against cross-batch binding state."""
+    rebind = RULES_BY_NAME["rebind"]
+    dbcur = RULES_BY_NAME["dbcur"]
+    ann = stream.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            (F.col("role") == rebind.role) & F.col("text").rlike(rebind.pattern),
+            F.regexp_extract("text", rebind.pattern, 1),
+        ).alias("bound_db"),
+        F.when(
+            (F.col("role") == dbcur.role) & F.col("text").rlike(dbcur.pattern),
+            F.regexp_extract("text", dbcur.pattern, 1),
+        ).alias("cur_city"),
+    ).where(F.col("bound_db").isNotNull() | F.col("cur_city").isNotNull())
+    return ann.groupBy("conv_id").applyInPandasWithState(
+        _rebind_state_fn,
+        REBIND_OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_rebind_state(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        rebind_state_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

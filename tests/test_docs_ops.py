@@ -225,3 +225,9 @@ def test_lsh_multi_recall_gate(spark):
     approx = {(r.src, r.dst) for r in similarity.cosine_topk_lsh_multi(df).collect()}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.8, recall
+    # IVF variant: structurally cheaper (one cell shuffle); recall ≈ 0.80
+    # at 5/8 probes on these near-random embeddings — gate a touch lower,
+    # the tuned-recall path is the multiprobe LSH above
+    ivf = {(r.src, r.dst) for r in similarity.cosine_topk_ivf(df).collect()}
+    ivf_recall = len(brute & ivf) / len(brute)
+    assert ivf_recall >= 0.75, ivf_recall

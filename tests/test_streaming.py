@@ -56,3 +56,89 @@ def test_incremental_exactly_once(spark, dirs):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def _land_rows(spark, landing, rows, name):
+    import glob
+    import shutil
+
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+
+    staging = f"{landing}/../_stage_{name}"
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        shutil.move(f, f"{landing}/{name}_{i}.parquet")
+    shutil.rmtree(staging)
+
+
+def test_windowed_counts_watermark_finalization(spark, tmp_path_factory):
+    """Watermarked tumbling windows emit exactly once, when later arrivals
+    push the watermark past them — and the finalized counts equal the
+    batch aggregation, late row included."""
+    import datetime as dt
+
+    from joern_spark.streaming import stateful
+
+    root = tmp_path_factory.mktemp("wstream")
+    landing, out, ckpt = (str(root / k) for k in ("landing", "out", "ckpt"))
+    import os
+
+    os.makedirs(landing)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(i, minutes, role="user"):
+        return ("cw", i, role, f"pad {i}", None, t0 + dt.timedelta(minutes=minutes))
+
+    # batch 1: hour-0 turns, plus one "late" hour-0 turn landing in batch 2
+    _land_rows(spark, landing, [row(0, 5), row(1, 20), row(2, 40)], "b1")
+    stateful.run_windowed_counts(spark, landing, out, ckpt, "1 hour", "2 hours")
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA  # noqa: F401
+
+    read = lambda: spark.read.schema(  # noqa: E731
+        "window_start timestamp_ntz, role string, n_turns long"
+    ).parquet(out)
+    assert read().count() == 0  # watermark has not passed hour 0 yet
+
+    # batch 2: a late hour-0 row (within the 2h watermark) + far-future rows
+    _land_rows(spark, landing, [row(3, 55), row(4, 600)], "b2")
+    stateful.run_windowed_counts(spark, landing, out, ckpt, "1 hour", "2 hours")
+    rows = {(r.window_start, r.role): r.n_turns for r in read().collect()}
+    assert rows == {(t0, "user"): 4}  # hour-0 window closed once, late row counted
+
+
+def test_rebind_state_across_increments(spark, tmp_path_factory):
+    """applyInPandasWithState carries the live binding across drains: a
+    rebind ingested in increment 1 resolves a dbcur ingested in
+    increment 2 (the streaming reaching-definitions analog)."""
+    from joern_spark.streaming import stateful
+
+    root = tmp_path_factory.mktemp("sstream")
+    landing, out, ckpt = (str(root / k) for k in ("landing", "out", "ckpt"))
+    import os
+
+    os.makedirs(landing)
+    dbcur = "Querying the current database for records about Lima."
+    _land_rows(
+        spark,
+        landing,
+        [
+            ("cx", 0, "assistant", dbcur, "db_query", None),
+            ("cx", 1, "user", "From now on use staging_db instead of prod_db.", None, None),
+        ],
+        "b1",
+    )
+    stateful.run_rebind_state(spark, landing, out, ckpt)
+    read = lambda: spark.read.schema(  # noqa: E731
+        "conv_id string, turn_idx int, live_db string"
+    ).parquet(out)
+    got1 = {(r.turn_idx): r.live_db for r in read().collect()}
+    assert got1 == {0: "prod_db"}  # pre-rebind dbcur hits the default
+
+    _land_rows(
+        spark, landing, [("cx", 2, "assistant", dbcur, "db_query", None)], "b2"
+    )
+    stateful.run_rebind_state(spark, landing, out, ckpt)
+    got2 = {(r.turn_idx): r.live_db for r in read().collect()}
+    assert got2 == {0: "prod_db", 2: "staging_db"}  # state survived the drain
