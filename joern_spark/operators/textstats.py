@@ -128,3 +128,27 @@ def fingerprints(documents: DataFrame, ngram: int = 4, window: int = 5) -> DataF
         hashed.select("doc_id", F.min("h").over(wm).alias("fingerprint"))
         .distinct()
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, and single
+# non-space symbols — the classic byte-pair-encoder pre-split (each
+# match is what a BPE vocabulary would then merge). RE2-safe so the
+# DuckDB oracle runs the identical pattern.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws): whitespace tokens
+    vs BPE-ish pre-tokens per document — the fertility-style ratio used
+    to budget training-token counts. Single scan, one regexp_extract_all
+    per row, no shuffle."""
+    from joern_spark.functions.hashing import tokens_col
+
+    ws = F.size(tokens_col(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.when(ws > 0, bpe.cast("double") / ws).alias("bpe_per_ws"),
+    )

@@ -98,6 +98,21 @@ FROM scored
 """
 
 
+def token_counts_sql() -> str:
+    from joern_spark.operators.textstats import BPE_PATTERN
+
+    return f"""
+WITH {TOKS}
+SELECT d.doc_id,
+       len(t.toks) AS n_ws_tokens,
+       len(regexp_extract_all(d.text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN len(regexp_extract_all(d.text, '{BPE_PATTERN}'))::DOUBLE
+                 / len(t.toks) END AS bpe_per_ws
+FROM documents d JOIN toks t USING (doc_id)
+"""
+
+
 def fingerprints_sql(ngram: int = 4, window: int = 5) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
     return f"""

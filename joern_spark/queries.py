@@ -288,6 +288,10 @@ def q_doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(read_documents(spark, sf_dir))
 
 
+def q_doc_tokens(spark, sf_dir):
+    return textstats.token_counts(read_documents(spark, sf_dir))
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
@@ -367,6 +371,7 @@ TPG_QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_tokens": q_doc_tokens,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,

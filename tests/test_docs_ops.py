@@ -118,6 +118,20 @@ def test_textstats(docs):
     assert lang[4] == "und"  # no profile hits
 
 
+def test_token_counts_bpe(spark):
+    """BPE-ish pre-tokenization: letter runs, digit runs, single symbols.
+    'don't stop2 me!!' → ws [don, t, stop2, me] = 4;
+    bpe [don, ', t, stop, 2, me, !, !] = 8."""
+    df = spark.createDataFrame(
+        [(1, "don't stop2 me!!"), (2, "plain words here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.token_counts(df).collect()}
+    assert out[1].n_ws_tokens == 4 and out[1].n_bpe_tokens == 8
+    assert out[1].bpe_per_ws == 2.0
+    assert out[2].n_ws_tokens == 3 and out[2].n_bpe_tokens == 3
+
+
 def test_fingerprints_winnowing(docs):
     fp = textstats.fingerprints(docs)
     assert fp.where(F.col("doc_id") == 4).count() == 0
