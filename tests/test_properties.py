@@ -163,6 +163,78 @@ def test_cdg_non_reconverging_branch():
     assert got == {(0, 1), (0, 2)}
 
 
+# --- path-returning flows vs brute-force enumeration -------------------------
+
+
+def _brute_paths(edges, roots, max_depth, keep_all):
+    """All cycle-free paths from the roots (depth 1..max_depth); keep=max
+    retains the longest path per (src, dst), ties to the lexicographic
+    min of the arrow-joined string — the exact contract of expand_paths."""
+    succ = {}
+    for a, b in edges:
+        succ.setdefault(a, []).append(b)
+    out = []
+
+    def walk(src, path):
+        if len(path) - 1 >= max_depth:
+            return
+        for nxt in succ.get(path[-1], ()):
+            if nxt in path:
+                continue
+            p2 = path + [nxt]
+            out.append((src, nxt, len(p2) - 1, p2))
+            walk(src, p2)
+
+    for r in roots:
+        walk(r, [r])
+    if keep_all:
+        return {(s, d, dep, "->".join(p)) for s, d, dep, p in out}
+    best = {}
+    for s, d, dep, p in out:
+        key, js = (s, d), "->".join(p)
+        cur = best.get(key)
+        if cur is None or (-dep, js) < (-cur[0], cur[1]):
+            best[key] = (dep, js)
+    return {(s, d, dep, js) for (s, d), (dep, js) in best.items()}
+
+
+@st.composite
+def random_digraph(draw):
+    """Small directed graphs, cycles allowed."""
+    n = draw(st.integers(min_value=2, max_value=6))
+    m = draw(st.integers(min_value=1, max_value=10))
+    edges = sorted(
+        {
+            (f"n{draw(st.integers(0, n - 1))}", f"n{draw(st.integers(0, n - 1))}")
+            for _ in range(m)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b] or [("n0", "n1")]
+    return edges
+
+
+@settings(max_examples=15, deadline=None)
+@given(random_digraph(), st.integers(min_value=1, max_value=4))
+def test_expand_paths_matches_bruteforce(spark, edges, depth):
+    # `spark` is the session-scoped fixture — allowed inside @given
+    # (hypothesis only rejects function-scoped fixtures)
+    from joern_spark.functions.graph import expand_paths
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    roots_list = sorted({a for a, _ in edges})[:2]
+    roots = spark.createDataFrame([(r,) for r in roots_list], "id string")
+    for keep in ("max", "all"):
+        got = {
+            (r.src, r.dst, r.depth, "->".join(r.path))
+            for r in expand_paths(roots, e, max_depth=depth, keep=keep).collect()
+        }
+        assert got == _brute_paths(edges, roots_list, depth, keep == "all"), (
+            edges,
+            depth,
+            keep,
+        )
+
+
 # --- union-find: canon = component min ---------------------------------------
 
 
