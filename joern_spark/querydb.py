@@ -1,0 +1,241 @@
+"""Query database — packaged scanners with metadata and embedded
+examples (the querydb / Query-macro analog).
+
+The reference packages every scanner as
+`Query(name, author, title, description, score, traversal, tags,
+codeExamples)` (macros/src/main/scala/io/joern/console/Query.scala:10-22)
+where `codeExamples.positive/negative` are source snippets the query MUST
+/ MUST-NOT flag; suites run each bundle against its own examples
+(querydb/src/test/scala/io/joern/suites/AllBundlesTestSuite.scala). Here:
+
+  * `Query` carries the same metadata over a scanner function
+    `DataFrame → findings`; examples are transcript-row tuples
+    `(conv_id, turn_idx, role, text, tool)` — the code-snippet analog.
+  * `verify_examples(spark, query)` replays both example sets through
+    the scanner and reports pass/fail — the generic example suite.
+  * `QUERY_DB` registers every scanner in operators/scan.py with its
+    severity and examples; `tests/test_querydb.py` runs the whole
+    database against its own examples, exactly the reference's
+    regression discipline.
+
+The findings TABLE schema (query_name, evidence, score) is unchanged —
+metadata lives in the registry, not the rows, mirroring how the
+reference keeps Finding nodes lean and query metadata in the bundle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from joern_spark.operators import scan
+from joern_spark.schemas import TRANSCRIPT_SCHEMA
+
+Rows = list[tuple]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    author: str
+    title: str
+    description: str
+    score: float  # severity, the reference's 1-10 scale
+    scanner: Callable[[DataFrame], DataFrame]
+    tags: list[str] = field(default_factory=list)
+    positive_examples: list[Rows] = field(default_factory=list)
+    negative_examples: list[Rows] = field(default_factory=list)
+
+
+def _df(spark: SparkSession, rows: Rows) -> DataFrame:
+    full = [(c, i, r, t, tool, None) for (c, i, r, t, tool) in rows]
+    return spark.createDataFrame(full, TRANSCRIPT_SCHEMA)
+
+
+def verify_examples(spark: SparkSession, q: Query) -> dict:
+    """Replay the query's own examples: every positive set must yield ≥1
+    finding, every negative set must yield none. Returns per-example
+    verdicts (the AllBundlesTestSuite behavior as a function)."""
+    pos = [q.scanner(_df(spark, rows)).count() >= 1 for rows in q.positive_examples]
+    neg = [q.scanner(_df(spark, rows)).count() == 0 for rows in q.negative_examples]
+    return {
+        "name": q.name,
+        "positive_pass": pos,
+        "negative_pass": neg,
+        "ok": all(pos) and all(neg),
+    }
+
+
+_A = "tpg"  # author tag for the built-in bundle
+
+QUERY_DB: list[Query] = [
+    Query(
+        name="mega-conversation",
+        author=_A,
+        title="Conversation exceeds the per-partition size guard",
+        description="Conversations with ≥256 turns — the skew tail that "
+        "salted repartitioning exists for, surfaced as a finding instead "
+        "of the reference's silent bail-out.",
+        score=4.0,
+        scanner=scan.scan_mega_conversations,
+        tags=["skew"],
+        positive_examples=[
+            [("mega", i, "user", f"pad {i}", None) for i in range(256)]
+        ],
+        negative_examples=[
+            [("small", i, "user", f"pad {i}", None) for i in range(255)]
+        ],
+    ),
+    Query(
+        name="rebind-conversation",
+        author=_A,
+        title="Binding changes mid-conversation",
+        description="Conversations containing rebind statements — "
+        "dataflow-relevant control points.",
+        score=2.0,
+        scanner=scan.scan_rebind_conversations,
+        tags=["dataflow"],
+        positive_examples=[
+            [("c1", 0, "user", "From now on use staging_db instead of prod_db.", None)]
+        ],
+        negative_examples=[
+            [("c1", 0, "user", "Please check the weather in Lima.", None)]
+        ],
+    ),
+    Query(
+        name="temperature-contradiction",
+        author=_A,
+        title="Same location, conflicting temperatures",
+        description="A location reported with ≥2 distinct temperatures "
+        "across the corpus — conflicting facts on one entity.",
+        score=6.0,
+        scanner=scan.scan_temperature_contradictions,
+        tags=["consistency"],
+        positive_examples=[
+            [
+                ("c1", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+                ("c2", 0, "tool", "Paris: 20C, rainy.", "weather_api"),
+            ]
+        ],
+        negative_examples=[
+            [
+                ("c1", 0, "tool", "Rome: 15C, sunny.", "weather_api"),
+                ("c2", 0, "tool", "Rome: 15C, cloudy.", "weather_api"),
+            ]
+        ],
+    ),
+    Query(
+        name="stale-binding-use",
+        author=_A,
+        title="Query against a binding that is later replaced",
+        description="dbcur turns issued before the conversation's first "
+        "rebind — they silently hit the default binding a later turn "
+        "replaces (use-before-redefinition).",
+        score=7.0,
+        scanner=scan.scan_stale_binding_use,
+        tags=["dataflow"],
+        positive_examples=[
+            [
+                ("c1", 0, "assistant",
+                 "Querying the current database for records about Lima.", "db_query"),
+                ("c1", 1, "user",
+                 "From now on use staging_db instead of prod_db.", None),
+            ]
+        ],
+        negative_examples=[
+            [
+                ("c1", 0, "user",
+                 "From now on use staging_db instead of prod_db.", None),
+                ("c1", 1, "assistant",
+                 "Querying the current database for records about Lima.", "db_query"),
+            ],
+            [
+                ("c2", 0, "assistant",
+                 "Querying the current database for records about Oslo.", "db_query"),
+            ],
+        ],
+    ),
+    Query(
+        name="alias-chain",
+        author=_A,
+        title="Alias component needs multi-hop resolution",
+        description="SAME_AS components of ≥3 surfaces (Big Apple → NYC "
+        "→ New York City) — the multi-hop closure DynamicCallLinker "
+        "memoizes.",
+        score=3.0,
+        scanner=scan.scan_alias_chains,
+        tags=["linking"],
+        positive_examples=[
+            [
+                ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+                ("c1", 1, "user", "Note that Big Apple is also known as NYC.", None),
+            ]
+        ],
+        negative_examples=[
+            [("c2", 0, "user", "Note that LA is also known as Los Angeles.", None)]
+        ],
+    ),
+    Query(
+        name="hub-entity",
+        author=_A,
+        title="Entity concentrates mention mass",
+        description="Entities above 1% of all mentions — the skew keys "
+        "salting and AQE skew-split defend against, made visible.",
+        score=4.0,
+        scanner=scan.scan_hub_entities,
+        tags=["skew"],
+        positive_examples=[
+            [("c%d" % i, 0, "user", "Please check the weather in Hubtown.", None)
+             for i in range(99)]
+            + [("cx", 0, "user", "Please check the weather in Loneville.", None)]
+        ],
+        negative_examples=[],  # any corpus has a max-share key; no universal negative
+    ),
+    Query(
+        name="tool-fanout",
+        author=_A,
+        title="Conversation drives many distinct tools",
+        description="Conversations invoking ≥6 distinct tools — the "
+        "dynamic-dispatch fan-out smell.",
+        score=2.0,
+        scanner=scan.scan_tool_fanout,
+        tags=["callgraph"],
+        positive_examples=[
+            [("c1", i, "assistant", f"Calling tool_{i} for Lima.", f"tool_{i}")
+             for i in range(scan.TOOL_FANOUT_MIN)]
+        ],
+        negative_examples=[
+            [("c2", 0, "assistant", "Calling weather_api for Lima.", "weather_api")]
+        ],
+    ),
+    Query(
+        name="lone-mention",
+        author=_A,
+        title="Entity key observed exactly once",
+        description="Single-occurrence keys carry no corroboration — the "
+        "lone-identifier discipline as a finding.",
+        score=1.0,
+        scanner=scan.scan_lone_mentions,
+        tags=["quality"],
+        positive_examples=[
+            [
+                ("c1", 0, "user", "Please check the weather in Loneville.", None),
+                ("c2", 0, "user", "Please check the weather in Paris.", None),
+                ("c3", 0, "user", "Please check the weather in Paris.", None),
+            ]
+        ],
+        negative_examples=[
+            [
+                ("c1", 0, "user", "Please check the weather in Paris.", None),
+                ("c2", 0, "user", "Please check the weather in Paris.", None),
+            ]
+        ],
+    ),
+]
+
+
+def query_report(spark: SparkSession) -> list[dict]:
+    """Verify the whole database against its own examples."""
+    return [verify_examples(spark, q) for q in QUERY_DB]

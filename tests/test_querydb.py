@@ -1,0 +1,33 @@
+"""The AllBundlesTestSuite analog: every query in the database must flag
+ALL of its positive examples and NONE of its negative examples — the
+reference's regression discipline where queries ship with their own
+evidence (querydb/src/test/scala/io/joern/suites/AllBundlesTestSuite.scala,
+examples embedded per query as in DangerousFunctions.scala:28-51)."""
+
+from __future__ import annotations
+
+import pytest
+
+from joern_spark.querydb import QUERY_DB, verify_examples
+
+
+def test_querydb_is_nonempty_and_well_formed():
+    names = [q.name for q in QUERY_DB]
+    assert len(names) == len(set(names))
+    for q in QUERY_DB:
+        assert q.title and q.description and q.score > 0
+        assert q.positive_examples, q.name  # every query proves itself
+
+
+@pytest.mark.parametrize("q", QUERY_DB, ids=lambda q: q.name)
+def test_query_examples(spark, q):
+    report = verify_examples(spark, q)
+    assert report["ok"], report
+
+
+def test_querydb_covers_every_scanner():
+    """Registry completeness: every registered scanner has a query entry
+    (adding a scanner without examples fails here)."""
+    from joern_spark.operators import scan
+
+    assert {q.name for q in QUERY_DB} == set(scan.SCANNERS)
