@@ -212,6 +212,51 @@ def minhash_lsh_pairs(
     return _verify_pairs(shingles(documents), cand, threshold)
 
 
+def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, keep_id, quality): map every document to its duplicate
+    component's SURVIVOR — the highest-quality member (ties → lowest
+    doc_id) — composing near-dup pairs (any pair source: MinHash LSH,
+    SimHash, embedding cosine) with connected components and the quality
+    score. Documents in no pair survive as themselves. This is the
+    actionable end product of the dedup family: the keep/drop assignment
+    a training pipeline filters with.
+
+    Scale shape: components run over the (tiny, dup-bounded) pair set;
+    the full document side takes one broadcast join against the
+    component map and one broadcast join against the per-component
+    winner — the corpus never shuffles."""
+    from joern_spark.operators.canonicalize import connected_components
+    from joern_spark.operators.textstats import doc_stats
+
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    cmap = connected_components(
+        pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b"))
+    ).select(
+        F.col("entity_key").alias("_k"), F.col("canon").alias("_comp")
+    )
+    q = doc_stats(documents).select("doc_id", "quality").withColumn(
+        "_k", pad(F.col("doc_id"))
+    )
+    # winner election touches only the dup-component MEMBERS (inner join
+    # against the dup-bounded map) — the per-component window shuffles
+    # that small slice, never the corpus
+    members = q.join(F.broadcast(cmap), "_k")
+    w = Window.partitionBy("_comp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    winners = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_comp", F.col("doc_id").alias("keep_id"))
+    )
+    comp_keep = F.broadcast(
+        cmap.join(winners, "_comp").select("_k", "keep_id")
+    )
+    return q.join(comp_keep, "_k", "left").select(
+        "doc_id",
+        F.coalesce("keep_id", F.col("doc_id")).alias("keep_id"),
+        "quality",
+    )
+
+
 def simhash(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: per-token 32-bit hash, count-weighted ±1
     vote per bit position, sign → bit. Two shuffles (token counts, bit

@@ -204,6 +204,39 @@ cand AS (
 """
 
 
+def dedup_survivors_sql() -> str:
+    """Components over the MinHash pair set + quality-ranked winner per
+    component; unpaired docs survive as themselves."""
+    return f"""
+WITH RECURSIVE
+pr AS (
+  SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS a,
+         lpad(CAST(b AS VARCHAR), 12, '0') AS b
+  FROM ({minhash_lsh_sql()})
+),
+sym AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+reach(n, m) AS (
+  SELECT DISTINCT a AS n, a AS m FROM sym
+  UNION
+  SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS k, min(m) AS comp FROM reach GROUP BY n),
+q AS (
+  SELECT doc_id, quality, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+  FROM ({doc_stats_sql()})
+),
+members AS (SELECT q.doc_id, q.quality, c.comp FROM q JOIN cmap c ON q.k = c.k),
+winners AS (
+  SELECT comp, doc_id AS keep_id FROM members
+  QUALIFY row_number() OVER (PARTITION BY comp
+                             ORDER BY quality DESC, doc_id ASC) = 1
+),
+ck AS (SELECT c.k, w.keep_id FROM cmap c JOIN winners w USING (comp))
+SELECT q.doc_id, coalesce(ck.keep_id, q.doc_id) AS keep_id, q.quality
+FROM q LEFT JOIN ck ON q.k = ck.k
+"""
+
+
 def simhash_sql() -> str:
     return f"""
 WITH {TOKS},

@@ -304,6 +304,13 @@ def q_dd_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(read_documents(spark, sf_dir))
 
 
+def q_dd_survivors(spark, sf_dir):
+    """Keep/drop assignment: every doc mapped to its duplicate
+    component's highest-quality survivor (MinHash-LSH pair source)."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.dedup_survivors(docs, dedup.minhash_lsh_pairs(docs))
+
+
 def q_dd_simhash(spark, sf_dir):
     return dedup.simhash(read_documents(spark, sf_dir))
 
@@ -375,6 +382,7 @@ TPG_QUERIES = {
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
+    "dd_survivors": q_dd_survivors,
     "dd_simhash": q_dd_simhash,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "sim_topk": q_sim_topk,

@@ -118,6 +118,23 @@ def test_textstats(docs):
     assert lang[4] == "und"  # no profile hits
 
 
+def test_dedup_survivors(spark):
+    """Winner = highest quality in the duplicate component (ties → min
+    doc_id); unpaired docs survive as themselves."""
+    docs = spark.createDataFrame(
+        [
+            # 0 and 1 are dups; 1 is longer → higher quality score
+            (0, "alpha beta gamma delta " * 3),
+            (1, "alpha beta gamma delta " * 12),
+            (2, "an unrelated document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1, 0.9)], "a long, b long, jaccard double")
+    out = {r.doc_id: r.keep_id for r in dedup.dedup_survivors(docs, pairs).collect()}
+    assert out == {0: 1, 1: 1, 2: 2}
+
+
 def test_token_counts_bpe(spark):
     """BPE-ish pre-tokenization: letter runs, digit runs, single symbols.
     'don't stop2 me!!' → ws [don, t, stop2, me] = 4;
