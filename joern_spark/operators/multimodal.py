@@ -111,3 +111,31 @@ def frame_sample(documents: DataFrame, every_n: int = 2) -> DataFrame:
             ).alias("frame"),
         )
     )
+
+
+RESIZE_MAX = 64
+
+
+def resize_dims(documents: DataFrame, max_side: int = RESIZE_MAX) -> DataFrame:
+    """Aspect-preserving thumbnail dimensions per image: the RESIZE step's
+    real planning arithmetic (integer, exact on both engines), with the
+    pixel resample itself belonging to the stubbed codec layer
+    (decode_image). scale = max_side / longest side, never upscaling;
+    output dims floor to ≥1."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scaled_w = F.floor(w * max_side / longest)
+    scaled_h = F.floor(h * max_side / longest)
+    return image_meta(documents).select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(longest <= max_side, w)
+        .otherwise(F.greatest(scaled_w, F.lit(1)))
+        .cast("int")
+        .alias("out_w"),
+        F.when(longest <= max_side, h)
+        .otherwise(F.greatest(scaled_h, F.lit(1)))
+        .cast("int")
+        .alias("out_h"),
+    )

@@ -506,3 +506,31 @@ def cosine_dup_pairs_matmul(
         .cogroup(idx.groupBy("qb", "ib"))
         .applyInPandas(tile, "a long, b long, sim double")
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, i, q): symmetric per-vector int8 quantization —
+    scale = 127/max|x|, q = floor(x·scale + 0.5) — the storage-shrinking
+    transform a training pipeline applies before writing embedding
+    shards. Emitted exploded (one row per dimension) so the correctness
+    gate compares scalar cells, not engine-specific array renderings.
+    Single scan, no shuffle; arithmetic is identical expression order in
+    Spark and the SQL oracle, so the floors agree bit-for-bit."""
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    e = embeddings.select("vec_id", "embedding", mx.alias("mx"))
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i", "x"),
+        "mx",
+    ).select(
+        "vec_id",
+        "i",
+        F.when(F.col("mx") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.col("x").cast("double") * 127 / F.col("mx") + 0.5)
+        )
+        .cast("int")
+        .alias("q"),
+    )

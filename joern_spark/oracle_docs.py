@@ -453,6 +453,40 @@ FROM documents
 """
 
 
+def resize_dims_sql() -> str:
+    from joern_spark.operators.multimodal import RESIZE_MAX
+
+    return f"""
+WITH m AS ({image_meta_sql()})
+SELECT doc_id, width, height,
+       CASE WHEN greatest(width, height) <= {RESIZE_MAX} THEN width
+            ELSE greatest(floor(width * {RESIZE_MAX} / greatest(width, height)), 1)
+       END::INT AS out_w,
+       CASE WHEN greatest(width, height) <= {RESIZE_MAX} THEN height
+            ELSE greatest(floor(height * {RESIZE_MAX} / greatest(width, height)), 1)
+       END::INT AS out_h
+FROM m
+"""
+
+
+def quantize_sql() -> str:
+    return f"""
+WITH mx AS (
+  SELECT vec_id, embedding,
+         list_max([abs(x::DOUBLE) FOR x IN embedding]) AS mx
+  FROM embeddings
+)
+SELECT vec_id, s.i AS i, s.q AS q FROM (
+  SELECT vec_id,
+         unnest([{{'i': i - 1,
+                   'q': (CASE WHEN mx = 0 THEN 0
+                         ELSE floor((embedding[i]::DOUBLE) * 127 / mx + 0.5)
+                         END)::INT}}
+                 FOR i IN range(1, {DIM + 1})]) AS s
+  FROM mx)
+"""
+
+
 def decode_features_sql() -> str:
     # Per-character codepoint → UTF-8 byte list, so mean/max are over the
     # ACTUAL encoded bytes (the Spark kernel reads np.frombuffer of the

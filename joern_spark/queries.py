@@ -347,6 +347,14 @@ def q_mm_decode_features(spark, sf_dir):
     return multimodal.decode_features(read_documents(spark, sf_dir))
 
 
+def q_mm_resize_dims(spark, sf_dir):
+    return multimodal.resize_dims(read_documents(spark, sf_dir))
+
+
+def q_emb_quantize(spark, sf_dir):
+    return similarity.quantize_int8(read_embeddings(spark, sf_dir))
+
+
 TPG_QUERIES = {
     "tpg_turns": q_turns,
     "tpg_conversations": q_conversations,
@@ -392,4 +400,6 @@ TPG_QUERIES = {
     "dd_embed_cosine": q_dd_embed_cosine,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
+    "mm_resize_dims": q_mm_resize_dims,
+    "emb_quantize": q_emb_quantize,
 }

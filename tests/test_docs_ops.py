@@ -118,6 +118,39 @@ def test_textstats(docs):
     assert lang[4] == "und"  # no profile hits
 
 
+def test_resize_dims_aspect(spark):
+    """Aspect preserved, longest side clamps to RESIZE_MAX, never
+    upscale, dims floor to ≥1."""
+    from joern_spark.operators import multimodal as mm
+
+    # deterministic widths/heights come from the text hash; check the
+    # arithmetic invariants over the real derivation
+    docs = spark.createDataFrame(
+        [(i, f"image payload {i}") for i in range(50)], "doc_id long, text string"
+    )
+    for r in mm.resize_dims(docs).collect():
+        assert 0 <= r.out_w <= max(r.width, mm.RESIZE_MAX)
+        assert 0 <= r.out_h <= max(r.height, mm.RESIZE_MAX)
+        if max(r.width, r.height) <= mm.RESIZE_MAX:
+            assert (r.out_w, r.out_h) == (r.width, r.height)  # no upscale
+        else:
+            assert max(r.out_w, r.out_h) <= mm.RESIZE_MAX
+            assert r.out_w >= 1 and r.out_h >= 1
+
+
+def test_quantize_int8(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.vec_id, r.i): r.q for r in similarity.quantize_int8(df).collect()}
+    # vec 1: max|x| = 1.0 → q = floor(x*127 + 0.5)
+    assert out[(1, 0)] == 64 and out[(1, 1)] == -127 and out[(1, 2)] == 32
+    assert out[(1, 3)] == 0
+    # zero vector quantizes to zeros, not NaN
+    assert all(out[(2, i)] == 0 for i in range(4))
+
+
 def test_dedup_survivors(spark):
     """Winner = highest quality in the duplicate component (ties → min
     doc_id); unpaired docs survive as themselves."""
