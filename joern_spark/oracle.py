@@ -379,6 +379,14 @@ FROM m GROUP BY 1, 2
 """
 
 
+def hourly_turns_sql(sf: float) -> str:
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT date_trunc('hour', ts) AS hour_start, role, count(*) AS n_turns
+FROM t GROUP BY 1, 2
+"""
+
+
 def kind_recovery_sql(sf: float) -> str:
     """Two-iteration kind refinement: direct per-key vote, then the
     SAME_AS-component majority (XTypeRecovery.scala:152 semantics)."""

@@ -115,6 +115,19 @@ def q_triples_semantics(spark, sf_dir):
     return materialize.dedup_triples(out)
 
 
+def q_hourly_turns(spark, sf_dir):
+    """Event-time rollup: turns per (hour, role) — the batch counterpart
+    of the streaming watermarked window (streaming/stateful.py), pure NTZ
+    arithmetic so the result is session-TZ-independent."""
+    return (
+        _t(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "role"
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
 def q_kind_recovery(spark, sf_dir):
     """XTypeRecovery analog: 2-iteration kind refinement — keys adopt the
     majority kind of their SAME_AS component (fixpoint at iteration 2,
@@ -368,6 +381,7 @@ TPG_QUERIES = {
     "tpg_triples_final": q_triples_final,
     "tpg_triples_semantics": q_triples_semantics,
     "tpg_kind_recovery": q_kind_recovery,
+    "tpg_hourly_turns": q_hourly_turns,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
