@@ -229,6 +229,34 @@ def scan_lone_mentions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def scan_unanswered_asks(transcripts: DataFrame) -> DataFrame:
+    """User asks with NO later assistant tool call in the conversation —
+    the order-constrained whereNot (a request the agent never acted on).
+    Shape: per-conversation max call index (shuffles only the filtered
+    call slice) joined back to the ask slice; unanswered ⇔ the latest
+    call precedes the ask (or no call exists). Evidence is the TURN id —
+    node-level findings like the reference's evidence nodes."""
+    ask = RULES_BY_NAME["ask"]
+    call = RULES_BY_NAME["call"]
+    asks = transcripts.where(_match_cond(ask)).select("conv_id", "turn_idx")
+    last_call = (
+        transcripts.where(_match_cond(call))
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("last_call"))
+    )
+    return (
+        asks.join(last_call, "conv_id", "left")
+        .where(F.col("last_call").isNull() | (F.col("last_call") < F.col("turn_idx")))
+        .select(
+            F.lit("unanswered-ask").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -238,6 +266,7 @@ SCANNERS: dict[str, Callable] = {
     "hub-entity": scan_hub_entities,
     "tool-fanout": scan_tool_fanout,
     "lone-mention": scan_lone_mentions,
+    "unanswered-ask": scan_unanswered_asks,
 }
 
 

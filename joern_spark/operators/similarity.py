@@ -338,25 +338,28 @@ def cosine_topk_lsh_multi(
             bucket = bit if bucket is None else bucket + bit
         sig_cols.append(bucket.alias(f"b{t}"))
     sigs = embeddings.select("vec_id", *sig_cols).localCheckpoint(eager=False)
-    cands = None
-    for t in range(n_tables):
-        b = sigs.select("vec_id", F.col(f"b{t}").alias("bucket"))
-        probes = b.select(
-            "vec_id",
-            F.explode(
-                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
-            ).alias("bucket"),
-        )
-        pairs = (
-            probes.alias("x")
-            .join(b.alias("y"), "bucket")
-            .where(F.col("x.vec_id") != F.col("y.vec_id"))
-            .select(
-                F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst")
-            )
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+    # melt the per-table signature columns into (vec_id, tbl, bucket) and
+    # resolve ALL tables' candidates in ONE join keyed on (tbl, bucket)
+    # instead of n_tables separate joins + union — one shuffle, one
+    # distinct, same pair set
+    stack_args = ", ".join(f"{t}, b{t}" for t in range(n_tables))
+    y = sigs.selectExpr(
+        "vec_id", f"stack({n_tables}, {stack_args}) as (tbl, bucket)"
+    )
+    x = y.select(
+        "vec_id",
+        "tbl",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cands = (
+        x.alias("x")
+        .join(y.alias("y"), ["tbl", "bucket"])
+        .where(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
+        .distinct()
+    )
     return _topk(_pair_sims_arrow(cands, n), k)
 
 

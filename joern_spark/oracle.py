@@ -577,6 +577,14 @@ SELECT 'tool-fanout', conv_id, count(DISTINCT tool)::BIGINT
 FROM t WHERE tool IS NOT NULL
 GROUP BY conv_id HAVING count(DISTINCT tool) >= {TOOL_FANOUT_MIN}
 UNION ALL
+SELECT 'unanswered-ask',
+       a.conv_id || ':' || CAST(a.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx FROM t WHERE {_rule_where(RULES_BY_NAME["ask"])}) a
+LEFT JOIN (SELECT conv_id, max(turn_idx) AS last_call FROM t
+           WHERE {_rule_where(RULES_BY_NAME["call"])} GROUP BY 1) c
+  ON a.conv_id = c.conv_id
+WHERE c.last_call IS NULL OR c.last_call < a.turn_idx
+UNION ALL
 SELECT 'lone-mention', k, n::BIGINT FROM mc WHERE n = 1
 """
 

@@ -236,6 +236,36 @@ QUERY_DB: list[Query] = [
 ]
 
 
+QUERY_DB.append(
+    Query(
+        name="unanswered-ask",
+        author=_A,
+        title="User request never acted on",
+        description="A user ask with no later assistant tool call in the "
+        "conversation — the order-constrained whereNot; evidence is the "
+        "turn node.",
+        score=5.0,
+        scanner=scan.scan_unanswered_asks,
+        tags=["completeness"],
+        positive_examples=[
+            [
+                ("c1", 0, "user", "Please check the weather in Lima.", None),
+                ("c1", 1, "assistant", "Calling weather_api for Lima.", "weather_api"),
+                # a second ask AFTER the last call goes unanswered
+                ("c1", 2, "user", "Please check the weather in Oslo.", None),
+            ],
+            [("c2", 0, "user", "Please check the weather in Lima.", None)],
+        ],
+        negative_examples=[
+            [
+                ("c3", 0, "user", "Please check the weather in Lima.", None),
+                ("c3", 1, "assistant", "Calling weather_api for Lima.", "weather_api"),
+            ]
+        ],
+    )
+)
+
+
 def query_report(spark: SparkSession) -> list[dict]:
     """Verify the whole database against its own examples."""
     return [verify_examples(spark, q) for q in QUERY_DB]
