@@ -379,6 +379,44 @@ FROM m GROUP BY 1, 2
 """
 
 
+def entity_rank_sql(sf: float) -> str:
+    """Fixed-N damped PageRank, iterations unrolled as chained CTEs
+    generated from the same constants the Spark operator uses;
+    contribution sums fold over sorted lists so the double additions
+    happen in the identical order on both engines."""
+    from joern_spark.operators.rank import PR_DAMPING, PR_ITERATIONS
+
+    key = NORM.format(x="m.surface")
+    d = PR_DAMPING
+    rounds: list[str] = []
+    for i in range(1, PR_ITERATIONS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT s.dst AS node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+           + {d} * list_sum(list_sort(list(r.rank / dg.deg))) AS rank
+  FROM sym s JOIN r{i - 1} r ON r.node = s.src JOIN deg dg ON dg.src = s.src
+  GROUP BY s.dst
+)"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+{joined}
+SELECT node, rank FROM r{PR_ITERATIONS}
+"""
+
+
 def hourly_turns_sql(sf: float) -> str:
     return f"""
 WITH t AS (SELECT * FROM {t_src(sf)})

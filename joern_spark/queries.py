@@ -115,6 +115,14 @@ def q_triples_semantics(spark, sf_dir):
     return materialize.dedup_triples(out)
 
 
+def q_entity_rank(spark, sf_dir):
+    """Damped PageRank over the entity co-mention graph (fixed 10
+    iterations, vocabulary-bounded joins)."""
+    from joern_spark.operators.rank import entity_cooccurrence, pagerank
+
+    return pagerank(entity_cooccurrence(extract_mentions(_t(spark, sf_dir))))
+
+
 def q_hourly_turns(spark, sf_dir):
     """Event-time rollup: turns per (hour, role) — the batch counterpart
     of the streaming watermarked window (streaming/stateful.py), pure NTZ
@@ -382,6 +390,7 @@ TPG_QUERIES = {
     "tpg_triples_semantics": q_triples_semantics,
     "tpg_kind_recovery": q_kind_recovery,
     "tpg_hourly_turns": q_hourly_turns,
+    "tpg_entity_rank": q_entity_rank,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,

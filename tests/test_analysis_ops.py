@@ -234,6 +234,28 @@ def test_kind_recovery_refines_and_converges(spark, make_transcripts):
     assert kinds(3) == refined  # fixpoint
 
 
+def test_pagerank_entity_graph(spark, make_transcripts):
+    """Probability mass conserved (Σrank ≈ 1 on a graph with no dangling
+    nodes) and a hub entity outranks peripheral ones."""
+    import math
+
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.rank import entity_cooccurrence, pagerank
+
+    rows = []
+    # star: Hub co-mentioned with 4 spokes; spokes never co-mention
+    for i, city in enumerate(["Lima", "Oslo", "Cairo", "Quito"]):
+        rows.append((f"c{i}", 0, "user", "Please check the weather in Hub City.", None))
+        rows.append((f"c{i}", 1, "user", f"Please check the weather in {city}.", None))
+    t = make_transcripts(rows)
+    edges = entity_cooccurrence(extract_mentions(t))
+    assert edges.count() == 4  # hub—spoke only
+    ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+    hub = ranks["hub_city"]
+    assert all(hub > v for k, v in ranks.items() if k != "hub_city")
+
+
 def test_tool_cooccurrence(make_transcripts):
     t = make_transcripts(
         [
