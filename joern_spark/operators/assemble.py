@@ -84,6 +84,37 @@ def conversation_nodes(transcripts: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 300
+
+
+def session_ids(transcripts: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(conv_id, turn_idx, session_idx): split conversations into
+    sessions wherever the inter-turn gap exceeds `gap_s` seconds — the
+    transcript segmentation every training pipeline applies before
+    windowing. One conv_id window (lag + running sum of gap flags), pure
+    NTZ arithmetic, session-TZ-independent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.expr("timestampdiff(SECOND, _prev_ts, ts)")
+    flagged = transcripts.select(
+        "conv_id", "turn_idx", "ts"
+    ).withColumn("_prev_ts", F.lag("ts").over(w)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev_ts").isNotNull() & (gap > gap_s), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.select(
+        "conv_id",
+        "turn_idx",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_idx"),
+    )
+
+
 def contains_edges(transcripts: DataFrame) -> DataFrame:
     """CONTAINS edges conversation→turn (skip-level containment,
     ContainsEdgePass.scala:16-59 analog). In the reference this is an AST

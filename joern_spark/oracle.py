@@ -417,6 +417,25 @@ SELECT node, rank FROM r{PR_ITERATIONS}
 """
 
 
+def sessions_sql(sf: float) -> str:
+    from joern_spark.operators.assemble import SESSION_GAP_S
+
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+flagged AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(ts) OVER w IS NOT NULL
+               AND date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS newf
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+       (sum(newf) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING))::INT AS session_idx
+FROM flagged
+"""
+
+
 def hourly_turns_sql(sf: float) -> str:
     return f"""
 WITH t AS (SELECT * FROM {t_src(sf)})

@@ -115,6 +115,12 @@ def q_triples_semantics(spark, sf_dir):
     return materialize.dedup_triples(out)
 
 
+def q_sessions(spark, sf_dir):
+    """Time-gap sessionization of conversations (window lag + running
+    flag sum)."""
+    return assemble.session_ids(_t(spark, sf_dir))
+
+
 def q_entity_rank(spark, sf_dir):
     """Damped PageRank over the entity co-mention graph (fixed 10
     iterations, vocabulary-bounded joins)."""
@@ -391,6 +397,7 @@ TPG_QUERIES = {
     "tpg_kind_recovery": q_kind_recovery,
     "tpg_hourly_turns": q_hourly_turns,
     "tpg_entity_rank": q_entity_rank,
+    "tpg_sessions": q_sessions,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,

@@ -234,6 +234,26 @@ def test_kind_recovery_refines_and_converges(spark, make_transcripts):
     assert kinds(3) == refined  # fixpoint
 
 
+def test_session_ids_gap_split(spark):
+    """Sessions split exactly at inter-turn gaps > SESSION_GAP_S."""
+    import datetime as dt
+
+    from joern_spark.operators.assemble import session_ids
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "a", None, t0),
+        ("c1", 1, "user", "b", None, t0 + dt.timedelta(seconds=10)),
+        ("c1", 2, "user", "c", None, t0 + dt.timedelta(seconds=400)),  # gap!
+        ("c1", 3, "user", "d", None, t0 + dt.timedelta(seconds=410)),
+        ("c1", 4, "user", "e", None, t0 + dt.timedelta(seconds=800)),  # gap!
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.turn_idx: r.session_idx for r in session_ids(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
 def test_pagerank_entity_graph(spark, make_transcripts):
     """Probability mass conserved (Σrank ≈ 1 on a graph with no dangling
     nodes) and a hub entity outranks peripheral ones."""
