@@ -257,6 +257,201 @@ def scan_unanswered_asks(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def scan_dangling_calls(transcripts: DataFrame) -> DataFrame:
+    """Tool calls for a location with NO later tool-result for that
+    location in the same conversation — the ignored-return-value /
+    call-without-effect smell (querydb's unchecked-return family).
+    Shape: calls join the per-(conv, loc) MAX result index, so only the
+    two filtered slices shuffle. Evidence is the call TURN id."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    call = RULES_BY_NAME["call"]
+    result = RULES_BY_NAME["result"]
+    calls = transcripts.where(_match_cond(call)).select(
+        "conv_id",
+        "turn_idx",
+        normalize_surface_col(
+            F.regexp_extract("text", call.pattern, 2)
+        ).alias("loc"),
+    )
+    last_res = (
+        transcripts.where(_match_cond(result))
+        .select(
+            "conv_id",
+            "turn_idx",
+            normalize_surface_col(
+                F.regexp_extract("text", result.pattern, 1)
+            ).alias("loc"),
+        )
+        .groupBy("conv_id", "loc")
+        .agg(F.max("turn_idx").alias("last_res"))
+    )
+    return (
+        calls.join(last_res, ["conv_id", "loc"], "left")
+        .where(F.col("last_res").isNull() | (F.col("last_res") < F.col("turn_idx")))
+        .select(
+            F.lit("dangling-call").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_orphan_results(transcripts: DataFrame) -> DataFrame:
+    """Tool results for a location with NO earlier call for that location
+    in the conversation — a provenance violation (data appearing without
+    the operation that produced it). Mirror image of dangling-call:
+    results join the per-(conv, loc) MIN call index."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    call = RULES_BY_NAME["call"]
+    result = RULES_BY_NAME["result"]
+    results = transcripts.where(_match_cond(result)).select(
+        "conv_id",
+        "turn_idx",
+        normalize_surface_col(
+            F.regexp_extract("text", result.pattern, 1)
+        ).alias("loc"),
+    )
+    first_call = (
+        transcripts.where(_match_cond(call))
+        .select(
+            "conv_id",
+            "turn_idx",
+            normalize_surface_col(
+                F.regexp_extract("text", call.pattern, 2)
+            ).alias("loc"),
+        )
+        .groupBy("conv_id", "loc")
+        .agg(F.min("turn_idx").alias("first_call"))
+    )
+    return (
+        results.join(first_call, ["conv_id", "loc"], "left")
+        .where(
+            F.col("first_call").isNull() | (F.col("first_call") > F.col("turn_idx"))
+        )
+        .select(
+            F.lit("orphan-result").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_retry_loops(transcripts: DataFrame) -> DataFrame:
+    """The same tool called ≥2 times for the same location in one
+    conversation — the retry/error-loop smell (the reference's repeated
+    dangerous-call pattern). One map-side-combined groupBy; scored by
+    the call count."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    call = RULES_BY_NAME["call"]
+    calls = transcripts.where(_match_cond(call)).select(
+        "conv_id",
+        F.regexp_extract("text", call.pattern, 1).alias("tool_name"),
+        normalize_surface_col(
+            F.regexp_extract("text", call.pattern, 2)
+        ).alias("loc"),
+    )
+    return (
+        calls.groupBy("conv_id", "tool_name", "loc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("retry-loop").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), "tool_name", F.lit(":"), "loc"
+            ).alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+DEAD_REBIND_SENTINEL = 2**62  # "no next rebind" upper bound
+
+
+def scan_dead_rebinds(transcripts: DataFrame) -> DataFrame:
+    """Rebinds with NO dbcur use before the next rebind (or end of the
+    conversation) — the dead-store query from reaching-definitions: the
+    binding is written and overwritten without ever being read. Shape:
+    lead() over the tiny rebind slice, then a range anti-join against
+    the dbcur slice on conv_id."""
+    from pyspark.sql import Window
+
+    rebind = RULES_BY_NAME["rebind"]
+    dbcur = RULES_BY_NAME["dbcur"]
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    rebinds = (
+        transcripts.where(_match_cond(rebind))
+        .select("conv_id", "turn_idx")
+        .withColumn(
+            "next_idx",
+            F.coalesce(
+                F.lead("turn_idx").over(w).cast("long"),
+                F.lit(DEAD_REBIND_SENTINEL),
+            ),
+        )
+    )
+    uses = transcripts.where(_match_cond(dbcur)).select(
+        "conv_id", F.col("turn_idx").alias("use_idx")
+    )
+    cond = (
+        (rebinds.conv_id == uses.conv_id)
+        & (uses.use_idx > rebinds.turn_idx)
+        & (uses.use_idx < rebinds.next_idx)
+    )
+    return rebinds.join(uses, cond, "left_anti").select(
+        F.lit("dead-rebind").alias("query_name"),
+        F.concat(
+            "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("evidence"),
+        F.lit(1).cast("long").alias("score"),
+    )
+
+
+def scan_self_aliases(transcripts: DataFrame) -> DataFrame:
+    """Alias statements whose two surfaces normalize to the SAME key —
+    degenerate SAME_AS self-loops that add an edge but no information
+    (the reference's no-op-assignment smell)."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    alias = RULES_BY_NAME["alias"]
+    return (
+        transcripts.where(_match_cond(alias))
+        .where(
+            normalize_surface_col(F.regexp_extract("text", alias.pattern, 1))
+            == normalize_surface_col(F.regexp_extract("text", alias.pattern, 2))
+        )
+        .select(
+            F.lit("self-alias").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_protocol_violations(transcripts: DataFrame) -> DataFrame:
+    """Conversations whose FIRST turn is not from the user — the
+    transcript-protocol analog of a method body with no entry node.
+    One min_by aggregation, no window."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.min_by("role", "turn_idx").alias("first_role"))
+        .where(F.col("first_role") != "user")
+        .select(
+            F.lit("protocol-violation").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -267,6 +462,12 @@ SCANNERS: dict[str, Callable] = {
     "tool-fanout": scan_tool_fanout,
     "lone-mention": scan_lone_mentions,
     "unanswered-ask": scan_unanswered_asks,
+    "dangling-call": scan_dangling_calls,
+    "orphan-result": scan_orphan_results,
+    "retry-loop": scan_retry_loops,
+    "dead-rebind": scan_dead_rebinds,
+    "self-alias": scan_self_aliases,
+    "protocol-violation": scan_protocol_violations,
 }
 
 

@@ -582,11 +582,19 @@ def findings_sql(sf: float) -> str:
         TOOL_FANOUT_MIN,
     )
 
+    from joern_spark.operators.scan import DEAD_REBIND_SENTINEL
+
     rebind = RULES_BY_NAME["rebind"]
     result = RULES_BY_NAME["result"]
     dbcur = RULES_BY_NAME["dbcur"]
+    call = RULES_BY_NAME["call"]
+    alias_r = RULES_BY_NAME["alias"]
     key = NORM.format(x="m.surface")
     loc = NORM.format(x=f"regexp_extract(text, '{result.pattern}', 1)")
+    call_loc = NORM.format(x=f"regexp_extract(text, '{call.pattern}', 2)")
+    res_loc = NORM.format(x=f"regexp_extract(text, '{result.pattern}', 1)")
+    alias_a = NORM.format(x=f"regexp_extract(text, '{alias_r.pattern}', 1)")
+    alias_b = NORM.format(x=f"regexp_extract(text, '{alias_r.pattern}', 2)")
     return f"""
 WITH RECURSIVE {_same_as_pairs_cte(sf)},
 reach(n, m) AS (
@@ -643,6 +651,57 @@ LEFT JOIN (SELECT conv_id, max(turn_idx) AS last_call FROM t
 WHERE c.last_call IS NULL OR c.last_call < a.turn_idx
 UNION ALL
 SELECT 'lone-mention', k, n::BIGINT FROM mc WHERE n = 1
+UNION ALL
+SELECT 'dangling-call',
+       c.conv_id || ':' || CAST(c.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, {call_loc} AS loc FROM t
+      WHERE {_rule_where(call)}) c
+LEFT JOIN (SELECT conv_id, {res_loc} AS loc, max(turn_idx) AS last_res
+           FROM t WHERE {_rule_where(result)} GROUP BY 1, 2) r
+  ON c.conv_id = r.conv_id AND c.loc = r.loc
+WHERE r.last_res IS NULL OR r.last_res < c.turn_idx
+UNION ALL
+SELECT 'orphan-result',
+       x.conv_id || ':' || CAST(x.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, {res_loc} AS loc FROM t
+      WHERE {_rule_where(result)}) x
+LEFT JOIN (SELECT conv_id, {call_loc} AS loc, min(turn_idx) AS first_call
+           FROM t WHERE {_rule_where(call)} GROUP BY 1, 2) fc
+  ON x.conv_id = fc.conv_id AND x.loc = fc.loc
+WHERE fc.first_call IS NULL OR fc.first_call > x.turn_idx
+UNION ALL
+SELECT 'retry-loop', ev, n::BIGINT FROM (
+  SELECT conv_id || ':' || tool_name || ':' || loc AS ev, count(*) AS n
+  FROM (SELECT conv_id,
+               regexp_extract(text, '{call.pattern}', 1) AS tool_name,
+               {call_loc} AS loc
+        FROM t WHERE {_rule_where(call)})
+  GROUP BY 1 HAVING count(*) >= 2
+)
+UNION ALL
+SELECT 'dead-rebind',
+       rb.conv_id || ':' || CAST(rb.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx,
+             coalesce(lead(turn_idx) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx),
+                      {DEAD_REBIND_SENTINEL}) AS next_idx
+      FROM t WHERE {_rule_where(rebind)}) rb
+WHERE NOT EXISTS (
+  SELECT 1 FROM t u
+  WHERE u.role = '{dbcur.role}'
+    AND regexp_matches(u.text, '{dbcur.pattern}')
+    AND u.conv_id = rb.conv_id
+    AND u.turn_idx > rb.turn_idx AND u.turn_idx < rb.next_idx
+)
+UNION ALL
+SELECT 'self-alias',
+       conv_id || ':' || CAST(turn_idx AS VARCHAR), 1::BIGINT
+FROM t WHERE {_rule_where(alias_r)} AND {alias_a} = {alias_b}
+UNION ALL
+SELECT 'protocol-violation', conv_id, 1::BIGINT
+FROM (SELECT conv_id, min_by(role, turn_idx) AS first_role
+      FROM t GROUP BY conv_id)
+WHERE first_role <> 'user'
 """
 
 

@@ -266,6 +266,164 @@ QUERY_DB.append(
 )
 
 
+QUERY_DB.extend(
+    [
+        Query(
+            name="dangling-call",
+            author=_A,
+            title="Tool call whose result never arrives",
+            description="A call for a location with no later tool-result "
+            "for that location in the conversation — the ignored-return / "
+            "call-without-effect smell.",
+            score=5.0,
+            scanner=scan.scan_dangling_calls,
+            tags=["completeness", "callgraph"],
+            positive_examples=[
+                [
+                    ("c1", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                ],
+                [
+                    # result arrives BEFORE the call — still dangling
+                    ("c2", 0, "tool", "Oslo: 5C, cloudy.", "weather_api"),
+                    ("c2", 1, "assistant", "Calling weather_api for Oslo.",
+                     "weather_api"),
+                ],
+            ],
+            negative_examples=[
+                [
+                    ("c3", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c3", 1, "tool", "Lima: 20C, sunny.", "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="orphan-result",
+            author=_A,
+            title="Tool result with no originating call",
+            description="A result for a location with no earlier call for "
+            "that location in the conversation — a provenance violation.",
+            score=6.0,
+            scanner=scan.scan_orphan_results,
+            tags=["provenance"],
+            positive_examples=[
+                [("c1", 0, "tool", "Lima: 20C, sunny.", "weather_api")],
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c2", 1, "tool", "Lima: 20C, sunny.", "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="retry-loop",
+            author=_A,
+            title="Same tool called repeatedly for the same target",
+            description="A (tool, location) pair called ≥2 times in one "
+            "conversation — the retry / error-loop smell.",
+            score=3.0,
+            scanner=scan.scan_retry_loops,
+            tags=["quality", "callgraph"],
+            positive_examples=[
+                [
+                    ("c1", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c1", 1, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                ]
+            ],
+            negative_examples=[
+                [
+                    # same tool, DIFFERENT locations — a fan-out, not a retry
+                    ("c2", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c2", 1, "assistant", "Calling weather_api for Oslo.",
+                     "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="dead-rebind",
+            author=_A,
+            title="Binding written but never read",
+            description="A rebind with no dbcur use before the next rebind "
+            "(or end of conversation) — the reaching-definitions dead-store "
+            "query.",
+            score=4.0,
+            scanner=scan.scan_dead_rebinds,
+            tags=["dataflow"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None),
+                    ("c1", 1, "user",
+                     "From now on use replica_db instead of staging_db.", None),
+                    ("c1", 2, "assistant",
+                     "Querying the current database for records about Lima.",
+                     "db_query"),
+                ],
+                [
+                    # trailing rebind never used at all
+                    ("c2", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None),
+                ],
+            ],
+            negative_examples=[
+                [
+                    ("c3", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None),
+                    ("c3", 1, "assistant",
+                     "Querying the current database for records about Lima.",
+                     "db_query"),
+                ]
+            ],
+        ),
+        Query(
+            name="self-alias",
+            author=_A,
+            title="Alias maps a surface to itself",
+            description="SAME_AS statements whose two surfaces normalize to "
+            "the same key — no-op self-loop edges.",
+            score=1.0,
+            scanner=scan.scan_self_aliases,
+            tags=["linking", "quality"],
+            positive_examples=[
+                [("c1", 0, "user",
+                  "Note that New York is also known as NEW YORK.", None)],
+            ],
+            negative_examples=[
+                [("c2", 0, "user",
+                  "Note that NYC is also known as New York City.", None)],
+            ],
+        ),
+        Query(
+            name="protocol-violation",
+            author=_A,
+            title="Conversation does not start with the user",
+            description="First turn's role is not 'user' — the transcript "
+            "protocol analog of a method body with no entry node.",
+            score=2.0,
+            scanner=scan.scan_protocol_violations,
+            tags=["protocol"],
+            positive_examples=[
+                [("c1", 0, "assistant", "Calling weather_api for Lima.",
+                  "weather_api")],
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user", "Please check the weather in Lima.", None),
+                    ("c2", 1, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                ]
+            ],
+        ),
+    ]
+)
+
+
 def query_report(spark: SparkSession) -> list[dict]:
     """Verify the whole database against its own examples."""
     return [verify_examples(spark, q) for q in QUERY_DB]
