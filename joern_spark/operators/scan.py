@@ -42,23 +42,34 @@ def scan_mega_conversations(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_unknown_entities(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
-    """Mentions that resolve to no vocabulary entity (the stub-creation
-    miss path surfaced as findings), scored by mention count."""
+def _mention_counts(transcripts: DataFrame) -> DataFrame:
+    """(entity_key, n) — the shared base of the three mention-statistics
+    scanners. run_scan builds this ONCE so the extraction scan + shuffle
+    dedupe via ReuseExchange instead of running per scanner."""
     from joern_spark.operators.extract import extract_mentions
     from joern_spark.operators.link import keyed_mentions
 
     m = keyed_mentions(extract_mentions(transcripts))
+    return m.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _unknown_findings(mc: DataFrame, entities: DataFrame) -> DataFrame:
+    # anti-join AFTER the count: filters whole keys, so the counts are
+    # unchanged and the expensive side is already aggregated.
     return (
-        m.join(F.broadcast(entities.select("entity_key")), "entity_key", "left_anti")
-        .groupBy("entity_key")
-        .agg(F.count(F.lit(1)).alias("n"))
+        mc.join(F.broadcast(entities.select("entity_key")), "entity_key", "left_anti")
         .select(
             F.lit("unknown-entity").alias("query_name"),
             F.col("entity_key").alias("evidence"),
             F.col("n").cast("long").alias("score"),
         )
     )
+
+
+def scan_unknown_entities(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
+    """Mentions that resolve to no vocabulary entity (the stub-creation
+    miss path surfaced as findings), scored by mention count."""
+    return _unknown_findings(_mention_counts(transcripts), entities)
 
 
 def scan_rebind_conversations(transcripts: DataFrame) -> DataFrame:
@@ -165,19 +176,10 @@ def scan_alias_chains(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_hub_entities(transcripts: DataFrame) -> DataFrame:
-    """Entities holding more than HUB_SHARE of all mentions — the skew
-    keys that salted aggregation / AQE skew-split exist for, surfaced as
-    findings (the planner's skew defense made visible). Scored by mention
-    count."""
-    from joern_spark.operators.extract import extract_mentions
-    from joern_spark.operators.link import keyed_mentions
-
-    m = keyed_mentions(extract_mentions(transcripts))
-    counts = m.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n").alias("total"))
+def _hub_findings(mc: DataFrame) -> DataFrame:
+    total = mc.agg(F.sum("n").alias("total"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        mc.crossJoin(F.broadcast(total))
         .where(F.col("n") > F.col("total") * HUB_SHARE)
         .select(
             F.lit("hub-entity").alias("query_name"),
@@ -185,6 +187,14 @@ def scan_hub_entities(transcripts: DataFrame) -> DataFrame:
             F.col("n").cast("long").alias("score"),
         )
     )
+
+
+def scan_hub_entities(transcripts: DataFrame) -> DataFrame:
+    """Entities holding more than HUB_SHARE of all mentions — the skew
+    keys that salted aggregation / AQE skew-split exist for, surfaced as
+    findings (the planner's skew defense made visible). Scored by mention
+    count."""
+    return _hub_findings(_mention_counts(transcripts))
 
 
 TOOL_FANOUT_MIN = 6  # distinct tools per conversation
@@ -207,26 +217,21 @@ def scan_tool_fanout(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _lone_findings(mc: DataFrame) -> DataFrame:
+    return mc.where(F.col("n") == 1).select(
+        F.lit("lone-mention").alias("query_name"),
+        F.col("entity_key").alias("evidence"),
+        F.col("n").cast("long").alias("score"),
+    )
+
+
 def scan_lone_mentions(transcripts: DataFrame) -> DataFrame:
     """Entity keys mentioned exactly once in the whole corpus — the
     lone-identifier discipline (ReachingDefProblem.scala:304-349) as a
     finding: these keys carry no corroboration and are candidates for
     exclusion from propagation. Provably empty on the synthetic corpus
     (its vocabulary keys all recur); exercised on fixtures in tests."""
-    from joern_spark.operators.extract import extract_mentions
-    from joern_spark.operators.link import keyed_mentions
-
-    m = keyed_mentions(extract_mentions(transcripts))
-    return (
-        m.groupBy("entity_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") == 1)
-        .select(
-            F.lit("lone-mention").alias("query_name"),
-            F.col("entity_key").alias("evidence"),
-            F.col("n").cast("long").alias("score"),
-        )
-    )
+    return _lone_findings(_mention_counts(transcripts))
 
 
 def scan_unanswered_asks(transcripts: DataFrame) -> DataFrame:
@@ -473,9 +478,16 @@ SCANNERS: dict[str, Callable] = {
 
 def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
     """findings(query_name, evidence, score) — the full battery as one
-    unioned plan."""
-    parts = [fn(transcripts) for fn in SCANNERS.values()]
-    parts.append(scan_unknown_entities(transcripts, entities))
+    unioned plan. The three mention-statistics scanners branch off ONE
+    shared `_mention_counts` plan so the extraction scan + aggregation
+    exchange run once (ReuseExchange) instead of three times."""
+    mc = _mention_counts(transcripts)
+    shared = {"hub-entity": _hub_findings(mc), "lone-mention": _lone_findings(mc)}
+    parts = [
+        shared[name] if name in shared else fn(transcripts)
+        for name, fn in SCANNERS.items()
+    ]
+    parts.append(_unknown_findings(mc, entities))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
