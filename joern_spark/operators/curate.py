@@ -1,0 +1,98 @@
+"""Corpus curation operators — benchmark decontamination and
+deterministic stratified sampling over the `documents` table.
+
+These are the curation steps between dedup and training-set export in a
+100 TB pipeline (the reference has no analog; they extend the dedup
+family the same way the scanners extend ScanPass):
+
+  * ``decontaminate``: flag documents sharing ≥1 word n-gram with a
+    benchmark/eval set — the GPT-3/Pile decontamination discipline.
+    The benchmark side is ALWAYS small (eval suites are ≤10^6 docs,
+    bounded shingle vocabulary), so its distinct shingle set is
+    broadcast and the 100 TB corpus side NEVER shuffles: cost is one
+    scan + broadcast hash join + one map-side-combined groupBy(doc_id).
+  * ``stratified_sample``: per-stratum Bernoulli sampling keyed on
+    H(doc_id) instead of partition RNG — a pure filter (NO shuffle, NO
+    seed state), so the sample is bit-reproducible across runs,
+    partitionings and cluster sizes, and admission of a document never
+    depends on which executor scanned it. ``df.sample()`` cannot give
+    that guarantee (its seed is per-partition-index).
+
+Both hashes/shingles come from functions/hashing.py so the DuckDB oracle
+(oracle_docs.py) reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joern_spark.functions.hashing import md5_long
+from joern_spark.operators.dedup import NGRAM, shingles
+
+# Deterministic benchmark subset for the self-contained query/oracle pair:
+# every doc_id ≡ 0 (mod BENCHMARK_MOD) plays the role of the eval suite.
+BENCHMARK_MOD = 97
+
+# H(doc_id) is uniform in [0, 2^60); a stratum keeps rows below
+# rate * 2^60. Rates are plain data — swap per corpus.
+H_SPACE = float(2**60)
+DEFAULT_SAMPLE_RATES: dict[str, float] = {
+    "en": 0.5,
+    "zh": 0.9,
+    "es": 0.9,
+    "de": 0.9,
+    "fr": 0.9,
+}
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = NGRAM
+) -> DataFrame:
+    """(doc_id, n_contaminated, contaminated) for EVERY corpus document:
+    the count of distinct n-gram shingles shared with any benchmark
+    document, and the boolean exclusion flag.
+
+    Scale shape: benchmark shingles are deduped then broadcast; the
+    corpus shingle stream is semi-joined map-side (each (doc_id, shingle)
+    row is distinct already, so the post-join count is the distinct
+    overlap) and collapsed by doc_id with a partial aggregate. No
+    corpus-side wide shuffle besides the final doc_id groupBy, whose
+    input is only the *contaminated* shingle hits."""
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    hits = (
+        shingles(documents, n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return documents.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def benchmark_slice(documents: DataFrame, mod: int = BENCHMARK_MOD) -> DataFrame:
+    """The deterministic stand-in eval suite: doc_id ≡ 0 (mod `mod`)."""
+    return documents.where(F.col("doc_id") % mod == 0)
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    key: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    H(doc_id) < rate(stratum) * 2^60. Strata missing from `rates` are
+    dropped (rate 0), matching curation practice where unknown languages
+    are excluded. Pure filter — predicate-pushdown-friendly, no shuffle,
+    stable under any repartitioning."""
+    rates = DEFAULT_SAMPLE_RATES if rates is None else rates
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    h = md5_long(F.col("doc_id").cast("string"))
+    return documents.where(
+        h.cast("double") < rate_map[F.col(key)] * F.lit(H_SPACE)
+    )

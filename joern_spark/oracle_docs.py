@@ -178,6 +178,40 @@ cand AS (
 """
 
 
+def decontaminate_sql() -> str:
+    from joern_spark.operators.curate import BENCHMARK_MOD
+
+    return f"""
+WITH {TOKS},
+{SHINGLES},
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCHMARK_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bench b USING (shingle)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def stratified_sample_sql() -> str:
+    from joern_spark.operators.curate import DEFAULT_SAMPLE_RATES, H_SPACE
+
+    h = H.format(x="CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {r!r}" for k, r in DEFAULT_SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT * FROM documents
+WHERE {h}::DOUBLE < (CASE lang {cases} ELSE 0.0 END) * {H_SPACE!r}
+"""
+
+
 def minhash_lsh_sql() -> str:
     rows_per_band = N_MINHASH // 4
     return f"""

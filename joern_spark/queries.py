@@ -303,6 +303,23 @@ def q_edge_stats(spark, sf_dir):
 # --- training-data pipeline ops over documents/embeddings (TESTDATA.md) ------
 
 
+def q_decontaminate(spark, sf_dir):
+    """GPT-3/Pile-style benchmark decontamination: per-doc count of
+    shingles shared with the (broadcast) benchmark slice + exclusion flag."""
+    from joern_spark.operators import curate
+
+    docs = read_documents(spark, sf_dir)
+    return curate.decontaminate(docs, curate.benchmark_slice(docs))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample — a pure H(doc_id)
+    filter, reproducible at any parallelism."""
+    from joern_spark.operators import curate
+
+    return curate.stratified_sample(read_documents(spark, sf_dir))
+
+
 def q_doc_stats(spark, sf_dir):
     return textstats.doc_stats(read_documents(spark, sf_dir))
 
@@ -417,6 +434,8 @@ TPG_QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_tokens": q_doc_tokens,
+    "doc_decontaminate": q_decontaminate,
+    "doc_sample": q_stratified_sample,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,

@@ -295,3 +295,30 @@ def test_lsh_multi_recall_gate(spark):
     ivf = {(r.src, r.dst) for r in similarity.cosine_topk_ivf(df).collect()}
     ivf_recall = len(brute & ivf) / len(brute)
     assert ivf_recall >= 0.75, ivf_recall
+
+
+def test_decontaminate_flags_overlap(docs):
+    """Docs sharing ≥1 shingle with the benchmark slice are flagged; the
+    output covers EVERY corpus doc with a zero default (left join)."""
+    from joern_spark.operators import curate
+
+    bench = docs.where(F.col("doc_id") == 0)  # fox/dog doc is the eval set
+    out = {r.doc_id: (r.n_contaminated, r.contaminated)
+           for r in curate.decontaminate(docs, bench).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0][1] and out[3] == out[0]          # exact dup: full overlap
+    assert out[1][1] and 0 < out[1][0] < out[0][0]  # near-dup: partial
+    assert out[2] == (0, False) and out[4] == (0, False)
+
+
+def test_stratified_sample_deterministic(docs, spark):
+    """The H(doc_id) Bernoulli filter is exact-reproducible across
+    partitionings, monotone in rate, and drops unknown strata."""
+    from joern_spark.operators import curate
+
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    half = ids(curate.stratified_sample(docs, {"en": 0.5}))
+    assert half == ids(curate.stratified_sample(docs.repartition(7), {"en": 0.5}))
+    assert half <= ids(curate.stratified_sample(docs, {"en": 0.9}))
+    assert ids(curate.stratified_sample(docs, {"en": 1.0})) == {0, 1, 2, 3, 4}
+    assert ids(curate.stratified_sample(docs, {"zz": 1.0})) == set()
