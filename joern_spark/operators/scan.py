@@ -441,6 +441,120 @@ def scan_self_aliases(transcripts: DataFrame) -> DataFrame:
     )
 
 
+DB_MIX_MIN = 2  # distinct named DBs per conversation → cross-silo smell
+REPEAT_ASK_MIN = 3  # identical asks per conversation → repeated-question
+
+
+def scan_mixed_db_queries(transcripts: DataFrame) -> DataFrame:
+    """Conversations that explicitly query ≥2 DISTINCT named databases —
+    the cross-silo access smell (querydb's sql-injection-surface family:
+    one flow touching multiple trust domains). One map-side-combined
+    count-distinct over the tiny db-rule slice."""
+    db = RULES_BY_NAME["db"]
+    return (
+        transcripts.where(_match_cond(db))
+        .select(
+            "conv_id", F.regexp_extract("text", db.pattern, 1).alias("db_name")
+        )
+        .groupBy("conv_id")
+        .agg(F.countDistinct("db_name").alias("n"))
+        .where(F.col("n") >= DB_MIX_MIN)
+        .select(
+            F.lit("mixed-db-query").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_repeated_questions(transcripts: DataFrame) -> DataFrame:
+    """The same location asked about ≥3 times in one conversation — the
+    redundant-recomputation smell (the agent never caches what it already
+    learned). groupBy on the filtered ask slice only."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    ask = RULES_BY_NAME["ask"]
+    return (
+        transcripts.where(_match_cond(ask))
+        .select(
+            "conv_id",
+            normalize_surface_col(
+                F.regexp_extract("text", ask.pattern, 1)
+            ).alias("loc"),
+        )
+        .groupBy("conv_id", "loc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= REPEAT_ASK_MIN)
+        .select(
+            F.lit("repeated-question").alias("query_name"),
+            F.concat("conv_id", F.lit(":"), "loc").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_late_aliases(transcripts: DataFrame) -> DataFrame:
+    """Alias statements whose LEFT surface was already mentioned earlier
+    in the same conversation — declaration-after-use: every pre-alias
+    mention was linked before the SAME_AS edge existed (the reference's
+    lazily-declared-identifier smell). Shape: the tiny alias slice joins
+    the per-(conv, key) MIN location-mention index; only the two filtered
+    slices shuffle. Evidence is the alias TURN id."""
+    from joern_spark.operators.extract import extract_mentions, normalize_surface_col
+
+    alias = RULES_BY_NAME["alias"]
+    aliases = transcripts.where(_match_cond(alias)).select(
+        "conv_id",
+        "turn_idx",
+        normalize_surface_col(
+            F.regexp_extract("text", alias.pattern, 1)
+        ).alias("key"),
+    )
+    first_seen = (
+        extract_mentions(transcripts)
+        .where((F.col("kind") == "location") & (F.col("rule") != "alias"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            normalize_surface_col(F.col("surface")).alias("key"),
+        )
+        .groupBy("conv_id", "key")
+        .agg(F.min("turn_idx").alias("first_idx"))
+    )
+    return (
+        aliases.join(first_seen, ["conv_id", "key"])
+        .where(F.col("first_idx") < F.col("turn_idx"))
+        .select(
+            F.lit("late-alias").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_default_binding_uses(transcripts: DataFrame) -> DataFrame:
+    """Current-database queries in conversations with NO rebind statement
+    at all — the use-of-implicit-global smell (the binding silently
+    resolves to the session default; nothing in the conversation pins
+    it). Complement of stale-binding-use, which needs a rebind to exist.
+    Shape: anti-join of the dbcur slice against the rebind conv set."""
+    rebind = RULES_BY_NAME["rebind"]
+    dbcur = RULES_BY_NAME["dbcur"]
+    uses = transcripts.where(_match_cond(dbcur)).select("conv_id", "turn_idx")
+    rebound = (
+        transcripts.where(_match_cond(rebind)).select("conv_id").distinct()
+    )
+    return uses.join(rebound, "conv_id", "left_anti").select(
+        F.lit("default-binding-use").alias("query_name"),
+        F.concat(
+            "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("evidence"),
+        F.lit(1).cast("long").alias("score"),
+    )
+
+
 def scan_protocol_violations(transcripts: DataFrame) -> DataFrame:
     """Conversations whose FIRST turn is not from the user — the
     transcript-protocol analog of a method body with no entry node.
@@ -473,6 +587,10 @@ SCANNERS: dict[str, Callable] = {
     "dead-rebind": scan_dead_rebinds,
     "self-alias": scan_self_aliases,
     "protocol-violation": scan_protocol_violations,
+    "mixed-db-query": scan_mixed_db_queries,
+    "repeated-question": scan_repeated_questions,
+    "late-alias": scan_late_aliases,
+    "default-binding-use": scan_default_binding_uses,
 }
 
 

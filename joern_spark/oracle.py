@@ -578,21 +578,25 @@ SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
 
 def findings_sql(sf: float) -> str:
     from joern_spark.operators.scan import (  # shared constants
+        DB_MIX_MIN,
+        DEAD_REBIND_SENTINEL,
         HUB_SHARE,
+        REPEAT_ASK_MIN,
         TOOL_FANOUT_MIN,
     )
-
-    from joern_spark.operators.scan import DEAD_REBIND_SENTINEL
 
     rebind = RULES_BY_NAME["rebind"]
     result = RULES_BY_NAME["result"]
     dbcur = RULES_BY_NAME["dbcur"]
     call = RULES_BY_NAME["call"]
     alias_r = RULES_BY_NAME["alias"]
+    db = RULES_BY_NAME["db"]
+    ask = RULES_BY_NAME["ask"]
     key = NORM.format(x="m.surface")
     loc = NORM.format(x=f"regexp_extract(text, '{result.pattern}', 1)")
     call_loc = NORM.format(x=f"regexp_extract(text, '{call.pattern}', 2)")
     res_loc = NORM.format(x=f"regexp_extract(text, '{result.pattern}', 1)")
+    ask_loc = NORM.format(x=f"regexp_extract(text, '{ask.pattern}', 1)")
     alias_a = NORM.format(x=f"regexp_extract(text, '{alias_r.pattern}', 1)")
     alias_b = NORM.format(x=f"regexp_extract(text, '{alias_r.pattern}', 2)")
     return f"""
@@ -702,6 +706,33 @@ SELECT 'protocol-violation', conv_id, 1::BIGINT
 FROM (SELECT conv_id, min_by(role, turn_idx) AS first_role
       FROM t GROUP BY conv_id)
 WHERE first_role <> 'user'
+UNION ALL
+SELECT 'mixed-db-query', conv_id, count(DISTINCT db_name)::BIGINT
+FROM (SELECT conv_id, regexp_extract(text, '{db.pattern}', 1) AS db_name
+      FROM t WHERE {_rule_where(db)})
+GROUP BY conv_id HAVING count(DISTINCT db_name) >= {DB_MIX_MIN}
+UNION ALL
+SELECT 'repeated-question', conv_id || ':' || loc, count(*)::BIGINT
+FROM (SELECT conv_id, {ask_loc} AS loc
+      FROM t WHERE {_rule_where(ask)})
+GROUP BY conv_id, loc HAVING count(*) >= {REPEAT_ASK_MIN}
+UNION ALL
+SELECT 'late-alias',
+       al.conv_id || ':' || CAST(al.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, {alias_a} AS key FROM t
+      WHERE {_rule_where(alias_r)}) al
+JOIN (SELECT conv_id, {key} AS key, min(turn_idx) AS first_idx
+      FROM m WHERE m.kind = 'location' AND m.rule <> 'alias'
+      GROUP BY 1, 2) fs
+  ON al.conv_id = fs.conv_id AND al.key = fs.key
+WHERE fs.first_idx < al.turn_idx
+UNION ALL
+SELECT 'default-binding-use',
+       u.conv_id || ':' || CAST(u.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx FROM t WHERE {_rule_where(dbcur)}) u
+LEFT JOIN (SELECT DISTINCT conv_id FROM t WHERE {_rule_where(rebind)}) rb
+  ON u.conv_id = rb.conv_id
+WHERE rb.conv_id IS NULL
 """
 
 

@@ -420,6 +420,118 @@ QUERY_DB.extend(
                 ]
             ],
         ),
+        Query(
+            name="mixed-db-query",
+            author=_A,
+            title="Conversation queries multiple named databases",
+            description="≥2 distinct databases queried explicitly in one "
+            "conversation — the cross-silo access smell (one flow touching "
+            "multiple trust domains).",
+            score=5.0,
+            scanner=scan.scan_mixed_db_queries,
+            tags=["security", "dataflow"],
+            positive_examples=[
+                [
+                    ("c1", 0, "assistant",
+                     "Querying prod_db for records about Lima.", "db_query"),
+                    ("c1", 1, "assistant",
+                     "Querying staging_db for records about Lima.", "db_query"),
+                ]
+            ],
+            negative_examples=[
+                [
+                    # same db twice — repetition, not mixing
+                    ("c2", 0, "assistant",
+                     "Querying prod_db for records about Lima.", "db_query"),
+                    ("c2", 1, "assistant",
+                     "Querying prod_db for records about Oslo.", "db_query"),
+                ]
+            ],
+        ),
+        Query(
+            name="repeated-question",
+            author=_A,
+            title="Same location asked about repeatedly",
+            description="The same location asked ≥3 times in one "
+            "conversation — the redundant-recomputation smell (the agent "
+            "never reuses what it already learned).",
+            score=2.0,
+            scanner=scan.scan_repeated_questions,
+            tags=["quality"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.", None),
+                    ("c1", 4, "user", "Please check the weather in Lima.", None),
+                    ("c1", 8, "user", "Please check the weather in Lima.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user", "Please check the weather in Lima.", None),
+                    ("c2", 4, "user", "Please check the weather in Lima.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="late-alias",
+            author=_A,
+            title="Alias declared after the surface was already used",
+            description="An alias statement whose left surface was mentioned "
+            "earlier in the conversation — declaration-after-use; every "
+            "pre-alias mention linked before the SAME_AS edge existed.",
+            score=4.0,
+            scanner=scan.scan_late_aliases,
+            tags=["linking", "ordering"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in NYC.", None),
+                    ("c1", 4, "user",
+                     "Note that NYC is also known as New York City.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    # alias first, use after — the correct order
+                    ("c2", 0, "user",
+                     "Note that NYC is also known as New York City.", None),
+                    ("c2", 4, "user", "Please check the weather in NYC.", None),
+                ],
+                [
+                    # earlier mention is of the RIGHT surface, not the left
+                    ("c3", 0, "user",
+                     "Please check the weather in New York City.", None),
+                    ("c3", 4, "user",
+                     "Note that NYC is also known as New York City.", None),
+                ],
+            ],
+        ),
+        Query(
+            name="default-binding-use",
+            author=_A,
+            title="Current-database query with no binding in scope",
+            description="A dbcur query in a conversation that never rebinds "
+            "— the use-of-implicit-global smell: the binding silently "
+            "resolves to the session default.",
+            score=3.0,
+            scanner=scan.scan_default_binding_uses,
+            tags=["dataflow", "quality"],
+            positive_examples=[
+                [
+                    ("c1", 0, "assistant",
+                     "Querying the current database for records about Lima.",
+                     "db_query"),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None),
+                    ("c2", 1, "assistant",
+                     "Querying the current database for records about Lima.",
+                     "db_query"),
+                ]
+            ],
+        ),
     ]
 )
 
