@@ -78,6 +78,18 @@ def benchmark_slice(documents: DataFrame, mod: int = BENCHMARK_MOD) -> DataFrame
     return documents.where(F.col("doc_id") % mod == 0)
 
 
+def sample_keep_col(rates: dict[str, float], key: str = "lang"):
+    """Boolean keep-column for the deterministic Bernoulli sample:
+    H(doc_id) < rate(stratum) * 2^60 (strata absent from `rates` → 0)."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    h = md5_long(F.col("doc_id").cast("string"))
+    return h.cast("double") < F.coalesce(
+        rate_map[F.col(key)], F.lit(0.0)
+    ) * F.lit(H_SPACE)
+
+
 def stratified_sample(
     documents: DataFrame,
     rates: dict[str, float] | None = None,
@@ -89,10 +101,54 @@ def stratified_sample(
     are excluded. Pure filter — predicate-pushdown-friendly, no shuffle,
     stable under any repartitioning."""
     rates = DEFAULT_SAMPLE_RATES if rates is None else rates
-    rate_map = F.create_map(
-        *[F.lit(x) for kv in rates.items() for x in kv]
+    return documents.where(sample_keep_col(rates, key))
+
+
+QUALITY_MIN = 0.3  # doc_stats quality gate (≈ p25 on the test corpus)
+
+
+def curation_verdict(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    quality_min: float = QUALITY_MIN,
+) -> DataFrame:
+    """(doc_id, kept, reason) — the END-TO-END curation decision per
+    document, composing the whole family into one Catalyst plan:
+    quality gate (doc_stats) → stratified sample → benchmark
+    decontamination → exact-dup survivor election. `reason` is the FIRST
+    failing gate in pipeline order ('kept' if none) — the audit column a
+    100 TB curation run ships alongside the training set.
+
+    Scale shape: quality and the sample flag are pure column expressions
+    on the main scan; decontamination adds one broadcast semi-join
+    (benchmark side is small by definition); dup survivorship is one
+    hash shuffle on md5(text). Everything rejoins on doc_id, so AQE
+    plans the merges; there is no driver-side step."""
+    from joern_spark.operators.dedup import exact_dedup
+    from joern_spark.operators.textstats import doc_stats
+
+    rates = DEFAULT_SAMPLE_RATES if rates is None else rates
+    stats = doc_stats(documents).select("doc_id", "quality")
+    decon = decontaminate(documents, benchmark_slice(documents)).select(
+        "doc_id", "contaminated"
     )
-    h = md5_long(F.col("doc_id").cast("string"))
-    return documents.where(
-        h.cast("double") < rate_map[F.col(key)] * F.lit(H_SPACE)
+    keyed = documents.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        sample_keep_col(rates).alias("sampled"),
+    )
+    groups = exact_dedup(documents).select("text_hash", "keep_id")
+    reason = (
+        F.when(F.col("quality") < quality_min, "low-quality")
+        .when(~F.col("sampled"), "sampled-out")
+        .when(F.col("contaminated"), "contaminated")
+        .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .otherwise("kept")
+    )
+    return (
+        keyed.join(groups, "text_hash")
+        .join(stats, "doc_id")
+        .join(decon, "doc_id")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("kept", F.col("reason") == "kept")
     )

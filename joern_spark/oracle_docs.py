@@ -212,6 +212,62 @@ WHERE {h}::DOUBLE < (CASE lang {cases} ELSE 0.0 END) * {H_SPACE!r}
 """
 
 
+def curation_verdict_sql() -> str:
+    from joern_spark.operators.curate import (
+        BENCHMARK_MOD,
+        DEFAULT_SAMPLE_RATES,
+        H_SPACE,
+        QUALITY_MIN,
+    )
+
+    stop = _in_list(STOPWORDS)
+    quality = (
+        f"least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5"
+        f" + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3"
+        f" + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2"
+    )
+    h = H.format(x="CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {r!r}" for k, r in DEFAULT_SAMPLE_RATES.items()
+    )
+    return f"""
+WITH {TOKS},
+{SHINGLES},
+stats AS (SELECT doc_id, {quality} AS quality FROM toks),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCHMARK_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bench b USING (shingle)
+  GROUP BY 1
+),
+grp AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+),
+base AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         {h}::DOUBLE
+           < (CASE lang {cases} ELSE 0.0 END) * {H_SPACE!r} AS sampled
+  FROM documents
+),
+verdict AS (
+  SELECT b.doc_id,
+         CASE WHEN s.quality < {QUALITY_MIN} THEN 'low-quality'
+              WHEN NOT b.sampled THEN 'sampled-out'
+              WHEN coalesce(h.n, 0) > 0 THEN 'contaminated'
+              WHEN b.doc_id <> g.keep_id THEN 'duplicate'
+              ELSE 'kept' END AS reason
+  FROM base b
+  JOIN grp g USING (text_hash)
+  JOIN stats s ON s.doc_id = b.doc_id
+  LEFT JOIN hits h ON h.doc_id = b.doc_id
+)
+SELECT doc_id, reason, reason = 'kept' AS kept FROM verdict
+"""
+
+
 def minhash_lsh_sql() -> str:
     rows_per_band = N_MINHASH // 4
     return f"""

@@ -320,6 +320,14 @@ def q_stratified_sample(spark, sf_dir):
     return curate.stratified_sample(read_documents(spark, sf_dir))
 
 
+def q_curation_verdict(spark, sf_dir):
+    """End-to-end curation decision (quality → sample → decontaminate →
+    dedup-survivor) with the first-failing-gate audit reason per doc."""
+    from joern_spark.operators import curate
+
+    return curate.curation_verdict(read_documents(spark, sf_dir))
+
+
 def q_doc_stats(spark, sf_dir):
     return textstats.doc_stats(read_documents(spark, sf_dir))
 
@@ -436,6 +444,7 @@ TPG_QUERIES = {
     "doc_tokens": q_doc_tokens,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
+    "doc_curation": q_curation_verdict,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,

@@ -322,3 +322,31 @@ def test_stratified_sample_deterministic(docs, spark):
     assert half <= ids(curate.stratified_sample(docs, {"en": 0.9}))
     assert ids(curate.stratified_sample(docs, {"en": 1.0})) == {0, 1, 2, 3, 4}
     assert ids(curate.stratified_sample(docs, {"zz": 1.0})) == set()
+
+
+def test_curation_verdict_all_gates(spark):
+    """Every gate fires in pipeline order: low-quality beats sampled-out
+    beats contaminated beats duplicate; clean docs are kept."""
+    from joern_spark.operators import curate
+
+    rich = ("the quick brown fox jumps over the lazy dog and then "
+            "walks of and about a very long winding road to town") * 3
+    other = ("every single spark executor shuffles rows between these "
+             "partitions while the driver only plans that work out") * 3
+    rows = [
+        (0, rich, "en", "s0", len(rich)),            # benchmark member (0 % 97 == 0)
+        (97 * 2, rich, "en", "s0", len(rich)),       # contaminated (shares shingles w/ 0)
+        (1, other, "en", "s0", 10),
+        (3, other, "en", "s0", 10),                  # exact dup of 1
+        (5, "tiny words", "en", "s1", 10),           # low quality
+        (7, rich + " zz", "xx", "s2", 10),           # lang not in rates → sampled-out
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r.reason
+           for r in curate.curation_verdict(docs, rates={"en": 1.0}).collect()}
+    assert out[5] == "low-quality"
+    assert out[7] == "sampled-out"
+    assert out[0] == "contaminated" and out[97 * 2] == "contaminated"
+    assert out[1] == "kept" and out[3] == "duplicate"  # min doc_id survives
