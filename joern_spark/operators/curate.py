@@ -120,15 +120,16 @@ def curation_verdict(
     100 TB curation run ships alongside the training set.
 
     Scale shape: quality and the sample flag are pure column expressions
-    on the main scan; decontamination adds one broadcast semi-join
-    (benchmark side is small by definition); dup survivorship is one
-    hash shuffle on md5(text). Everything rejoins on doc_id, so AQE
-    plans the merges; there is no driver-side step."""
+    computed INLINE on the main scan (no stats join); decontamination
+    adds one broadcast semi-join (benchmark side is small by
+    definition); dup survivorship is one hash shuffle on md5(text).
+    Everything rejoins on doc_id, so AQE plans the merges; there is no
+    driver-side step."""
+    from joern_spark.functions.hashing import tokens_col
     from joern_spark.operators.dedup import exact_dedup
-    from joern_spark.operators.textstats import doc_stats
+    from joern_spark.operators.textstats import quality_col
 
     rates = DEFAULT_SAMPLE_RATES if rates is None else rates
-    stats = doc_stats(documents).select("doc_id", "quality")
     decon = decontaminate(documents, benchmark_slice(documents)).select(
         "doc_id", "contaminated"
     )
@@ -136,6 +137,7 @@ def curation_verdict(
         "doc_id",
         F.md5("text").alias("text_hash"),
         sample_keep_col(rates).alias("sampled"),
+        quality_col(tokens_col(F.col("text"))).alias("quality"),
     )
     groups = exact_dedup(documents).select("text_hash", "keep_id")
     reason = (
@@ -147,7 +149,6 @@ def curation_verdict(
     )
     return (
         keyed.join(groups, "text_hash")
-        .join(stats, "doc_id")
         .join(decon, "doc_id")
         .select("doc_id", reason.alias("reason"))
         .withColumn("kept", F.col("reason") == "kept")

@@ -37,6 +37,20 @@ def _hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
 
 
+def quality_col(toks) -> F.Column:
+    """Scalar quality score over a token-array column — shared by
+    doc_stats and curate.curation_verdict so both compute the identical
+    expression (and DuckDB mirrors it once)."""
+    n_tokens = F.size(toks)
+    stop_ratio = _hits(toks, STOPWORDS).cast("double") / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + stop_ratio * F.lit(0.3)
+        + uniq_ratio * F.lit(0.2)
+    )
+
+
 def doc_stats(documents: DataFrame) -> DataFrame:
     """Per-document token/quality statistics (token counting + quality
     scoring). Ratios divide exact integers, so Spark and DuckDB produce
@@ -60,11 +74,7 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("uniq_ratio"),
-        (
-            F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
-            + stop_ratio * F.lit(0.3)
-            + uniq_ratio * F.lit(0.2)
-        ).alias("quality"),
+        quality_col(F.col("toks")).alias("quality"),
     )
 
 
