@@ -510,6 +510,11 @@ def scan_late_aliases(transcripts: DataFrame) -> DataFrame:
             F.regexp_extract("text", alias.pattern, 1)
         ).alias("key"),
     )
+    # Only keys that ever appear on an alias LEFT side matter (bounded by
+    # the alias vocabulary — tiny); broadcast-semi-join them into the
+    # mention stream BEFORE the (conv, key) groupBy so the shuffle carries
+    # the alias-relevant sliver, not every location mention in the corpus.
+    alias_keys = aliases.select("key").distinct()
     first_seen = (
         extract_mentions(transcripts)
         .where((F.col("kind") == "location") & (F.col("rule") != "alias"))
@@ -518,6 +523,7 @@ def scan_late_aliases(transcripts: DataFrame) -> DataFrame:
             "turn_idx",
             normalize_surface_col(F.col("surface")).alias("key"),
         )
+        .join(F.broadcast(alias_keys), "key", "semi")
         .groupBy("conv_id", "key")
         .agg(F.min("turn_idx").alias("first_idx"))
     )
