@@ -417,6 +417,42 @@ SELECT node, rank FROM r{PR_ITERATIONS}
 """
 
 
+def entity_triangles_sql(sf: float) -> str:
+    """Per-entity triangle count + clustering coefficient. The triangle
+    SET is orientation-invariant, so the oracle uses the simple id-ordered
+    a<b<c three-way join (the Spark side's degree ordering is purely a
+    physical skew defense)."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+sym AS (SELECT a AS src FROM e UNION ALL SELECT b AS src FROM e),
+deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT unnest([x, y, z]) AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node AS entity_key, d.degree,
+       coalesce(c.t, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * coalesce(c.t, 0) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN corners c ON c.node = d.node
+"""
+
+
 def sessions_sql(sf: float) -> str:
     from joern_spark.operators.assemble import SESSION_GAP_S
 

@@ -129,6 +129,16 @@ def q_entity_rank(spark, sf_dir):
     return pagerank(entity_cooccurrence(extract_mentions(_t(spark, sf_dir))))
 
 
+def q_entity_triangles(spark, sf_dir):
+    """Degree-ordered triangle count + local clustering coefficient per
+    entity over the co-mention graph (hub skew bounded structurally)."""
+    from joern_spark.operators.rank import entity_cooccurrence, entity_triangles
+
+    return entity_triangles(
+        entity_cooccurrence(extract_mentions(_t(spark, sf_dir)))
+    )
+
+
 def q_hourly_turns(spark, sf_dir):
     """Event-time rollup: turns per (hour, role) — the batch counterpart
     of the streaming watermarked window (streaming/stateful.py), pure NTZ
@@ -422,6 +432,7 @@ TPG_QUERIES = {
     "tpg_kind_recovery": q_kind_recovery,
     "tpg_hourly_turns": q_hourly_turns,
     "tpg_entity_rank": q_entity_rank,
+    "tpg_entity_triangles": q_entity_triangles,
     "tpg_sessions": q_sessions,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,

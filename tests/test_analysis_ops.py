@@ -354,3 +354,36 @@ def test_idom_mixed_shapes(spark):
         ("br", 1): 0, ("br", 2): 0, ("br", 3): 0,
         ("lin", 1): 0, ("lin", 2): 1, ("lin", 3): 2,
     }
+
+
+def test_entity_triangles_known_graph(spark):
+    """Triangle {a,b,c} + pendant a-d: exact counts and clustering
+    coefficients; the hub (a, degree 3) is counted once per triangle no
+    matter which endpoint the degree orientation picked."""
+    from joern_spark.operators.rank import entity_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")], "a string, b string"
+    )
+    got = {
+        r.entity_key: (r.degree, r.n_triangles, round(r.clustering, 6))
+        for r in entity_triangles(edges).collect()
+    }
+    assert got == {
+        "a": (3, 1, round(1 / 3, 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }
+
+
+def test_entity_triangles_two_triangles_shared_edge(spark):
+    """Bowtie sharing edge {b,c}: b and c sit in 2 triangles each."""
+    from joern_spark.operators.rank import entity_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "a string, b string",
+    )
+    got = {r.entity_key: r.n_triangles for r in entity_triangles(edges).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
