@@ -153,3 +153,84 @@ def curation_verdict(
         .select("doc_id", reason.alias("reason"))
         .withColumn("kept", F.col("reason") == "kept")
     )
+
+
+TOPN_PER_STRATUM = 50  # fixed-budget selection (vs rate-based sampling)
+
+
+def stratified_topn(
+    documents: DataFrame, n: int = TOPN_PER_STRATUM, key: str = "lang"
+) -> DataFrame:
+    """(doc_id, lang, rank) — the N highest-quality documents per
+    stratum, ties broken by doc_id: fixed-BUDGET selection, the
+    complement of rate-based `stratified_sample`. One window per
+    stratum; the rank order (quality DESC, doc_id ASC) is total, so the
+    selection is deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.textstats import quality_col
+
+    w = Window.partitionBy(key).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.col(key).alias("lang"),
+            quality_col(tokens_col(F.col("text"))).alias("quality"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("doc_id", "lang", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SHARD_TOKEN_BUDGET = 2048  # tokens per output shard
+SHARD_GROUPS = 16  # parallel packing groups (the shuffle width at scale)
+
+
+def pack_shards(
+    documents: DataFrame,
+    budget: int = SHARD_TOKEN_BUDGET,
+    groups: int = SHARD_GROUPS,
+) -> DataFrame:
+    """(doc_id, shard_id, offset_tokens, n_tokens) — contiguous-fill
+    sequence packing into fixed token-budget shards, the
+    training-export step after curation.
+
+    Scale shape: a single global cumulative sum would serialize the
+    corpus through one partition, so documents are first split into
+    `groups` deterministic groups (doc_id mod groups) and packed
+    INDEPENDENTLY per group — each group's running total is one
+    partitioned window, so the job parallelizes to `groups` × window
+    tasks and shard ids stay stable under any cluster size. `shard_id`
+    is the shard a document STARTS in; contiguous fill means a document
+    may straddle into the next shard (the packed-sequence training
+    convention — the reader masks attention across document bounds)."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.hashing import tokens_col
+
+    grp = (F.col("doc_id") % groups).cast("long")
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = documents.select(
+        "doc_id",
+        grp.alias("grp"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    cum = d.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    local_shard = F.floor(start / F.lit(budget))
+    return cum.select(
+        "doc_id",
+        F.concat(
+            F.col("grp").cast("string"), F.lit(":"), local_shard.cast("string")
+        ).alias("shard_id"),
+        (start % F.lit(budget)).cast("long").alias("offset_tokens"),
+        "n_tokens",
+    )

@@ -268,6 +268,54 @@ SELECT doc_id, reason, reason = 'kept' AS kept FROM verdict
 """
 
 
+def stratified_topn_sql() -> str:
+    from joern_spark.operators.curate import TOPN_PER_STRATUM
+
+    stop = _in_list(STOPWORDS)
+    quality = (
+        f"least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5"
+        f" + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3"
+        f" + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2"
+    )
+    return f"""
+WITH {TOKS},
+scored AS (
+  SELECT d.doc_id, d.lang, {quality} AS quality
+  FROM documents d JOIN toks USING (doc_id)
+)
+SELECT doc_id, lang, rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {TOPN_PER_STRATUM}
+"""
+
+
+def pack_shards_sql() -> str:
+    from joern_spark.operators.curate import SHARD_GROUPS, SHARD_TOKEN_BUDGET
+
+    return f"""
+WITH {TOKS},
+d AS (
+  SELECT doc_id, doc_id % {SHARD_GROUPS} AS grp, len(toks)::BIGINT AS n_tokens
+  FROM toks
+),
+cum AS (
+  SELECT doc_id, grp, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id,
+       CAST(grp AS VARCHAR) || ':'
+         || CAST((cum - n_tokens) // {SHARD_TOKEN_BUDGET} AS VARCHAR) AS shard_id,
+       ((cum - n_tokens) % {SHARD_TOKEN_BUDGET})::BIGINT AS offset_tokens,
+       n_tokens
+FROM cum
+"""
+
+
 def minhash_lsh_sql() -> str:
     rows_per_band = N_MINHASH // 4
     return f"""

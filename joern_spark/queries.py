@@ -338,6 +338,21 @@ def q_curation_verdict(spark, sf_dir):
     return curate.curation_verdict(read_documents(spark, sf_dir))
 
 
+def q_stratified_topn(spark, sf_dir):
+    """Fixed-budget selection: top-N highest-quality docs per language."""
+    from joern_spark.operators import curate
+
+    return curate.stratified_topn(read_documents(spark, sf_dir))
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (training export): contiguous fill in
+    deterministic groups so no global-cumsum serialization."""
+    from joern_spark.operators import curate
+
+    return curate.pack_shards(read_documents(spark, sf_dir))
+
+
 def q_doc_stats(spark, sf_dir):
     return textstats.doc_stats(read_documents(spark, sf_dir))
 
@@ -456,6 +471,8 @@ TPG_QUERIES = {
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
     "doc_curation": q_curation_verdict,
+    "doc_topn": q_stratified_topn,
+    "doc_shards": q_pack_shards,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,

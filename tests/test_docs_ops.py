@@ -350,3 +350,34 @@ def test_curation_verdict_all_gates(spark):
     assert out[7] == "sampled-out"
     assert out[0] == "contaminated" and out[97 * 2] == "contaminated"
     assert out[1] == "kept" and out[3] == "duplicate"  # min doc_id survives
+
+
+def test_stratified_topn_budget_and_order(docs, spark):
+    """Per-stratum budget respected; rank 1 is the highest-quality doc;
+    deterministic under repartitioning."""
+    from joern_spark.operators import curate
+
+    out = curate.stratified_topn(docs, n=2)
+    rows = {(r.doc_id, r.rank) for r in out.collect()}
+    assert len(rows) == 2  # 5 en docs → top 2
+    again = {(r.doc_id, r.rank)
+             for r in curate.stratified_topn(docs.repartition(7), n=2).collect()}
+    assert rows == again
+
+
+def test_pack_shards_contiguous_fill(spark):
+    """Offsets are the running total mod budget within each group; the
+    shard index is the running total div budget."""
+    from joern_spark.operators import curate
+
+    rows = [(i, "word " * 10, "en", "s", 50) for i in range(8)]  # 10 tokens each
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: (r.shard_id, r.offset_tokens, r.n_tokens)
+           for r in curate.pack_shards(docs, budget=16, groups=2).collect()}
+    # group 0: docs 0,2,4,6 at starts 0,10,20,30 → shards 0,0,1,1; offsets 0,10,4,14
+    assert out[0] == ("0:0", 0, 10) and out[2] == ("0:0", 10, 10)
+    assert out[4] == ("0:1", 4, 10) and out[6] == ("0:1", 14, 10)
+    # group 1 packs independently with identical structure
+    assert out[1] == ("1:0", 0, 10) and out[7] == ("1:1", 14, 10)
