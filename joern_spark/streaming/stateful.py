@@ -151,3 +151,45 @@ def run_rebind_state(
         .start()
     )
     q.awaitTermination()
+
+
+DEDUP_OUT_SCHEMA = "text_hash string, conv_id string, turn_idx int, text string"
+
+
+def dedup_stream(stream: DataFrame, within: str = "7 days") -> DataFrame:
+    """First-seen-wins streaming dedup on content hash — the streaming
+    counterpart of `operators/dedup.exact_dedup`: each distinct turn text
+    is emitted exactly once (its first-arriving row), duplicates arriving
+    within `within` of the original are dropped, ACROSS micro-batches
+    and restarts (state lives in the checkpoint).
+
+    Spark-first: this is the built-in `dropDuplicatesWithinWatermark`
+    state-store operator (no UDF) — state per distinct hash is evicted
+    once the watermark passes first_seen + `within`, so the store is
+    bounded by the duplicate horizon, not by corpus lifetime. A
+    duplicate arriving later than `within` after its original re-emits —
+    the documented trade for bounded state; the batch exact_dedup pass
+    downstream remains the global authority."""
+    return (
+        stream.withColumn("_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("_evt", within)
+        .withColumn("text_hash", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("text_hash", "conv_id", "turn_idx", "text")
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

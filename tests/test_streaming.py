@@ -142,3 +142,37 @@ def test_rebind_state_across_increments(spark, tmp_path_factory):
     stateful.run_rebind_state(spark, landing, out, ckpt)
     got2 = {(r.turn_idx): r.live_db for r in read().collect()}
     assert got2 == {0: "prod_db", 2: "staging_db"}  # state survived the drain
+
+
+def test_dedup_stream_exactly_once_across_drains(spark, tmp_path_factory):
+    """First-seen-wins content dedup holds ACROSS drains: a text emitted
+    in drain 1 is suppressed when it reappears in drain 2's files, and
+    the final hash set equals the batch-distinct set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from joern_spark.streaming import stateful
+
+    root = tmp_path_factory.mktemp("dedup_stream")
+    d = {k: str(root / k) for k in ("landing", "out", "ckpt")}
+    os.makedirs(d["landing"])
+
+    _land(spark, d, 0, 60, "batch1")
+    stateful.run_dedup_stream(spark, d["landing"], d["out"], d["ckpt"])
+    out1 = spark.read.parquet(d["out"])
+    n1 = out1.count()
+    assert n1 == out1.select("text_hash").distinct().count()  # unique in drain 1
+
+    _land(spark, d, 60, 120, "batch2")
+    stateful.run_dedup_stream(spark, d["landing"], d["out"], d["ckpt"])
+    out = spark.read.parquet(d["out"])
+
+    # still exactly one row per distinct text — batch2's repeats of
+    # batch1 texts were dropped by carried state
+    assert out.count() == out.select("text_hash").distinct().count()
+    batch_distinct = (
+        spark.read.parquet(d["landing"]).select(F.md5("text").alias("h")).distinct()
+    )
+    assert out.count() == batch_distinct.count()
+    assert out.count() > n1  # batch2 contributed genuinely-new texts
