@@ -162,3 +162,29 @@ def token_counts(documents: DataFrame) -> DataFrame:
         bpe.alias("n_bpe_tokens"),
         F.when(ws > 0, bpe.cast("double") / ws).alias("bpe_per_ws"),
     )
+
+
+QUANTILE_PROBS = (0.1, 0.5, 0.9, 0.99)
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """(lang, n_docs, p10, p50, p90, p99) — exact continuous token-length
+    quantiles per language: the corpus-profile table a curation run
+    publishes before choosing budgets and cutoffs.
+
+    EXACT `percentile` (sorted-interpolation) so the DuckDB oracle
+    (`quantile_cont`, same definition) matches bit-for-bit; per-group
+    state is one sorted value list, fine for a bounded stratum count. At
+    10^12 docs swap in `percentile_approx` (t-digest, mergeable
+    map-side) — sketches differ per engine, so the exact variant is the
+    oracle-checked one."""
+    from joern_spark.functions.hashing import tokens_col
+
+    d = documents.select(
+        "lang", F.size(tokens_col(F.col("text"))).cast("long").alias("n")
+    )
+    ps = [
+        F.percentile("n", F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in QUANTILE_PROBS
+    ]
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *ps)

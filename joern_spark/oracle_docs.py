@@ -268,6 +268,22 @@ SELECT doc_id, reason, reason = 'kept' AS kept FROM verdict
 """
 
 
+def length_quantiles_sql() -> str:
+    from joern_spark.operators.textstats import QUANTILE_PROBS
+
+    qs = ",\n       ".join(
+        f"quantile_cont(len(toks), {p}) AS p{int(p * 100)}"
+        for p in QUANTILE_PROBS
+    )
+    return f"""
+WITH {TOKS}
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       {qs}
+FROM documents d JOIN toks USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 def stratified_topn_sql() -> str:
     from joern_spark.operators.curate import TOPN_PER_STRATUM
 

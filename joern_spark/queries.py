@@ -338,6 +338,11 @@ def q_curation_verdict(spark, sf_dir):
     return curate.curation_verdict(read_documents(spark, sf_dir))
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language token-length quantiles (corpus profile)."""
+    return textstats.length_quantiles(read_documents(spark, sf_dir))
+
+
 def q_stratified_topn(spark, sf_dir):
     """Fixed-budget selection: top-N highest-quality docs per language."""
     from joern_spark.operators import curate
@@ -473,6 +478,7 @@ TPG_QUERIES = {
     "doc_curation": q_curation_verdict,
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,
+    "doc_quantiles": q_length_quantiles,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,

@@ -381,3 +381,21 @@ def test_pack_shards_contiguous_fill(spark):
     assert out[4] == ("0:1", 4, 10) and out[6] == ("0:1", 14, 10)
     # group 1 packs independently with identical structure
     assert out[1] == ("1:0", 0, 10) and out[7] == ("1:1", 14, 10)
+
+
+def test_length_quantiles_exact(spark):
+    """Exact continuous quantiles match numpy's linear interpolation."""
+    from joern_spark.operators import textstats as ts
+
+    rows = [(i, "w " * (i + 1), "en", "s", 1) for i in range(10)]  # 1..10 tokens
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = ts.length_quantiles(docs).collect()[0]
+    xs = np.arange(1, 11)
+    assert r.lang == "en" and r.n_docs == 10
+    for p in ts.QUANTILE_PROBS:
+        assert math.isclose(
+            getattr(r, f"p{int(p * 100)}"),
+            float(np.quantile(xs, p, method="linear")),
+        ), p
