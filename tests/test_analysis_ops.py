@@ -387,3 +387,23 @@ def test_entity_triangles_two_triangles_shared_edge(spark):
     )
     got = {r.entity_key: r.n_triangles for r in entity_triangles(edges).collect()}
     assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_pagerank_local_equals_distributed(spark):
+    """The driver fast path and the distributed join loop produce
+    bit-identical ranks (the sorted-sequential-sum contract)."""
+    import joern_spark.operators.rank as rank_mod
+    from joern_spark.operators.rank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    fast = {r.node: r.rank for r in pagerank(edges).collect()}
+    orig = rank_mod.PR_LOCAL_THRESHOLD
+    rank_mod.PR_LOCAL_THRESHOLD = 0  # force the distributed loop
+    try:
+        dist = {r.node: r.rank for r in pagerank(edges).collect()}
+    finally:
+        rank_mod.PR_LOCAL_THRESHOLD = orig
+    assert fast == dist  # exact float equality, not isclose
