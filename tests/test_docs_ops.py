@@ -399,3 +399,30 @@ def test_length_quantiles_exact(spark):
             getattr(r, f"p{int(p * 100)}"),
             float(np.quantile(xs, p, method="linear")),
         ), p
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Empty and single-row inputs flow through every new operator
+    without error and with sane shapes."""
+    from joern_spark.operators import curate
+    from joern_spark.operators import textstats as ts
+    from joern_spark.operators.rank import entity_triangles
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, "a single document here", "en", "s", 22)], schema)
+
+    assert curate.curation_verdict(empty).count() == 0
+    assert curate.stratified_topn(empty).count() == 0
+    assert curate.pack_shards(empty).count() == 0
+    assert ts.length_quantiles(empty).count() == 0
+
+    v = curate.curation_verdict(one, rates={"en": 1.0}).collect()
+    assert len(v) == 1
+    sh = curate.pack_shards(one).collect()[0]
+    assert (sh.shard_id, sh.offset_tokens) == ("1:0", 0)
+    q = ts.length_quantiles(one).collect()[0]
+    assert q.p10 == q.p99 == 4.0  # all quantiles collapse to the one value
+
+    e_edges = spark.createDataFrame([], "a string, b string")
+    assert entity_triangles(e_edges).count() == 0
