@@ -234,3 +234,34 @@ def pack_shards(
         (start % F.lit(budget)).cast("long").alias("offset_tokens"),
         "n_tokens",
     )
+
+
+# RE2-safe redaction patterns, applied in declaration order — shared
+# verbatim with the DuckDB oracle (oracle_docs.scrub_pii_sql).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+]
+
+
+def scrub_pii(documents: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_email, n_url, n_redactions) — placeholder
+    redaction of emails and URLs, the pre-training PII scrub. Counts come
+    from the SAME pattern as the replacement, so the audit numbers cannot
+    drift from the text actually emitted. Pure column expressions on one
+    scan — at 100 TB this runs at parquet-scan speed with zero shuffle."""
+    clean = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(
+                F.regexp_extract_all(clean, F.lit(pat), F.lit(0))
+            ).cast("long").alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    out = documents.select("doc_id", clean.alias("clean_text"), *counts)
+    total = sum(
+        (F.col(f"n_{name}") for name, _, _ in PII_PATTERNS[1:]),
+        F.col(f"n_{PII_PATTERNS[0][0]}"),
+    )
+    return out.withColumn("n_redactions", total.cast("long"))

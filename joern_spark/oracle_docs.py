@@ -268,6 +268,30 @@ SELECT doc_id, reason, reason = 'kept' AS kept FROM verdict
 """
 
 
+def scrub_pii_sql() -> str:
+    from joern_spark.operators.curate import PII_PATTERNS
+
+    clean = "text"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({clean}, '{pat}'))::BIGINT AS n_{name}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    counts_sql = ",\n       ".join(counts)
+    return f"""
+SELECT doc_id, clean_text, {", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)},
+       ({total})::BIGINT AS n_redactions
+FROM (
+  SELECT doc_id,
+         {clean} AS clean_text,
+         {counts_sql}
+  FROM documents
+)
+"""
+
+
 def length_quantiles_sql() -> str:
     from joern_spark.operators.textstats import QUANTILE_PROBS
 

@@ -338,6 +338,14 @@ def q_curation_verdict(spark, sf_dir):
     return curate.curation_verdict(read_documents(spark, sf_dir))
 
 
+def q_scrub_pii(spark, sf_dir):
+    """Email/URL placeholder redaction with audit counts — single-scan,
+    shuffle-free."""
+    from joern_spark.operators import curate
+
+    return curate.scrub_pii(read_documents(spark, sf_dir))
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language token-length quantiles (corpus profile)."""
     return textstats.length_quantiles(read_documents(spark, sf_dir))
@@ -479,6 +487,7 @@ TPG_QUERIES = {
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,
     "doc_quantiles": q_length_quantiles,
+    "doc_scrub": q_scrub_pii,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,

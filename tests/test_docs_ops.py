@@ -426,3 +426,25 @@ def test_new_ops_degenerate_inputs(spark):
 
     e_edges = spark.createDataFrame([], "a string, b string")
     assert entity_triangles(e_edges).count() == 0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Emails and URLs are replaced with placeholders; audit counts match
+    what was actually replaced; clean text passes through untouched."""
+    from joern_spark.operators import curate
+
+    rows = [
+        (1, "contact bob@example.com or visit https://x.io/page now", "en", "s", 1),
+        (2, "two mails a@b.co c@d.org here", "en", "s", 1),
+        (3, "nothing sensitive here", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in curate.scrub_pii(docs).collect()}
+    assert out[1].clean_text == "contact <EMAIL> or visit <URL> now"
+    assert (out[1].n_email, out[1].n_url, out[1].n_redactions) == (1, 1, 2)
+    assert out[2].clean_text == "two mails <EMAIL> <EMAIL> here"
+    assert out[2].n_redactions == 2
+    assert out[3].clean_text == "nothing sensitive here"
+    assert out[3].n_redactions == 0
