@@ -561,6 +561,99 @@ def scan_default_binding_uses(transcripts: DataFrame) -> DataFrame:
     )
 
 
+TEMP_HIGH = 35  # °C sanity bounds — the dangerous-constant range check
+TEMP_LOW = -5
+
+
+def scan_alias_conflicts(transcripts: DataFrame) -> DataFrame:
+    """Surfaces aliased to ≥2 DIFFERENT canonical targets across the
+    corpus — conflicting SAME_AS evidence (the ambiguous-type smell): a
+    linker following either edge alone silently picks a side. One
+    count-distinct over the tiny alias slice."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    alias = RULES_BY_NAME["alias"]
+    pairs = transcripts.where(_match_cond(alias)).select(
+        normalize_surface_col(
+            F.regexp_extract("text", alias.pattern, 1)
+        ).alias("key"),
+        normalize_surface_col(
+            F.regexp_extract("text", alias.pattern, 2)
+        ).alias("target"),
+    )
+    return (
+        pairs.groupBy("key")
+        .agg(F.countDistinct("target").alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("alias-conflict").alias("query_name"),
+            F.col("key").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_result_mismatches(transcripts: DataFrame) -> DataFrame:
+    """A call whose IMMEDIATELY-following tool result reports a different
+    location — the argument/return-type-mismatch analog: the value that
+    came back is not the value that was asked for. Window lead() over the
+    conversation, no self-join."""
+    from pyspark.sql import Window
+
+    from joern_spark.operators.extract import normalize_surface_col
+
+    call = RULES_BY_NAME["call"]
+    result = RULES_BY_NAME["result"]
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ann = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            _match_cond(call),
+            normalize_surface_col(F.regexp_extract("text", call.pattern, 2)),
+        ).alias("call_loc"),
+        F.when(
+            _match_cond(result),
+            normalize_surface_col(F.regexp_extract("text", result.pattern, 1)),
+        ).alias("res_loc"),
+    )
+    return (
+        ann.withColumn("next_res", F.lead("res_loc").over(w))
+        .where(
+            F.col("call_loc").isNotNull()
+            & F.col("next_res").isNotNull()
+            & (F.col("call_loc") != F.col("next_res"))
+        )
+        .select(
+            F.lit("result-mismatch").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_extreme_temperatures(transcripts: DataFrame) -> DataFrame:
+    """Tool results reporting temperatures outside the sanity band
+    (> TEMP_HIGH or < TEMP_LOW °C) — the range/dangerous-constant check
+    from the reference's querydb, over extracted values instead of
+    literals. Pure filter on the result slice."""
+    result = RULES_BY_NAME["result"]
+    temp = F.regexp_extract("text", result.pattern, 2).cast("long")
+    return (
+        transcripts.where(_match_cond(result))
+        .where((temp > TEMP_HIGH) | (temp < TEMP_LOW))
+        .select(
+            F.lit("extreme-temperature").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.abs(temp).cast("long").alias("score"),
+        )
+    )
+
+
 def scan_protocol_violations(transcripts: DataFrame) -> DataFrame:
     """Conversations whose FIRST turn is not from the user — the
     transcript-protocol analog of a method body with no entry node.
@@ -597,6 +690,9 @@ SCANNERS: dict[str, Callable] = {
     "repeated-question": scan_repeated_questions,
     "late-alias": scan_late_aliases,
     "default-binding-use": scan_default_binding_uses,
+    "alias-conflict": scan_alias_conflicts,
+    "result-mismatch": scan_result_mismatches,
+    "extreme-temperature": scan_extreme_temperatures,
 }
 
 

@@ -618,6 +618,8 @@ def findings_sql(sf: float) -> str:
         DEAD_REBIND_SENTINEL,
         HUB_SHARE,
         REPEAT_ASK_MIN,
+        TEMP_HIGH,
+        TEMP_LOW,
         TOOL_FANOUT_MIN,
     )
 
@@ -769,6 +771,31 @@ FROM (SELECT conv_id, turn_idx FROM t WHERE {_rule_where(dbcur)}) u
 LEFT JOIN (SELECT DISTINCT conv_id FROM t WHERE {_rule_where(rebind)}) rb
   ON u.conv_id = rb.conv_id
 WHERE rb.conv_id IS NULL
+UNION ALL
+SELECT 'alias-conflict', key, count(DISTINCT target)::BIGINT
+FROM (SELECT {alias_a} AS key, {alias_b} AS target
+      FROM t WHERE {_rule_where(alias_r)})
+GROUP BY key HAVING count(DISTINCT target) >= 2
+UNION ALL
+SELECT 'result-mismatch',
+       conv_id || ':' || CAST(turn_idx AS VARCHAR), 1::BIGINT
+FROM (
+  SELECT conv_id, turn_idx,
+         CASE WHEN {_rule_where(call)} THEN {call_loc} END AS call_loc,
+         lead(CASE WHEN {_rule_where(result)} THEN {res_loc} END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_res
+  FROM t
+)
+WHERE call_loc IS NOT NULL AND next_res IS NOT NULL
+  AND call_loc <> next_res
+UNION ALL
+SELECT 'extreme-temperature',
+       conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       abs(CAST(regexp_extract(text, '{result.pattern}', 2) AS BIGINT))
+FROM t
+WHERE {_rule_where(result)}
+  AND (CAST(regexp_extract(text, '{result.pattern}', 2) AS BIGINT) > {TEMP_HIGH}
+       OR CAST(regexp_extract(text, '{result.pattern}', 2) AS BIGINT) < {TEMP_LOW})
 """
 
 

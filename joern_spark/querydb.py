@@ -532,6 +532,76 @@ QUERY_DB.extend(
                 ]
             ],
         ),
+        Query(
+            name="alias-conflict",
+            author=_A,
+            title="Surface aliased to multiple distinct targets",
+            description="A surface with SAME_AS edges to ≥2 different "
+            "canonical targets — ambiguous linking evidence; a linker "
+            "following either edge alone silently picks a side.",
+            score=6.0,
+            scanner=scan.scan_alias_conflicts,
+            tags=["linking", "ambiguity"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user",
+                     "Note that LA is also known as Los Angeles.", None),
+                    ("c2", 0, "user",
+                     "Note that LA is also known as Lima.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    # same statement twice — consistent, not conflicting
+                    ("c3", 0, "user",
+                     "Note that LA is also known as Los Angeles.", None),
+                    ("c4", 0, "user",
+                     "Note that LA is also known as Los Angeles.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="result-mismatch",
+            author=_A,
+            title="Tool result answers a different location than the call",
+            description="A call immediately followed by a result for a "
+            "DIFFERENT location — the argument/return mismatch smell.",
+            score=7.0,
+            scanner=scan.scan_result_mismatches,
+            tags=["provenance", "correctness"],
+            positive_examples=[
+                [
+                    ("c1", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c1", 1, "tool", "Oslo: 5C, cloudy.", "weather_api"),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c2", 1, "tool", "Lima: 20C, sunny.", "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="extreme-temperature",
+            author=_A,
+            title="Result value outside the sanity band",
+            description="Temperatures above 35C or below -5C in tool "
+            "results — the range/dangerous-constant check over extracted "
+            "values.",
+            score=2.0,
+            scanner=scan.scan_extreme_temperatures,
+            tags=["quality", "range-check"],
+            positive_examples=[
+                [("c1", 0, "tool", "Lima: 41C, sunny.", "weather_api")],
+                [("c2", 0, "tool", "Oslo: -8C, snowy.", "weather_api")],
+            ],
+            negative_examples=[
+                [("c3", 0, "tool", "Lima: 20C, sunny.", "weather_api")],
+            ],
+        ),
     ]
 )
 
