@@ -148,3 +148,88 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def run_curation_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    n_buckets: int = 16,
+    fail_after_buckets: int | None = None,
+    runner: StageRunner | None = None,
+) -> dict[str, DataFrame]:
+    """Resumable document-curation job — the same per-bucket manifest
+    discipline as the KG job, over the documents table (proving the
+    StageRunner machinery is generic across pipelines):
+
+      c1_benchmark_shingles  global, small (the broadcast decon set)
+      c2_dup_groups          global (one hash shuffle)
+      c3_verdict             doc-local per bucket: quality/sample inline,
+                             broadcast contamination semi-join, broadcast
+                             dup-group join, first-failing-gate reason
+
+    Output is row-identical to `curate.curation_verdict` on the same
+    input (tested), but a killed run resumes without recomputing
+    completed buckets."""
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators import curate
+    from joern_spark.operators.dedup import exact_dedup, shingles
+    from joern_spark.operators.textstats import quality_col
+    from joern_spark.sources.testdata import read_documents
+
+    runner = runner or StageRunner(
+        spark, out_root, n_buckets, fail_after_buckets=fail_after_buckets
+    )
+    n_buckets = runner.n_buckets
+    d = with_bucket(read_documents(spark, sf_dir), n_buckets, key="doc_id").repartition(
+        n_buckets, F.col(BUCKET_COL)
+    )
+    d.cache()
+    fps = input_fingerprint(d, ["doc_id", "text"])
+    global_fp = "|".join(f"{b}:{fps[b]}" for b in sorted(fps))
+    docs = d.drop(BUCKET_COL)
+
+    bench_sh = runner.run_global_stage(
+        "c1_benchmark_shingles",
+        lambda: shingles(curate.benchmark_slice(docs)).select("shingle").distinct(),
+        global_fp,
+    )
+    groups = runner.run_global_stage(
+        "c2_dup_groups",
+        lambda: exact_dedup(docs).select("text_hash", "keep_id"),
+        global_fp,
+    )
+
+    def compute_verdict(pending):
+        sub = d.where(F.col(BUCKET_COL).isin(pending)).drop(BUCKET_COL)
+        hits = (
+            shingles(sub)
+            .join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        )
+        keyed = sub.select(
+            "doc_id",
+            F.md5("text").alias("text_hash"),
+            curate.sample_keep_col(curate.DEFAULT_SAMPLE_RATES).alias("sampled"),
+            quality_col(tokens_col(F.col("text"))).alias("quality"),
+        )
+        contaminated = F.coalesce("n_contaminated", F.lit(0)) > 0
+        reason = (
+            F.when(F.col("quality") < curate.QUALITY_MIN, "low-quality")
+            .when(~F.col("sampled"), "sampled-out")
+            .when(contaminated, "contaminated")
+            .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+            .otherwise("kept")
+        )
+        out = (
+            keyed.join(F.broadcast(groups), "text_hash")
+            .join(hits, "doc_id", "left")
+            .select("doc_id", reason.alias("reason"))
+            .withColumn("kept", F.col("reason") == "kept")
+        )
+        return with_bucket(out, n_buckets, key="doc_id")
+
+    verdict = runner.run_stage("c3_verdict", compute_verdict, fps)
+    d.unpersist()
+    return {"verdict": verdict}

@@ -148,3 +148,33 @@ def test_all_empty_stage_reads_back_typed(spark, tmp_path_factory):
         "gprobe", lambda: t.where(F.lit(False)), "fp0"
     )
     assert g.count() == 0 and set(g.columns) == set(t.columns)
+
+
+def test_curation_job_kill_and_resume(spark, tmp_path_factory):
+    """The manifest machinery generalizes: the curation job over
+    documents kills, resumes without recomputing committed buckets, and
+    matches the one-shot curation_verdict row-for-row."""
+    from joern_spark.job import run_curation_job
+    from joern_spark.operators import curate
+    from joern_spark.sources.testdata import read_documents
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = str(tmp_path_factory.mktemp("curate_out"))
+
+    killed = StageRunner(spark, out, BUCKETS, fail_after_buckets=2)
+    with pytest.raises(SimulatedKill):
+        run_curation_job(spark, sf_dir, out, BUCKETS, runner=killed)
+    m = Manifest(f"{out}/_manifest")
+    done1 = m.completed("c3_verdict")
+    assert len(done1) == 2
+
+    resumed = StageRunner(spark, out, BUCKETS)
+    result = run_curation_job(spark, sf_dir, out, BUCKETS, runner=resumed)
+    done2 = m.completed("c3_verdict")
+    assert len(done2) == BUCKETS
+    survivors = [b for b, r in done2.items() if r["run_id"] == killed.run_id]
+    assert sorted(survivors) == sorted(done1)
+
+    expected = curate.curation_verdict(read_documents(spark, sf_dir))
+    got = result["verdict"].select(*expected.columns)
+    _assert_df_equal(got, expected)
