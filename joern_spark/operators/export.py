@@ -236,3 +236,19 @@ def export_dot(g: GraphResult, out_path: str) -> str:
     return _write_single_text(
         header.unionByName(nodes).unionByName(edges).unionByName(footer), out_path
     )
+
+
+def export_jsonl(g: GraphResult, out_dir: str) -> dict[str, int]:
+    """Write the graph as JSON-Lines part directories — the scale-native
+    interchange the single-document formats (graphml/dot/graphson) can't
+    be: every table writes in parallel, one JSON object per line, no
+    driver-side assembly. `kind` discriminates node records; edges carry
+    (src, dst, label, property). Returns row counts per file set."""
+    counts = {}
+    nodes = _all_nodes(g).select(
+        F.col("id"), F.col("label").alias("kind")
+    )
+    for name, df in (("nodes", nodes), ("edges", g.edges)):
+        df.write.mode("overwrite").json(f"{out_dir}/{name}")
+        counts[name] = df.sparkSession.read.json(f"{out_dir}/{name}").count()
+    return counts

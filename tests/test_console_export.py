@@ -106,3 +106,25 @@ def test_dot_round_trip(spark, make_transcripts, entities, tmp_path):
     # every edge line is well-formed: "src" -> "dst" [label="..."];
     pat = re.compile(r'^"(\\.|[^"\\])*" -> "(\\.|[^"\\])*" \[label="(\\.|[^"\\])*"\];$')
     assert all(pat.match(ln) for ln in edge_lines), edge_lines[:3]
+
+
+def test_jsonl_round_trip(spark, make_transcripts, entities, tmp_path):
+    """JSONL export reads back with Spark's own JSON reader; counts and
+    discriminators survive; parts are parallel (no single-writer)."""
+    from joern_spark.operators.export import export_jsonl
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Please check the weather in Paris.", None),
+            ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+        ]
+    )
+    g = build_graph(t, entities)
+    counts = export_jsonl(g, str(tmp_path / "jl"))
+    n_nodes = g.conversations.count() + g.turns.count() + g.entities_all.count()
+    assert counts == {"nodes": n_nodes, "edges": g.edges.count()}
+    back = spark.read.json(str(tmp_path / "jl" / "nodes"))
+    kinds = {r.kind for r in back.select("kind").distinct().collect()}
+    assert kinds == {"CONVERSATION", "TURN", "ENTITY"}
+    e = spark.read.json(str(tmp_path / "jl" / "edges"))
+    assert {"src", "dst", "label", "property"} <= set(e.columns)
