@@ -64,3 +64,26 @@ def write_graph(
         df.write.mode("overwrite").parquet(f"{out_dir}/nodes_{name}")
     edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
     triples.write.mode("overwrite").parquet(f"{out_dir}/triples")
+
+
+def merge_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Iceberg-MERGE analog for continuous KG maintenance: fold a delta
+    triple rollup into an existing one. Because `dedup_triples` is a
+    (sum, min) rollup, the merge is associative and commutative —
+    building from any partition of the corpus and merging gives exactly
+    the one-shot table (tested), so incremental ingests need only roll
+    their increment and merge.
+
+    Caveat the test also pins down: mergeability holds for the RAW
+    rollup. The CANONICAL layer depends on the global SAME_AS map, so an
+    incremental build merges raw rollups and re-applies the (small,
+    vocabulary-bounded) current canonical map on top — never canonicalize
+    per-increment with a partial map."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("n_support").cast("long").alias("n_support"),
+            F.min("first_seen").alias("first_seen"),
+        )
+    )

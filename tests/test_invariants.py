@@ -56,3 +56,32 @@ def test_canonical_map_is_fixpoint(spark):
         .count()
     )
     assert non_fix == 0
+
+
+def test_incremental_merge_equals_one_shot(spark):
+    """Continuous-maintenance theorem: split the corpus, roll each half
+    with the GLOBAL canonical map, merge_triples the halves — exactly the
+    one-shot triples_final (the (sum, min) rollup is associative)."""
+    from joern_spark.operators import canonicalize, materialize, rebind
+    from joern_spark.operators.extract import extract_triples_raw
+
+    t = read_transcripts(spark, 0.001)
+    e = read_entities(spark)
+    full = build_graph(t, e)
+
+    def half_rollup(sub):
+        raw = canonicalize.canonicalize_triples(
+            extract_triples_raw(sub), full.canonical_map
+        )
+        dyn = canonicalize.canonicalize_triples(
+            rebind.dbcur_triples(sub), full.canonical_map
+        )
+        return materialize.dedup_triples(raw.unionByName(dyn))
+
+    a = t.where(F.crc32(F.col("conv_id")) % 2 == 0)
+    b = t.where(F.crc32(F.col("conv_id")) % 2 == 1)
+    merged = materialize.merge_triples(half_rollup(a), half_rollup(b))
+
+    exp = full.triples_final
+    assert merged.exceptAll(exp).count() == 0
+    assert exp.exceptAll(merged).count() == 0
