@@ -19,3 +19,23 @@ reference hand-builds (SURVEY.md §4).
 """
 
 __version__ = "0.1.0"
+
+_TOP_LEVEL = {
+    "get_spark": ("joern_spark.session", "get_spark"),
+    "run_pipeline": ("joern_spark.pipeline", "run_pipeline"),
+    "build_graph": ("joern_spark.pipeline", "build_graph"),
+    "register_views": ("joern_spark.console", "register_views"),
+}
+
+
+def __getattr__(name: str):
+    """Lazy top-level API (`from joern_spark import run_pipeline`) —
+    resolved on first access so importing the package never pays the
+    full pyspark import or builds Spark expressions at import time."""
+    try:
+        mod, attr = _TOP_LEVEL[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod), attr)
