@@ -171,10 +171,8 @@ def run_curation_job(
     Output is row-identical to `curate.curation_verdict` on the same
     input (tested), but a killed run resumes without recomputing
     completed buckets."""
-    from joern_spark.functions.hashing import tokens_col
     from joern_spark.operators import curate
     from joern_spark.operators.dedup import exact_dedup, shingles
-    from joern_spark.operators.textstats import quality_col
     from joern_spark.sources.testdata import read_documents
 
     runner = runner or StageRunner(
@@ -185,7 +183,10 @@ def run_curation_job(
         n_buckets, F.col(BUCKET_COL)
     )
     d.cache()
-    fps = input_fingerprint(d, ["doc_id", "text"])
+    # lang participates in the verdict (the sample rate is keyed on it),
+    # so it MUST be in the fingerprint or a lang-only correction would
+    # resume to stale verdicts.
+    fps = input_fingerprint(d, ["doc_id", "text", "lang"])
     global_fp = "|".join(f"{b}:{fps[b]}" for b in sorted(fps))
     docs = d.drop(BUCKET_COL)
 
@@ -208,19 +209,9 @@ def run_curation_job(
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_contaminated"))
         )
-        keyed = sub.select(
-            "doc_id",
-            F.md5("text").alias("text_hash"),
-            curate.sample_keep_col(curate.DEFAULT_SAMPLE_RATES).alias("sampled"),
-            quality_col(tokens_col(F.col("text"))).alias("quality"),
-        )
-        contaminated = F.coalesce("n_contaminated", F.lit(0)) > 0
-        reason = (
-            F.when(F.col("quality") < curate.QUALITY_MIN, "low-quality")
-            .when(~F.col("sampled"), "sampled-out")
-            .when(contaminated, "contaminated")
-            .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
-            .otherwise("kept")
+        keyed = curate.keyed_docs(sub, curate.DEFAULT_SAMPLE_RATES)
+        reason = curate.verdict_reason(
+            F.coalesce("n_contaminated", F.lit(0)) > 0
         )
         out = (
             keyed.join(F.broadcast(groups), "text_hash")

@@ -107,6 +107,33 @@ def stratified_sample(
 QUALITY_MIN = 0.3  # doc_stats quality gate (≈ p25 on the test corpus)
 
 
+def keyed_docs(documents: DataFrame, rates: dict[str, float]) -> DataFrame:
+    """The verdict's per-document scan projection — hash key, sample
+    flag, quality — shared by `curation_verdict` and the resumable
+    curation job so the two cannot drift."""
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.textstats import quality_col
+
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        sample_keep_col(rates).alias("sampled"),
+        quality_col(tokens_col(F.col("text"))).alias("quality"),
+    )
+
+
+def verdict_reason(contaminated, quality_min: float = QUALITY_MIN):
+    """First-failing-gate CASE over (quality, sampled, `contaminated`
+    column, doc_id vs keep_id) — the single definition of gate order."""
+    return (
+        F.when(F.col("quality") < quality_min, "low-quality")
+        .when(~F.col("sampled"), "sampled-out")
+        .when(contaminated, "contaminated")
+        .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .otherwise("kept")
+    )
+
+
 def curation_verdict(
     documents: DataFrame,
     rates: dict[str, float] | None = None,
@@ -125,28 +152,15 @@ def curation_verdict(
     definition); dup survivorship is one hash shuffle on md5(text).
     Everything rejoins on doc_id, so AQE plans the merges; there is no
     driver-side step."""
-    from joern_spark.functions.hashing import tokens_col
     from joern_spark.operators.dedup import exact_dedup
-    from joern_spark.operators.textstats import quality_col
 
     rates = DEFAULT_SAMPLE_RATES if rates is None else rates
     decon = decontaminate(documents, benchmark_slice(documents)).select(
         "doc_id", "contaminated"
     )
-    keyed = documents.select(
-        "doc_id",
-        F.md5("text").alias("text_hash"),
-        sample_keep_col(rates).alias("sampled"),
-        quality_col(tokens_col(F.col("text"))).alias("quality"),
-    )
+    keyed = keyed_docs(documents, rates)
     groups = exact_dedup(documents).select("text_hash", "keep_id")
-    reason = (
-        F.when(F.col("quality") < quality_min, "low-quality")
-        .when(~F.col("sampled"), "sampled-out")
-        .when(F.col("contaminated"), "contaminated")
-        .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
-        .otherwise("kept")
-    )
+    reason = verdict_reason(F.col("contaminated"), quality_min)
     return (
         keyed.join(groups, "text_hash")
         .join(decon, "doc_id")

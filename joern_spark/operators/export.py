@@ -250,5 +250,7 @@ def export_jsonl(g: GraphResult, out_dir: str) -> dict[str, int]:
     )
     for name, df in (("nodes", nodes), ("edges", g.edges)):
         df.write.mode("overwrite").json(f"{out_dir}/{name}")
-        counts[name] = df.sparkSession.read.json(f"{out_dir}/{name}").count()
+        # count from the plan, not a read-back: schema inference on an
+        # empty JSON directory throws, and the re-read doubles the scans
+        counts[name] = df.count()
     return counts

@@ -107,7 +107,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    if sym.count() <= PR_LOCAL_THRESHOLD:
+    n_edges = sym.count()
+    if n_edges == 0:  # empty graph: 1/N and (1-d)/N are undefined
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    if n_edges <= PR_LOCAL_THRESHOLD:
         rows = [(r["src"], r["dst"]) for r in sym.collect()]
         return _pagerank_local(rows, edges.sparkSession, iterations, damping)
     n_nodes = deg.count()

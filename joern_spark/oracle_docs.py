@@ -59,6 +59,18 @@ def _in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _quality_sql() -> str:
+    """The doc_stats quality score over the `toks` CTE column — ONE
+    definition mirroring textstats.quality_col, used by every oracle
+    that scores quality."""
+    stop = _in_list(STOPWORDS)
+    return (
+        f"least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5"
+        f" + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3"
+        f" + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2"
+    )
+
+
 def doc_stats_sql() -> str:
     stop = _in_list(STOPWORDS)
     return f"""
@@ -69,9 +81,7 @@ SELECT doc_id, n_chars,
        len(list_filter(toks, t -> t IN ({stop}))) AS n_stopwords,
        len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks) AS stopword_ratio,
        len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
-       least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
-         + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3
-         + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2 AS quality
+       {_quality_sql()} AS quality
 FROM toks
 """
 
@@ -220,12 +230,7 @@ def curation_verdict_sql() -> str:
         QUALITY_MIN,
     )
 
-    stop = _in_list(STOPWORDS)
-    quality = (
-        f"least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5"
-        f" + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3"
-        f" + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2"
-    )
+    quality = _quality_sql()
     h = H.format(x="CAST(doc_id AS VARCHAR)")
     cases = " ".join(
         f"WHEN '{k}' THEN {r!r}" for k, r in DEFAULT_SAMPLE_RATES.items()
@@ -311,12 +316,7 @@ GROUP BY d.lang
 def stratified_topn_sql() -> str:
     from joern_spark.operators.curate import TOPN_PER_STRATUM
 
-    stop = _in_list(STOPWORDS)
-    quality = (
-        f"least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5"
-        f" + (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) * 0.3"
-        f" + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.2"
-    )
+    quality = _quality_sql()
     return f"""
 WITH {TOKS},
 scored AS (

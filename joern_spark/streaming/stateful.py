@@ -153,9 +153,6 @@ def run_rebind_state(
     q.awaitTermination()
 
 
-DEDUP_OUT_SCHEMA = "text_hash string, conv_id string, turn_idx int, text string"
-
-
 def dedup_stream(stream: DataFrame, within: str = "7 days") -> DataFrame:
     """First-seen-wins streaming dedup on content hash — the streaming
     counterpart of `operators/dedup.exact_dedup`: each distinct turn text
@@ -169,7 +166,13 @@ def dedup_stream(stream: DataFrame, within: str = "7 days") -> DataFrame:
     bounded by the duplicate horizon, not by corpus lifetime. A
     duplicate arriving later than `within` after its original re-emits —
     the documented trade for bounded state; the batch exact_dedup pass
-    downstream remains the global authority."""
+    downstream remains the global authority.
+
+    The NTZ→LTZ cast for the watermark column interprets the lake's
+    naive timestamps in the SESSION timezone; checkpointed watermark and
+    eviction state are keyed on the resulting instants, so every drain
+    of one checkpoint MUST run under the same session timezone —
+    `run_dedup_stream` enforces the repo's pinned UTC."""
     return (
         stream.withColumn("_evt", F.col("ts").cast("timestamp"))
         .withWatermark("_evt", within)
@@ -182,6 +185,9 @@ def dedup_stream(stream: DataFrame, within: str = "7 days") -> DataFrame:
 def run_dedup_stream(
     spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":  # see dedup_stream docstring — state is TZ-keyed
+        raise ValueError(f"dedup stream requires session timeZone UTC, got {tz}")
     stream = read_transcript_stream(spark, landing_dir)
     q = (
         dedup_stream(stream)

@@ -407,3 +407,12 @@ def test_pagerank_local_equals_distributed(spark):
     finally:
         rank_mod.PR_LOCAL_THRESHOLD = orig
     assert fast == dist  # exact float equality, not isclose
+
+
+def test_pagerank_empty_edges(spark):
+    """Review regression: an empty co-mention graph yields an empty
+    typed result instead of dividing by zero in the fast path."""
+    from joern_spark.operators.rank import pagerank
+
+    out = pagerank(spark.createDataFrame([], "a string, b string"))
+    assert out.count() == 0 and out.columns == ["node", "rank"]
