@@ -654,6 +654,41 @@ def scan_extreme_temperatures(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def scan_duplicate_turns(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx) keys appearing more than once — primary-key
+    integrity of the turn table (the stable-ordering invariant the whole
+    pipeline assumes). One map-side-combined groupBy."""
+    return (
+        transcripts.groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("duplicate-turn").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_turn_gaps(transcripts: DataFrame) -> DataFrame:
+    """Conversations whose turn_idx sequence has holes (max+1 ≠ count
+    with min 0) — truncated or partially-ingested conversations; scored
+    by the number of missing indices. One aggregation per conversation."""
+    agg = transcripts.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("mx"),
+        F.min("turn_idx").alias("mn"),
+        F.countDistinct("turn_idx").alias("n"),
+    )
+    missing = F.col("mx") + 1 - F.col("n")
+    return agg.where((F.col("mn") != 0) | (missing > 0)).select(
+        F.lit("turn-gap").alias("query_name"),
+        F.col("conv_id").alias("evidence"),
+        F.greatest(missing, F.lit(1)).cast("long").alias("score"),
+    )
+
+
 def scan_protocol_violations(transcripts: DataFrame) -> DataFrame:
     """Conversations whose FIRST turn is not from the user — the
     transcript-protocol analog of a method body with no entry node.
@@ -693,6 +728,8 @@ SCANNERS: dict[str, Callable] = {
     "alias-conflict": scan_alias_conflicts,
     "result-mismatch": scan_result_mismatches,
     "extreme-temperature": scan_extreme_temperatures,
+    "duplicate-turn": scan_duplicate_turns,
+    "turn-gap": scan_turn_gaps,
 }
 
 

@@ -789,6 +789,17 @@ FROM (
 WHERE call_loc IS NOT NULL AND next_res IS NOT NULL
   AND call_loc <> next_res
 UNION ALL
+SELECT 'duplicate-turn',
+       conv_id || ':' || CAST(turn_idx AS VARCHAR), count(*)::BIGINT
+FROM t GROUP BY conv_id, turn_idx HAVING count(*) >= 2
+UNION ALL
+SELECT 'turn-gap', conv_id,
+       greatest(mx + 1 - n, 1)::BIGINT
+FROM (SELECT conv_id, max(turn_idx) AS mx, min(turn_idx) AS mn,
+             count(DISTINCT turn_idx) AS n
+      FROM t GROUP BY conv_id)
+WHERE mn <> 0 OR mx + 1 - n > 0
+UNION ALL
 SELECT 'extreme-temperature',
        conv_id || ':' || CAST(turn_idx AS VARCHAR),
        abs(CAST(regexp_extract(text, '{result.pattern}', 2) AS BIGINT))

@@ -602,6 +602,58 @@ QUERY_DB.extend(
                 [("c3", 0, "tool", "Lima: 20C, sunny.", "weather_api")],
             ],
         ),
+        Query(
+            name="duplicate-turn",
+            author=_A,
+            title="Duplicate (conv_id, turn_idx) key",
+            description="The turn table's primary key appears more than "
+            "once — the stable-ordering invariant every pass assumes is "
+            "broken for this conversation.",
+            score=8.0,
+            scanner=scan.scan_duplicate_turns,
+            tags=["integrity", "protocol"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.", None),
+                    ("c1", 0, "user", "Please check the weather in Oslo.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user", "Please check the weather in Lima.", None),
+                    ("c2", 1, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="turn-gap",
+            author=_A,
+            title="Turn sequence has holes",
+            description="turn_idx does not form 0..n-1 — a truncated or "
+            "partially-ingested conversation; scored by missing indices.",
+            score=5.0,
+            scanner=scan.scan_turn_gaps,
+            tags=["integrity", "ingest"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.", None),
+                    ("c1", 3, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                ],
+                [
+                    # starts at 2 — the head of the conversation is missing
+                    ("c2", 2, "tool", "Lima: 20C, sunny.", "weather_api"),
+                ],
+            ],
+            negative_examples=[
+                [
+                    ("c3", 0, "user", "Please check the weather in Lima.", None),
+                    ("c3", 1, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                ]
+            ],
+        ),
     ]
 )
 
