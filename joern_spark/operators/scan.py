@@ -265,7 +265,8 @@ def scan_unanswered_asks(transcripts: DataFrame) -> DataFrame:
 def scan_dangling_calls(transcripts: DataFrame) -> DataFrame:
     """Tool calls for a location with NO later tool-result for that
     location in the same conversation — the ignored-return-value /
-    call-without-effect smell (querydb's unchecked-return family).
+    call-without-effect smell (querydb RetvalChecks.scala:12-30
+    `returnValueNotChecked`, QueryLangExtensions.scala:11-23).
     Shape: calls join the per-(conv, loc) MAX result index, so only the
     two filtered slices shuffle. Evidence is the call TURN id."""
     from joern_spark.operators.extract import normalize_surface_col
@@ -349,8 +350,9 @@ def scan_orphan_results(transcripts: DataFrame) -> DataFrame:
 
 def scan_retry_loops(transcripts: DataFrame) -> DataFrame:
     """The same tool called ≥2 times for the same location in one
-    conversation — the retry/error-loop smell (the reference's repeated
-    dangerous-call pattern). One map-side-combined groupBy; scored by
+    conversation — the retry/error-loop smell (the repeated dangerous-call
+    pattern, querydb DangerousFunctions.scala:13-52; loop-shape metrics
+    Metrics.scala:156 `tooManyLoops`). One map-side-combined groupBy; scored by
     the call count."""
     from joern_spark.operators.extract import normalize_surface_col
 
@@ -636,9 +638,9 @@ def scan_result_mismatches(transcripts: DataFrame) -> DataFrame:
 
 def scan_extreme_temperatures(transcripts: DataFrame) -> DataFrame:
     """Tool results reporting temperatures outside the sanity band
-    (> TEMP_HIGH or < TEMP_LOW °C) — the range/dangerous-constant check
-    from the reference's querydb, over extracted values instead of
-    literals. Pure filter on the result slice."""
+    (> TEMP_HIGH or < TEMP_LOW °C) — the value-range-check family from the
+    reference's querydb (IntegerTruncations.scala, MissingLengthCheck.scala
+    bound checks), over extracted values instead of AST literals. Pure filter on the result slice."""
     result = RULES_BY_NAME["result"]
     temp = F.regexp_extract("text", result.pattern, 2).cast("long")
     return (
