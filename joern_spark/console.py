@@ -76,3 +76,23 @@ STARTERS: dict[str, str] = {
 def sql(spark: SparkSession, starter: str, **params: str) -> DataFrame:
     query = STARTERS[starter]
     return spark.sql(query, args=params) if params else spark.sql(query)
+
+
+def run_script(spark: SparkSession, g, path: str):
+    """`joern --script` analog (JoernConsole script lifecycle,
+    joern-cli/src/main/scala/io/joern/joerncli/console/..., §3.2 of
+    SURVEY.md): execute a user Python script against the graph. The
+    script sees `spark`, `g` (the GraphResult), `F` (pyspark functions)
+    and the registered `tpg_*` SQL views; whatever it assigns to a
+    variable named `result` is returned (a DataFrame, normally).
+
+    Scripts are trusted user code, exactly as in the reference — this is
+    the batch-automation surface, not a sandbox."""
+    from pyspark.sql import functions as F_
+
+    register_views(g)
+    scope = {"spark": spark, "g": g, "F": F_}
+    with open(path, encoding="utf-8") as fh:
+        src = fh.read()
+    exec(compile(src, path, "exec"), scope)  # noqa: S102 — the feature IS script execution
+    return scope.get("result")

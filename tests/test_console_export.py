@@ -128,3 +128,23 @@ def test_jsonl_round_trip(spark, make_transcripts, entities, tmp_path):
     assert kinds == {"CONVERSATION", "TURN", "ENTITY"}
     e = spark.read.json(str(tmp_path / "jl" / "edges"))
     assert {"src", "dst", "label", "property"} <= set(e.columns)
+
+
+def test_run_script(spark, make_transcripts, entities, tmp_path):
+    """joern --script analog: a user script runs with spark/g/F and the
+    tpg_* views in scope; its `result` comes back as a DataFrame."""
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Please check the weather in Paris.", None),
+            ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+        ]
+    )
+    g = build_graph(t, entities)
+    script = tmp_path / "my_query.py"
+    script.write_text(
+        "result = spark.sql('SELECT count(*) AS n FROM tpg_turns')"
+        ".withColumn('tag', F.lit('ok'))\n"
+    )
+    out = console.run_script(spark, g, str(script))
+    row = out.collect()[0]
+    assert (row.n, row.tag) == (2, "ok")
