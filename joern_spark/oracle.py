@@ -417,6 +417,23 @@ SELECT node, rank FROM r{PR_ITERATIONS}
 """
 
 
+def conv_metrics_sql(sf: float) -> str:
+    ask = RULES_BY_NAME["ask"]
+    call = RULES_BY_NAME["call"]
+    rebind = RULES_BY_NAME["rebind"]
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN {_rule_where(ask)} THEN 1 ELSE 0 END)::BIGINT AS n_asks,
+       sum(CASE WHEN {_rule_where(call)} THEN 1 ELSE 0 END)::BIGINT AS n_calls,
+       sum(CASE WHEN {_rule_where(rebind)} THEN 1 ELSE 0 END)::BIGINT AS n_rebinds,
+       count(DISTINCT tool)::BIGINT AS n_tools,
+       (epoch(max(ts)) - epoch(min(ts)))::BIGINT AS duration_s
+FROM t GROUP BY conv_id
+"""
+
+
 def entity_triangles_sql(sf: float) -> str:
     """Per-entity triangle count + clustering coefficient. The triangle
     SET is orientation-invariant, so the oracle uses the simple id-ordered

@@ -129,6 +129,29 @@ def q_entity_rank(spark, sf_dir):
     return pagerank(entity_cooccurrence(extract_mentions(_t(spark, sf_dir))))
 
 
+def q_conv_metrics(spark, sf_dir):
+    """Per-conversation complexity metrics — the querydb Metrics family
+    (Metrics.scala:11-180 tooManyParameters/tooHighComplexity/tooLong/
+    tooManyLoops) as one metrics TABLE instead of threshold findings:
+    turn/ask/call/rebind counts, distinct tools, wall-clock span. One
+    groupBy, all aggregates map-side-combined."""
+    from joern_spark.operators.extract import RULES_BY_NAME, _match_cond
+
+    t = _t(spark, sf_dir)
+    ask = RULES_BY_NAME["ask"]
+    call = RULES_BY_NAME["call"]
+    rebind = RULES_BY_NAME["rebind"]
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(_match_cond(ask).cast("long")).alias("n_asks"),
+        F.sum(_match_cond(call).cast("long")).alias("n_calls"),
+        F.sum(_match_cond(rebind).cast("long")).alias("n_rebinds"),
+        F.countDistinct("tool").alias("n_tools"),
+        (F.max(epoch) - F.min(epoch)).cast("long").alias("duration_s"),
+    )
+
+
 def q_entity_triangles(spark, sf_dir):
     """Degree-ordered triangle count + local clustering coefficient per
     entity over the co-mention graph (hub skew bounded structurally)."""
@@ -461,6 +484,7 @@ TPG_QUERIES = {
     "tpg_hourly_turns": q_hourly_turns,
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
+    "tpg_conv_metrics": q_conv_metrics,
     "tpg_sessions": q_sessions,
     "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
