@@ -55,6 +55,18 @@ def k_hop(edges: DataFrame, k: int) -> DataFrame:
     return cur
 
 
+# Frontier rows above which broadcast-hash expansion is unsafe: each
+# round ships the frontier (and the monotonically growing `seen` set) to
+# every executor, so a corpus-proportional frontier (e.g. "every
+# conversation's first turn" at 10^12 turns) is a guaranteed broadcast
+# OOM. 1M id-strings ≈ 30–60 MB serialized — the upper edge of sane
+# broadcast size. Below: broadcast (the edge table never shuffles);
+# above: co-partitioned shuffle join. Auto-selected from a cheap count
+# of the (already materialized) root set, and DOWNGRADED mid-walk if the
+# visited set outgrows the threshold.
+FRONTIER_BROADCAST_MAX = 1_000_000
+
+
 def expand(
     frontier: DataFrame,
     edges: DataFrame,
@@ -64,7 +76,7 @@ def expand(
     checkpoint_every: int | None = None,
     until=None,
     emit_all_but_first: bool = False,
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """repeat(step)(_.emit.maxDepth(k)) — bounded transitive expansion with
     accumulator union and frontier dedup. localCheckpoint keeps the plan
@@ -83,15 +95,23 @@ def expand(
         the walk stops descending at the first match on each branch.
 
     Join strategy: the edge table is lazily checkpointed ONCE (computed a
-    single time, reused every round). With broadcast_frontier=True (the
-    default — reach queries start from a selective root set, so the
-    frontier stays orders of magnitude smaller than the edge table) each
-    round is a broadcast-hash join: the big edge side NEVER shuffles and
-    the per-round cost is shipping the small frontier. Set it False for
-    frontiers too big to broadcast — the edge table is then additionally
-    pre-partitioned on the join key so every round's shuffle join
-    co-partitions (measured 2.1× in favor of broadcast at sf0.1)."""
+    single time, reused every round). broadcast_frontier=None (default)
+    auto-selects from a cheap count of the deduped root set: ≤
+    FRONTIER_BROADCAST_MAX rows → broadcast-hash rounds (the big edge
+    side NEVER shuffles; per-round cost is shipping the small frontier,
+    measured 2.1× in favor at sf0.1); above → co-partitioned shuffle
+    join (the edge table is pre-partitioned on the join key so every
+    round's shuffle join co-partitions). A broadcast walk additionally
+    DOWNGRADES to shuffle joins mid-walk if the visited set outgrows the
+    threshold (the edge table is not re-partitioned at that point — the
+    remaining rounds pay an edge shuffle, which is still OOM-safe,
+    unlike an over-threshold broadcast)."""
     edges = edges.select("src", "dst")
+    seen = frontier.select(id_col).dropDuplicates().localCheckpoint(eager=True)
+    auto = broadcast_frontier is None
+    n_seen = seen.count() if auto else 0
+    if auto:
+        broadcast_frontier = n_seen <= FRONTIER_BROADCAST_MAX
     if not broadcast_frontier:
         edges = edges.repartition(F.col("src"))
     edges = edges.localCheckpoint(eager=False)
@@ -103,7 +123,6 @@ def expand(
         # shuffle mode each eager checkpoint costs a blocking job, so
         # amortize over 4 rounds.
         checkpoint_every = 1 if broadcast_frontier else 4
-    seen = frontier.select(id_col).dropDuplicates().localCheckpoint(eager=True)
     stopped = None  # until-matched nodes (the result set when not emitting all)
     if until is not None:
         stopped = seen.where(until(F.col(id_col)))
@@ -118,8 +137,13 @@ def expand(
         )
         if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
             nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            n_nxt = nxt.count()
+            if n_nxt == 0:
                 break
+            n_seen += n_nxt
+            if auto and broadcast_frontier and n_seen > FRONTIER_BROADCAST_MAX:
+                broadcast_frontier = False
+                maybe_bc = lambda df: df  # noqa: E731 — mid-walk downgrade
             seen = seen.union(nxt).localCheckpoint(eager=True)
         else:
             seen = seen.union(nxt)
@@ -149,7 +173,7 @@ def expand_paths(
     id_col: str = "id",
     checkpoint_every: int | None = None,
     keep: str = "max",
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """reachableByFlows analog — bounded expansion that carries the full
     evidence path (ExtendedCfgNode.scala:40-63): returns one row per
@@ -165,23 +189,28 @@ def expand_paths(
         keep="all" returns every cycle-free path instead.
 
     Scale shape: per round one join frontier⋈edges — broadcast-hash with
-    the frontier shipped (default; the edge table never shuffles) or
-    co-partitioned shuffle join for huge frontiers, exactly as in
-    `expand`; the path column rides along as an array, so state per row
-    is O(depth). Checkpoints every few rounds truncate lineage."""
+    the frontier shipped or co-partitioned shuffle join, auto-selected
+    (and mid-walk downgraded as live paths multiply) by the same
+    FRONTIER_BROADCAST_MAX count rule as `expand`; the path column rides
+    along as an array, so state per row is O(depth). Checkpoints every
+    few rounds truncate lineage."""
     edges = edges.select("src", "dst")
+    cur = frontier.select(
+        F.col(id_col).alias("src"),
+        F.col(id_col).alias("dst"),
+        F.lit(0).alias("depth"),
+        F.array(F.col(id_col)).alias("path"),
+    ).dropDuplicates(["src"]).localCheckpoint(eager=True)
+    auto = broadcast_frontier is None
+    n_live = cur.count() if auto else 0
+    if auto:
+        broadcast_frontier = n_live <= FRONTIER_BROADCAST_MAX
     if not broadcast_frontier:
         edges = edges.repartition(F.col("src"))
     edges = edges.localCheckpoint(eager=False)
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
     if checkpoint_every is None:
         checkpoint_every = 1 if broadcast_frontier else 4
-    cur = frontier.select(
-        F.col(id_col).alias("src"),
-        F.col(id_col).alias("dst"),
-        F.lit(0).alias("depth"),
-        F.array(F.col(id_col)).alias("path"),
-    ).dropDuplicates(["src"])
     acc = None
     for i in range(max_depth):
         nxt = (
@@ -197,8 +226,12 @@ def expand_paths(
         )
         if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
             nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            n_live = nxt.count()
+            if n_live == 0:
                 break
+            if auto and broadcast_frontier and n_live > FRONTIER_BROADCAST_MAX:
+                broadcast_frontier = False
+                maybe_bc = lambda df: df  # noqa: E731 — mid-walk downgrade
         acc = nxt if acc is None else acc.union(nxt)
         cur = nxt
     if acc is None:

@@ -13,9 +13,10 @@ converges in O(component diameter) rounds. Each round is one shuffle
 (groupBy node) and the frontier is `dropDuplicates`-bounded, mirroring the
 reference flow engine's task-fingerprint dedup (Engine.scala:133-143).
 `localCheckpoint` truncates the lineage every round — without it the plan
-grows exponentially (SURVEY.md §7 hard-part (a)). Alias chains are short
-(diameter ≤ ~5); for adversarial diameters switch to large-star/small-star
-(same loop skeleton, two alternating join rules).
+grows exponentially (SURVEY.md §7 hard-part (a)). Each round also
+pointer-jumps labels through themselves (the large-star shortcut), so
+convergence is O(log diameter) and adversarially long alias chains are
+safe; a non-converged loop raises instead of returning partial labels.
 
 Canonical representative = lexicographic MIN entity_key in the component —
 deterministic and replicable by the DuckDB oracle's recursive CTE.
@@ -113,6 +114,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .select(F.col("a").alias("entity_key"), "canon")
     )
     labels = labels.withColumn("canon", F.least("entity_key", "canon")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(MAX_ITERATIONS):
         # propagate: candidate label for n = min over neighbors m of label(m)
         neighbor_min = (
@@ -120,11 +122,30 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("a")
             .agg(F.min("canon").alias("nbr_canon"))
         )
+        new_labels = labels.join(
+            neighbor_min, labels.entity_key == neighbor_min.a, "left"
+        ).select(
+            "entity_key",
+            F.least(
+                F.col("canon"), F.coalesce("nbr_canon", F.col("canon"))
+            ).alias("canon"),
+        )
+        # pointer-jump (the large-star shortcut): canon(n) ← canon(canon(n)).
+        # Neighbor propagation alone moves the min one hop per round
+        # (O(diameter)); jumping through the label doubles the reach each
+        # round, so convergence is O(log diameter) — a 10^6-long alias
+        # chain converges in ~20 rounds instead of 10^6. canon(n) is
+        # always a node of n's component, so the invariant holds.
+        jump = new_labels.select(
+            F.col("entity_key").alias("canon"), F.col("canon").alias("canon2")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.entity_key == neighbor_min.a, "left")
+            new_labels.join(jump, "canon", "left")
             .select(
                 "entity_key",
-                F.least(F.col("canon"), F.coalesce("nbr_canon", F.col("canon"))).alias("canon"),
+                F.least(
+                    F.col("canon"), F.coalesce("canon2", F.col("canon"))
+                ).alias("canon"),
             )
             .localCheckpoint(eager=True)
         )
@@ -137,8 +158,17 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    # path-compress: ensure label fixpoint (label of label == label)
+    if not converged:
+        # Never return partial labels: a silently mis-canonicalized alias
+        # chain corrupts every downstream triple. With pointer jumping
+        # this needs component diameter > ~2^MAX_ITERATIONS to trip.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITERATIONS} "
+            "rounds — component diameter is astronomically large or the "
+            "edge set is inconsistent"
+        )
     return labels
 
 

@@ -42,6 +42,18 @@ JACCARD_THRESHOLD = 0.3
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 HAMMING_THRESHOLD = 2
+# Zero-pad width for doc_id → sortable component keys. int64 has at most
+# 19 digits, so 20 covers the whole id domain; lpad TRUNCATES overlong
+# strings, so a narrower pad would corrupt keys at exactly the 10^12-doc
+# scale this module targets.
+ID_PAD = 20
+# Above this many component-map rows the survivor joins switch from
+# broadcast to plain shuffle joins: on web corpora 50–80% of docs are
+# duplicates, so the map has corpus-order cardinality and a broadcast is
+# a guaranteed OOM. Mirrors canonicalize.SMALL_COMPONENT_THRESHOLD's
+# broadcast-below / shuffle-above discipline. ~8M rows × ~40 B ≈ 300 MB
+# is already past safe broadcast size; 2M keeps headroom.
+SURVIVOR_BROADCAST_THRESHOLD = 2_000_000
 # Hub-shingle guard for the exact-Jaccard self-join: a shingle shared by
 # f documents contributes f² join rows, so one stop-word-ish shingle is
 # quadratic at corpus scale. Shingles with document frequency above the
@@ -212,7 +224,11 @@ def minhash_lsh_pairs(
     return _verify_pairs(shingles(documents), cand, threshold)
 
 
-def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_survivors(
+    documents: DataFrame,
+    pairs: DataFrame,
+    broadcast_threshold: int = SURVIVOR_BROADCAST_THRESHOLD,
+) -> DataFrame:
     """(doc_id, keep_id, quality): map every document to its duplicate
     component's SURVIVOR — the highest-quality member (ties → lowest
     doc_id) — composing near-dup pairs (any pair source: MinHash LSH,
@@ -221,33 +237,40 @@ def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     actionable end product of the dedup family: the keep/drop assignment
     a training pipeline filters with.
 
-    Scale shape: components run over the (tiny, dup-bounded) pair set;
-    the full document side takes one broadcast join against the
-    component map and one broadcast join against the per-component
-    winner — the corpus never shuffles."""
+    Scale shape: components run over the pair set; the component map is
+    NOT corpus-bounded (web corpora are 50–80% duplicates), so the join
+    strategy is thresholded: below `broadcast_threshold` map rows the
+    document side takes two broadcast joins (map + winners) and never
+    shuffles; above it both joins fall back to plain shuffle hash joins
+    on the padded key — one corpus shuffle, no driver-side
+    materialization, OOM-safe at any dup ratio. Both paths are
+    bit-identical (tested)."""
     from joern_spark.operators.canonicalize import connected_components
     from joern_spark.operators.textstats import doc_stats
 
-    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    pad = lambda c: F.lpad(c.cast("string"), ID_PAD, "0")  # noqa: E731
     cmap = connected_components(
         pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b"))
     ).select(
         F.col("entity_key").alias("_k"), F.col("canon").alias("_comp")
-    )
+    ).localCheckpoint(eager=True)
+    # the map is already materialized (connected_components ends on a
+    # collect or checkpoint), so this count is a cheap metadata-ish job
+    maybe_bc = F.broadcast if cmap.count() <= broadcast_threshold else (lambda df: df)
     q = doc_stats(documents).select("doc_id", "quality").withColumn(
         "_k", pad(F.col("doc_id"))
     )
     # winner election touches only the dup-component MEMBERS (inner join
-    # against the dup-bounded map) — the per-component window shuffles
-    # that small slice, never the corpus
-    members = q.join(F.broadcast(cmap), "_k")
+    # against the map) — the per-component window shuffles that slice,
+    # never the full corpus
+    members = q.join(maybe_bc(cmap), "_k")
     w = Window.partitionBy("_comp").orderBy(F.desc("quality"), F.asc("doc_id"))
     winners = (
         members.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("_comp", F.col("doc_id").alias("keep_id"))
     )
-    comp_keep = F.broadcast(
+    comp_keep = maybe_bc(
         cmap.join(winners, "_comp").select("_k", "keep_id")
     )
     return q.join(comp_keep, "_k", "left").select(

@@ -128,14 +128,23 @@ def _literal_prefix(pattern: str) -> str:
     assert pattern.startswith("^")
     depth = 0
     esc = False
+    in_class = False
     for ch in pattern[1:]:
+        # inside [...] every metacharacter is a literal and only ']' ends
+        # the class — counting '(' / '[' there as nesting would hide a
+        # top-level '|' after the class (e.g. ^ab[(]cd|xy) and silently
+        # drop rows matching the right alternative
         if esc:
             esc = False
         elif ch == "\\":
             esc = True
-        elif ch in "([":
+        elif in_class:
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
             depth += 1
-        elif ch in ")]":
+        elif ch == ")":
             depth -= 1
         elif ch == "|" and depth == 0:
             return ""

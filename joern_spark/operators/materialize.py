@@ -42,12 +42,29 @@ def tag_nodes(findings: DataFrame) -> DataFrame:
     ).dropDuplicates(["id"])
 
 
+# Scanners whose evidence string is a composite key (conv:tool:loc /
+# conv:loc) rather than a graph node id. Their TAGGED_BY edges anchor on
+# the CONVERSATION node (the prefix before the first ':'; conv ids are
+# colon-free `c%09d`), so no edge in the write-back dangles. Every other
+# scanner's evidence is already a node id: a conversation (conv_id), a
+# turn (conv_id:turn_idx — the composite IS the turn node id), or an
+# entity key. The oracle (oracle.tagged_by_sql) imports this list.
+NON_ADDRESSABLE_SCANNERS = ("retry-loop", "repeated-question")
+
+
 def tagged_by_edges(findings: DataFrame) -> DataFrame:
     """TAGGED_BY edges evidence-node → TAG node, property = score — the
     write-back that materializes scan results INTO the graph instead of
-    leaving them as a side table (the reference's .store() diff)."""
+    leaving them as a side table (the reference's .store() diff).
+    Composite-evidence findings anchor on their conversation node so the
+    edge set unions into exports without dangling srcs; the full
+    composite evidence stays on the finding row itself."""
+    src = F.when(
+        F.col("query_name").isin(*NON_ADDRESSABLE_SCANNERS),
+        F.substring_index("evidence", ":", 1),
+    ).otherwise(F.col("evidence"))
     return findings.select(
-        F.col("evidence").alias("src"),
+        src.alias("src"),
         F.concat(F.lit("tag:"), F.col("query_name")).alias("dst"),
         F.lit("TAGGED_BY").alias("label"),
         F.col("score").cast("string").alias("property"),

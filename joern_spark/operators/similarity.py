@@ -375,11 +375,23 @@ def ivf_centroids(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
     sample, which only changes the centroid table, not the plan shape)."""
     from joern_spark.functions.hashing import md5_long
 
-    w = Window.orderBy(md5_long(F.col("vec_id").cast("string")), "vec_id")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k + driver merge. (A global Window.orderBy here
+    # would funnel the entire embeddings table through ONE task just to
+    # pick k rows — a serialization point at corpus scale.) The window
+    # that numbers the cells runs over only the k surviving rows.
+    top = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            md5_long(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("_h", "vec_id")
     return (
-        embeddings.select("vec_id", "embedding")
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= k)
+        top.withColumn("_r", F.row_number().over(w))
         .select(
             (F.col("_r") - 1).alias("cell"),
             F.col("embedding").alias("centroid"),

@@ -310,9 +310,15 @@ LEFT JOIN e e2 ON k.entity_key = e2.entity_key
 
 def tagged_by_sql(sf: float) -> str:
     """TAGGED_BY write-back: one edge per finding, projected from the
-    same findings battery SQL."""
+    same findings battery SQL. Composite-evidence scanners anchor on
+    their conversation node (materialize.NON_ADDRESSABLE_SCANNERS)."""
+    from joern_spark.operators.materialize import NON_ADDRESSABLE_SCANNERS
+
+    non_addr = ", ".join(f"'{n}'" for n in NON_ADDRESSABLE_SCANNERS)
     return f"""
-SELECT evidence AS src, 'tag:' || query_name AS dst,
+SELECT CASE WHEN query_name IN ({non_addr})
+            THEN split_part(evidence, ':', 1) ELSE evidence END AS src,
+       'tag:' || query_name AS dst,
        'TAGGED_BY' AS label, CAST(score AS VARCHAR) AS property
 FROM ({findings_sql(sf)})
 """

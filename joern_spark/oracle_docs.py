@@ -14,6 +14,7 @@ from __future__ import annotations
 from joern_spark.functions.hashing import MINHASH_P, N_MINHASH
 from joern_spark.operators.dedup import (
     HAMMING_THRESHOLD,
+    ID_PAD,
     JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
     SIMHASH_BANDS,
@@ -388,8 +389,8 @@ def dedup_survivors_sql() -> str:
     return f"""
 WITH RECURSIVE
 pr AS (
-  SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS a,
-         lpad(CAST(b AS VARCHAR), 12, '0') AS b
+  SELECT lpad(CAST(a AS VARCHAR), {ID_PAD}, '0') AS a,
+         lpad(CAST(b AS VARCHAR), {ID_PAD}, '0') AS b
   FROM ({minhash_lsh_sql()})
 ),
 sym AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
@@ -400,7 +401,7 @@ reach(n, m) AS (
 ),
 cmap AS (SELECT n AS k, min(m) AS comp FROM reach GROUP BY n),
 q AS (
-  SELECT doc_id, quality, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+  SELECT doc_id, quality, lpad(CAST(doc_id AS VARCHAR), {ID_PAD}, '0') AS k
   FROM ({doc_stats_sql()})
 ),
 members AS (SELECT q.doc_id, q.quality, c.comp FROM q JOIN cmap c ON q.k = c.k),

@@ -43,7 +43,12 @@ def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
     Watermarks require an instant (LTZ) event-time column, so the lake's
     naive NTZ micros round-trip through the session clock — the LTZ cast
     and the NTZ cast back use the same session timezone, so window starts
-    come out as the same naive values under any session TZ."""
+    come out as the same naive values for WHOLE-HOUR-offset zones (a
+    fractional-offset zone like +05:30 lands 1-hour windows on :30 in
+    naive terms). Checkpointed watermark/window state is keyed on the
+    cast instants, so every drain of one checkpoint must run under the
+    same session timezone — `run_windowed_counts` enforces the repo's
+    pinned UTC, exactly like `run_dedup_stream`."""
     return (
         stream.withColumn("_evt", F.col("ts").cast("timestamp"))
         .withWatermark("_evt", late)
@@ -64,6 +69,9 @@ def run_windowed_counts(
     """Drain available files; append every window the advancing watermark
     has closed. Re-invoking after later data lands finalizes (and emits)
     the earlier windows exactly once."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":  # see windowed_turn_counts docstring — state is TZ-keyed
+        raise ValueError(f"windowed counts require session timeZone UTC, got {tz}")
     stream = read_transcript_stream(spark, landing_dir)
     q = (
         windowed_turn_counts(stream, window, late)

@@ -448,3 +448,38 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2].n_redactions == 2
     assert out[3].clean_text == "nothing sensitive here"
     assert out[3].n_redactions == 0
+
+
+def test_dedup_survivors_shuffle_path_identical(spark):
+    """Above-threshold component maps switch to shuffle joins; the result
+    must be bit-identical to the broadcast path (the 100 TB shape: web
+    corpora are 50-80% dups, so the map is corpus-order — a broadcast
+    would OOM)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i % 3} body " * (i + 1)) for i in range(9)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3, 0.9), (3, 6, 0.9), (1, 4, 0.8), (2, 5, 0.7)],
+        "a long, b long, jaccard double",
+    )
+    bc = sorted(dedup.dedup_survivors(docs, pairs).collect())
+    sh = sorted(
+        dedup.dedup_survivors(docs, pairs, broadcast_threshold=0).collect()
+    )
+    assert bc == sh
+
+
+def test_dedup_survivors_wide_ids(spark):
+    """doc_ids near int64 max must not collide: the component key pad is
+    20 chars (max int64 digits), so ordering/grouping stays exact."""
+    big = 10**18
+    docs = spark.createDataFrame(
+        [(big + 1, "same text " * 5), (big + 2, "same text " * 9), (7, "other")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(big + 1, big + 2, 0.9)], "a long, b long, jaccard double"
+    )
+    out = {r.doc_id: r.keep_id for r in dedup.dedup_survivors(docs, pairs).collect()}
+    assert out == {big + 1: big + 2, big + 2: big + 2, 7: 7}

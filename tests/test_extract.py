@@ -70,3 +70,15 @@ def test_rules_are_mutually_exclusive(make_transcripts):
     for _, row in sample.iterrows():
         hits = [n for n, p, role in pats if p.match(row.text) and (role is None or role == row.role)]
         assert len(hits) == 1, (row.text, row.role, hits)
+
+
+def test_literal_prefix_bracket_class():
+    """'(' / '[' inside a character class are literals, so the top-level
+    '|' after the class must void the prefix (a non-empty prefix would
+    silently drop rows matching the right alternative)."""
+    from joern_spark.operators.extract import _literal_prefix
+
+    assert _literal_prefix(r"^ab[(]cd|xy") == ""
+    assert _literal_prefix(r"^ab[)x]cd") == "ab"
+    assert _literal_prefix(r"^a(b|c)d") == "a"
+    assert _literal_prefix(r"^abc|def") == ""

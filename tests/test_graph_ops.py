@@ -242,3 +242,68 @@ def test_connected_components_paths_agree(spark, monkeypatch):
     slow = {(r.entity_key, r.canon) for r in C.connected_components(pairs).collect()}
     assert fast == slow
     assert ("c", "a") in fast and ("z", "x") in fast
+
+
+def test_cc_distributed_long_chain(spark, monkeypatch):
+    """Adversarial diameter on the DISTRIBUTED path (threshold forced to
+    0): pointer jumping converges a 60-diameter chain well inside
+    MAX_ITERATIONS instead of exhausting them and returning (or raising
+    on) partial labels."""
+    import joern_spark.operators.canonicalize as C
+
+    monkeypatch.setattr(C, "SMALL_COMPONENT_THRESHOLD", 0)
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)]
+    got = cmap(spark, chain)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 61
+
+
+def test_expand_modes_identical(spark):
+    """Auto / broadcast / shuffle frontier strategies return the same set
+    (the auto default must be scale-safe with no caller knob)."""
+    e = edges_df(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x"), ("x", "d"), ("d", "e")],
+    )
+    roots = spark.createDataFrame([("a",)], "id string")
+    want = rows_set(expand(roots, e, max_depth=4, broadcast_frontier=True))
+    assert rows_set(expand(roots, e, max_depth=4, broadcast_frontier=False)) == want
+    assert rows_set(expand(roots, e, max_depth=4)) == want
+
+
+def test_expand_auto_downgrades_midwalk(spark, monkeypatch):
+    """With the broadcast cap forced to 1 row the auto walk must switch
+    to shuffle joins mid-walk (fan-out grows past the cap) and still
+    produce the exact reachable set."""
+    import joern_spark.functions.graph as G
+
+    e = edges_df(
+        spark,
+        [("r", "a1"), ("r", "a2"), ("a1", "b1"), ("a2", "b2"), ("b1", "c1")],
+    )
+    roots = spark.createDataFrame([("r",)], "id string")
+    want = rows_set(expand(roots, e, max_depth=4, broadcast_frontier=True))
+    monkeypatch.setattr(G, "FRONTIER_BROADCAST_MAX", 1)
+    assert rows_set(G.expand(roots, e, max_depth=4)) == want
+
+
+def test_expand_paths_modes_identical(spark, monkeypatch):
+    import joern_spark.functions.graph as G
+    from joern_spark.functions.graph import expand_paths
+
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    roots = spark.createDataFrame([("a",)], "id string")
+
+    def key(df):
+        return {
+            (r.src, r.dst, r.depth, tuple(r.path))
+            for r in df.collect()
+        }
+
+    want = key(expand_paths(roots, e, max_depth=4, keep="all",
+                            broadcast_frontier=True))
+    got_shuffle = key(expand_paths(roots, e, max_depth=4, keep="all",
+                                   broadcast_frontier=False))
+    assert got_shuffle == want
+    monkeypatch.setattr(G, "FRONTIER_BROADCAST_MAX", 1)
+    assert key(G.expand_paths(roots, e, max_depth=4, keep="all")) == want
