@@ -1,0 +1,220 @@
+"""Cross-layer path engine — interprocedural flows over the
+heterogeneous edge union.
+
+The reference engine's defining feature is path search that FANS OUT
+across method boundaries: TaskCreator spawns follow-up tasks when a flow
+hits a parameter/call site (dataflowengineoss/.../queryengine/
+TaskCreator.scala:11,33-60) and EdgeValidator decides, per edge KIND and
+traversal direction, whether an individual hop may be followed
+(EdgeValidator.scala:17-30). The transcript analog: "how did this fact
+reach this conversation" needs paths over the heterogeneous union —
+NEXT_TURN (intra-conversation control flow), LINKS_TO (turn → entity,
+the layer change), SAME_AS (entity aliasing) and LINKS_TO traversed
+BACKWARD (entity → every other turn that mentions it — the
+parameter→argument fan-out into other conversations).
+
+Per-label step semantics live in a TABLE (`StepSem` rows), not code —
+the same data-driven discipline as functions/semantics.py:
+
+  * `reverse`   — traverse the label dst→src (EdgeValidator's
+    direction check); recorded in the evidence as `LABEL_REV`.
+  * `crossing`  — hops of this step count against the per-path
+    `max_crossings` budget, the analog of the engine's maxCallDepth
+    call-crossing limit (Engine.scala:309-326).
+  * `fan_topk`  — follow only the k lexicographically-first
+    destinations out of each node for this step. Entity fan-in is
+    corpus-proportional (a hub entity at 10^12 turns has ~10^10
+    mentioning turns), so an uncapped reverse crossing is a quadratic
+    blow-up and a fixed degree cap would instead kill ALL crossings at
+    scale (the vocabulary is fixed, so every fan grows with the
+    corpus). Following the k FIRST mentioning turns is the reference's
+    source-normalization move (SourcesToStartingPoints.scala:19 expands
+    a fact to its first usages): provenance flows to where the fact
+    first entered the corpus, deterministically, at any scale.
+
+Scale shape: the step table is built once per walk (per-label dedup +
+skew-safe salted exact top-k for capped labels — `salted.salted_min_k`);
+each round is one frontier⋈steps join with the broadcast-vs-shuffle
+frontier strategy auto-selected and mid-walk downgraded exactly as in
+functions/graph.expand_paths. Paths carry node and label evidence
+arrays, so state per row is O(depth).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from joern_spark.functions.graph import FRONTIER_BROADCAST_MAX
+from joern_spark.functions.salted import salted_min_k
+
+
+@dataclass(frozen=True)
+class StepSem:
+    """One row of the per-label step-semantics table (the EdgeValidator
+    analog): may label `label` be traversed, in which direction, at what
+    crossing cost, with what fan bound."""
+
+    label: str
+    reverse: bool = False
+    crossing: bool = False
+    fan_topk: int | None = None
+
+
+# Crossing fan bound: how many first-mentioning turns a provenance flow
+# follows back out of an entity. Small and constant by design — the
+# answer to "where did this fact come from" is its earliest appearances,
+# not all 10^10 of them.
+CROSS_FAN_K = 8
+
+# The default table. CONTAINS is deliberately absent: conversation→turn
+# containment is skip-level structure, not a flow edge (the reference
+# likewise never walks CONTAINS in flow search). SAME_AS appears in both
+# directions because the pair table is directed (alias → target).
+DEFAULT_STEP_SEMANTICS: list[StepSem] = [
+    StepSem("NEXT_TURN"),
+    StepSem("LINKS_TO"),
+    StepSem("SAME_AS"),
+    StepSem("SAME_AS", reverse=True),
+    StepSem("LINKS_TO", reverse=True, crossing=True, fan_topk=CROSS_FAN_K),
+]
+
+
+def step_name(sem: StepSem) -> str:
+    return sem.label + ("_REV" if sem.reverse else "")
+
+
+def step_edges(
+    edges: DataFrame, sems: list[StepSem] | None = None
+) -> DataFrame:
+    """(src, dst, lbl, crossing) — the directed step set the walk joins
+    against, derived from the labeled edge union by the semantics table.
+    Each label-direction slice is deduped (multi-mention duplicate edges
+    must not multiply paths) and, when `fan_topk` is set, reduced to the
+    k lexicographically-first destinations per source via the skew-safe
+    exact top-k."""
+    sems = DEFAULT_STEP_SEMANTICS if sems is None else sems
+    outs = []
+    for s in sems:
+        e = (
+            edges.where(F.col("label") == s.label)
+            .select(
+                (F.col("dst") if s.reverse else F.col("src")).alias("src"),
+                (F.col("src") if s.reverse else F.col("dst")).alias("dst"),
+            )
+            .dropDuplicates()
+        )
+        if s.fan_topk is not None:
+            e = salted_min_k(e, "src", "dst", s.fan_topk)
+        outs.append(
+            e.select(
+                "src",
+                "dst",
+                F.lit(step_name(s)).alias("lbl"),
+                F.lit(1 if s.crossing else 0).alias("crossing"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+CROSS_PATHS_SCHEMA = (
+    "src string, dst string, depth int, crossings int, "
+    "path array<string>, labels array<string>"
+)
+
+
+def expand_paths_hetero(
+    frontier: DataFrame,
+    edges: DataFrame,
+    sems: list[StepSem] | None = None,
+    max_depth: int = 4,
+    max_crossings: int = 1,
+    keep: str = "max",
+    id_col: str = "id",
+    checkpoint_every: int | None = None,
+    broadcast_frontier: bool | None = None,
+) -> DataFrame:
+    """Bounded cross-layer path search: one row per surviving flow
+    `(src, dst, depth, crossings, path, labels)` with node AND step-label
+    evidence arrays — the reachableByFlows analog over the heterogeneous
+    union, with per-label validity from the `sems` table.
+
+    Kept from the homogeneous `expand_paths`: path-cycle exclusion
+    (Engine.scala:252-269), depth k-limit, keep="max" max-length dedup
+    per (src, dst) with deterministic (path, labels) tie-break; plus the
+    crossing budget — paths accumulate the `crossing` cost of each hop
+    and die when it would exceed `max_crossings` (maxCallDepth,
+    Engine.scala:309-326).
+
+    Frontier strategy auto-selection and mid-walk downgrade are
+    identical to `expand_paths` (FRONTIER_BROADCAST_MAX rule)."""
+    steps = step_edges(edges, sems)
+    cur = (
+        frontier.select(
+            F.col(id_col).alias("src"),
+            F.col(id_col).alias("dst"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("crossings"),
+            F.array(F.col(id_col)).alias("path"),
+            F.array().cast("array<string>").alias("labels"),
+        )
+        .dropDuplicates(["src"])
+        .localCheckpoint(eager=True)
+    )
+    auto = broadcast_frontier is None
+    n_live = cur.count() if auto else 0
+    if auto:
+        broadcast_frontier = n_live <= FRONTIER_BROADCAST_MAX
+    if not broadcast_frontier:
+        steps = steps.repartition(F.col("src"))
+    steps = steps.localCheckpoint(eager=False)
+    maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    if checkpoint_every is None:
+        checkpoint_every = 1 if broadcast_frontier else 4
+    acc = None
+    for i in range(max_depth):
+        nxt = (
+            maybe_bc(cur)
+            .alias("c")
+            .join(steps.alias("e"), F.col("c.dst") == F.col("e.src"))
+            .where(~F.array_contains(F.col("c.path"), F.col("e.dst")))
+            .where(F.col("c.crossings") + F.col("e.crossing") <= max_crossings)
+            .select(
+                F.col("c.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("c.depth") + 1).alias("depth"),
+                (F.col("c.crossings") + F.col("e.crossing")).alias("crossings"),
+                F.array_append(F.col("c.path"), F.col("e.dst")).alias("path"),
+                F.array_append(F.col("c.labels"), F.col("e.lbl")).alias("labels"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
+            nxt = nxt.localCheckpoint(eager=True)
+            n_live = nxt.count()
+            if n_live == 0:
+                break
+            if auto and broadcast_frontier and n_live > FRONTIER_BROADCAST_MAX:
+                broadcast_frontier = False
+                maybe_bc = lambda df: df  # noqa: E731 — mid-walk downgrade
+        acc = nxt if acc is None else acc.union(nxt)
+        cur = nxt
+    if acc is None:
+        return frontier.sparkSession.createDataFrame([], CROSS_PATHS_SCHEMA)
+    if keep == "all":
+        return acc
+    w = Window.partitionBy("src", "dst").orderBy(
+        F.desc("depth"),
+        F.asc(F.array_join("path", "->")),
+        F.asc(F.array_join("labels", "->")),
+    )
+    return (
+        acc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_SALTS = 16
 
@@ -43,3 +44,26 @@ def salted_count(
     )
     partial = salted.groupBy(alias, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
     return partial.groupBy(alias).agg(F.sum("_pn").cast("long").alias("n"))
+
+
+def salted_min_k(
+    df: DataFrame, key: str, val: str, k: int, n_salts: int = N_SALTS
+) -> DataFrame:
+    """EXACT k smallest `val` rows per `key`, skew-safe. A single
+    row_number window over a hub key funnels that key's entire group
+    (10^10 rows for a hub entity at 10^12 turns) through one task; the
+    two-stage form — per-(key, salt) top-k, then global top-k over the
+    ≤ k·n_salts survivors — bounds every reducer to ~1/n_salts of a hub.
+    Exactness: the global k smallest are each smallest-k within their own
+    salt, so stage 1 never drops a global winner. Requires `val` unique
+    within `key` (callers pass deduped edge sets) for a total order."""
+    w1 = Window.partitionBy(key, "_salt").orderBy(val)
+    w2 = Window.partitionBy(key).orderBy(val)
+    return (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(val)), F.lit(n_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+        .drop("_salt", "_r1", "_r2")
+    )

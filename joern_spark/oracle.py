@@ -627,6 +627,73 @@ SELECT src, dst, depth, path FROM ranked WHERE rn = 1
 """
 
 
+def cross_paths_sql(sf: float, k: int = 4, max_crossings: int = 1) -> str:
+    """Cross-layer provenance flows (functions/hetero.py twin): recursive
+    walk over the heterogeneous step set — NEXT_TURN, LINKS_TO, SAME_AS
+    both ways, and the crossing-budgeted first-k reverse LINKS_TO fan —
+    with path-cycle exclusion and max-length-per-(src,dst) dedup.
+    The step semantics (labels, directions, crossing costs, fan k) are
+    generated from the same constants the Spark engine consumes."""
+    from joern_spark.functions.hetero import CROSS_FAN_K
+
+    alias = next(r for r in RULES if r.name == "alias")
+    a = NORM.format(x=_sql_piece([("g", 1)], alias.pattern))
+    b = NORM.format(x=_sql_piece([("g", 2)], alias.pattern))
+    return f"""
+WITH RECURSIVE
+lt AS (
+  SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
+         entity_key AS dst
+  FROM ({linked_mentions_sql(sf)})
+),
+nt AS (SELECT DISTINCT src, dst FROM ({next_turn_sql(sf)})),
+sap AS (
+  SELECT DISTINCT {a} AS a, {b} AS b
+  FROM {t_src(sf)} WHERE {_rule_where(alias)}
+),
+ltr AS (
+  SELECT src, dst FROM (
+    SELECT e.dst AS src, e.src AS dst,
+           row_number() OVER (PARTITION BY e.dst ORDER BY e.src) AS rn
+    FROM lt e
+  ) WHERE rn <= {CROSS_FAN_K}
+),
+steps AS (
+  SELECT src, dst, 'NEXT_TURN' AS lbl, 0 AS crossing FROM nt
+  UNION ALL SELECT src, dst, 'LINKS_TO', 0 FROM lt
+  UNION ALL SELECT a AS src, b AS dst, 'SAME_AS', 0 FROM sap
+  UNION ALL SELECT b AS src, a AS dst, 'SAME_AS_REV', 0 FROM sap
+  UNION ALL SELECT src, dst, 'LINKS_TO_REV', 1 FROM ltr
+),
+seeds AS (
+  SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
+  FROM ({triples_raw_sql(sf)}) WHERE pred = 'queried_about'
+),
+walk(src, dst, depth, crossings, path, labels) AS (
+  SELECT s.id, e.dst, 1, e.crossing, [s.id, e.dst], [e.lbl]
+  FROM seeds s JOIN steps e ON e.src = s.id
+  WHERE e.dst <> s.id AND e.crossing <= {max_crossings}
+  UNION ALL
+  SELECT w.src, e.dst, w.depth + 1, w.crossings + e.crossing,
+         list_append(w.path, e.dst), list_append(w.labels, e.lbl)
+  FROM walk w JOIN steps e ON e.src = w.dst
+  WHERE w.depth < {k} AND NOT list_contains(w.path, e.dst)
+    AND w.crossings + e.crossing <= {max_crossings}
+),
+ranked AS (
+  SELECT src, dst, depth, crossings,
+         array_to_string(path, '->') AS path,
+         array_to_string(labels, '->') AS labels
+  FROM walk
+)
+SELECT src, dst, depth, crossings, path, labels FROM (
+  SELECT *, row_number() OVER (PARTITION BY src, dst
+                               ORDER BY depth DESC, path ASC, labels ASC) AS rn
+  FROM ranked
+) WHERE rn = 1
+"""
+
+
 def entity_degree_sql(sf: float) -> str:
     key = NORM.format(x="surface")
     return f"""

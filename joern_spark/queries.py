@@ -245,6 +245,53 @@ def q_reach_paths(spark, sf_dir):
     )
 
 
+def q_cross_paths(spark, sf_dir):
+    """Cross-layer provenance flows (the TaskCreator/EdgeValidator analog,
+    functions/hetero.py): from every asking turn (a `queried_about`
+    triple), walk the heterogeneous edge union — NEXT_TURN forward,
+    LINKS_TO into the entity layer, SAME_AS aliasing both ways, and
+    LINKS_TO BACKWARD (the parameter→argument fan-out into other
+    conversations, crossing-budgeted, first-k fan) — to depth 4 with at
+    most one conversation crossing. Answers "how did this fact reach
+    this conversation" with full node+label evidence per path."""
+    from joern_spark.functions.hetero import expand_paths_hetero
+
+    t = _t(spark, sf_dir)
+    linked = link.link_mentions(extract_mentions(t), read_entities(spark))
+    pairs = canonicalize.same_as_pairs(t)
+    edges = (
+        assemble.next_turn_edges(t)
+        .unionByName(link.links_to_edges(linked))
+        .unionByName(
+            pairs.select(
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+                F.lit("SAME_AS").alias("label"),
+                F.lit(None).cast("string").alias("property"),
+            )
+        )
+    )
+    seeds = (
+        extract_triples_raw(t)
+        .where(F.col("pred") == "queried_about")
+        .select(
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("id")
+        )
+        .dropDuplicates()
+    )
+    p = expand_paths_hetero(seeds, edges, max_depth=4, max_crossings=1)
+    return p.select(
+        "src",
+        "dst",
+        "depth",
+        "crossings",
+        F.array_join("path", "->").alias("path"),
+        F.array_join("labels", "->").alias("labels"),
+    )
+
+
 def q_cdg(spark, sf_dir):
     """Control-dependence edges (post-dominance frontier). Provably empty
     on linear transcript chains — the oracle asserts exactly that; the
@@ -514,6 +561,7 @@ TPG_QUERIES = {
     "tpg_cdg": q_cdg,
     "tpg_reach_k": q_reach_k,
     "tpg_reach_paths": q_reach_paths,
+    "tpg_cross_paths": q_cross_paths,
     "tpg_entity_degree": q_entity_degree,
     "tpg_findings": q_findings,
     "tpg_tool_pairs": q_tool_pairs,

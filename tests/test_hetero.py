@@ -1,0 +1,192 @@
+"""Cross-layer path engine tests (functions/hetero.py) — the
+TaskCreator/EdgeValidator analog: per-label step semantics, crossing
+budget, first-k fan, cycle exclusion, frontier-mode identity. Direct
+DataFrame fixtures (MockCpg style, MockCpg.scala:10-80)."""
+
+from pyspark.sql import functions as F
+
+from joern_spark.functions.hetero import (
+    DEFAULT_STEP_SEMANTICS,
+    StepSem,
+    expand_paths_hetero,
+    step_edges,
+)
+from joern_spark.functions.salted import salted_min_k
+
+from tests.conftest import rows_set
+
+
+def ledges(spark, rows):
+    return spark.createDataFrame(
+        [(s, d, l, None) for s, d, l in rows],
+        "src string, dst string, label string, property string",
+    )
+
+
+def seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def pkey(df):
+    return {
+        (r.src, r.dst, r.depth, r.crossings, tuple(r.path), tuple(r.labels))
+        for r in df.collect()
+    }
+
+
+# ---------------------------------------------------------------- salted_min_k
+
+
+def test_salted_min_k_exact_vs_plain_window(spark):
+    """Two-stage salted top-k must equal the single-window answer on a
+    hub-skewed input (one key with 40 values, others tiny)."""
+    rows = [("hub", f"v{i:02d}") for i in range(40)]
+    rows += [("a", "z"), ("a", "y"), ("b", "q")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = rows_set(salted_min_k(df, "k", "v", 3))
+    want = {("hub", "v00"), ("hub", "v01"), ("hub", "v02"),
+            ("a", "y"), ("a", "z"), ("b", "q")}
+    assert got == want
+
+
+def test_salted_min_k_small_salt_count(spark):
+    """Exactness must not depend on the salt count (n_salts=2 forces
+    multiple survivors per salt into stage 2)."""
+    rows = [("k", f"{i:03d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = sorted(r.v for r in salted_min_k(df, "k", "v", 5, n_salts=2).collect())
+    assert got == ["000", "001", "002", "003", "004"]
+
+
+# ------------------------------------------------------------------ step table
+
+
+def test_step_edges_directions_and_fan(spark):
+    """SAME_AS appears both ways, LINKS_TO_REV is fan-capped to the
+    lexicographically-first k, duplicate edges collapse."""
+    e = ledges(spark, [
+        ("t1", "E", "LINKS_TO"), ("t1", "E", "LINKS_TO"),  # dup collapses
+        ("t2", "E", "LINKS_TO"), ("t3", "E", "LINKS_TO"),
+        ("E", "E2", "SAME_AS"),
+    ])
+    sems = [
+        StepSem("LINKS_TO"),
+        StepSem("SAME_AS"),
+        StepSem("SAME_AS", reverse=True),
+        StepSem("LINKS_TO", reverse=True, crossing=True, fan_topk=2),
+    ]
+    got = rows_set(step_edges(e, sems))
+    assert got == {
+        ("t1", "E", "LINKS_TO", 0), ("t2", "E", "LINKS_TO", 0),
+        ("t3", "E", "LINKS_TO", 0),
+        ("E", "E2", "SAME_AS", 0), ("E2", "E", "SAME_AS_REV", 0),
+        # fan cap 2 keeps t1, t2 — drops t3
+        ("E", "t1", "LINKS_TO_REV", 1), ("E", "t2", "LINKS_TO_REV", 1),
+    }
+
+
+# ---------------------------------------------------------------- path walking
+
+
+CROSS_EDGES = [
+    # conv A: t1 -> t2 -> t3; t2 mentions E
+    ("A:1", "A:2", "NEXT_TURN"), ("A:2", "A:3", "NEXT_TURN"),
+    ("A:2", "E", "LINKS_TO"),
+    # conv B mentions E too (the crossing target), then continues
+    ("B:1", "E", "LINKS_TO"), ("B:1", "B:2", "NEXT_TURN"),
+    # alias layer
+    ("E", "E2", "SAME_AS"),
+]
+
+
+def test_hetero_crossing_and_labels(spark):
+    """From A:1 the walk reaches conv B only through the reverse
+    LINKS_TO crossing, costing 1 crossing, with label evidence."""
+    e = ledges(spark, CROSS_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=1, keep="all"))
+    crossing_rows = {r for r in got if r[1].startswith("B:")}
+    assert (
+        "A:1", "B:1", 3, 1,
+        ("A:1", "A:2", "E", "B:1"),
+        ("NEXT_TURN", "LINKS_TO", "LINKS_TO_REV"),
+    ) in crossing_rows
+    # one more NEXT_TURN hop inside conv B at depth 4
+    assert any(r[1] == "B:2" and r[4][-2:] == ("B:1", "B:2") for r in got)
+    # crossings never exceed the budget
+    assert all(r[3] <= 1 for r in got)
+
+
+def test_hetero_crossing_budget_zero(spark):
+    """max_crossings=0 confines the walk to the seed's own layers —
+    conv B must be unreachable."""
+    e = ledges(spark, CROSS_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=0, keep="all"))
+    assert got, "walk must still move within conv A"
+    assert not any(r[1].startswith("B:") for r in got)
+    assert all("LINKS_TO_REV" not in r[5] for r in got)
+
+
+def test_hetero_cycle_excluded_and_keep_max(spark):
+    """LINKS_TO then LINKS_TO_REV back to the same turn is a cycle and
+    must be excluded; keep='max' retains one longest path per (src,dst)."""
+    e = ledges(spark, CROSS_EDGES)
+    allp = expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=1, keep="all")
+    for r in allp.collect():
+        assert len(set(r.path)) == len(r.path), f"cycle in {r.path}"
+    kept = expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=1)
+    per_pair = kept.groupBy("src", "dst").count().collect()
+    assert all(r["count"] == 1 for r in per_pair)
+    # E is reachable at depth 2 (via A:2) — keep=max retains a longest path
+    d = {(r.src, r.dst): r.depth for r in kept.collect()}
+    assert d[("A:1", "E")] >= 2
+
+
+def test_hetero_fan_cap_limits_crossings(spark):
+    """With fan k=1 only the lexicographically-first mentioning turn is
+    followed back out of E (B:1 sorts before B:2 and the seed Z:1)."""
+    e = ledges(spark, [
+        ("Z:1", "E", "LINKS_TO"),
+        ("B:1", "E", "LINKS_TO"), ("B:2", "E", "LINKS_TO"),
+    ])
+    sems = [
+        StepSem("LINKS_TO"),
+        StepSem("LINKS_TO", reverse=True, crossing=True, fan_topk=1),
+    ]
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["Z:1"]), e, sems=sems, max_depth=2,
+        max_crossings=1, keep="all"))
+    dsts = {r[1] for r in got}
+    assert "Z:1" not in dsts  # cycle excluded
+    assert "B:1" in dsts and "B:2" not in dsts
+
+
+def test_hetero_modes_identical(spark, monkeypatch):
+    """Broadcast / shuffle / auto (and the forced mid-walk downgrade)
+    must return identical path sets."""
+    import joern_spark.functions.hetero as H
+
+    e = ledges(spark, CROSS_EDGES)
+    s = seeds(spark, ["A:1", "B:1"])
+    want = pkey(expand_paths_hetero(
+        s, e, max_depth=4, max_crossings=1, keep="all",
+        broadcast_frontier=True))
+    assert pkey(expand_paths_hetero(
+        s, e, max_depth=4, max_crossings=1, keep="all",
+        broadcast_frontier=False)) == want
+    assert pkey(expand_paths_hetero(
+        s, e, max_depth=4, max_crossings=1, keep="all")) == want
+    monkeypatch.setattr(H, "FRONTIER_BROADCAST_MAX", 1)
+    assert pkey(H.expand_paths_hetero(
+        s, e, max_depth=4, max_crossings=1, keep="all")) == want
+
+
+def test_hetero_empty_frontier(spark):
+    e = ledges(spark, CROSS_EDGES)
+    out = expand_paths_hetero(seeds(spark, []), e, max_depth=3)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "src", "dst", "depth", "crossings", "path", "labels"}
