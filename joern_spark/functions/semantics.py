@@ -15,11 +15,22 @@ predicates costs a row, not code.
 
 The DuckDB oracle SQL is GENERATED from the same rows (oracle.py
 triples_semantics_sql), so Spark and oracle cannot drift.
+
+The table is LOADED FROM A FILE (conf/semantics.flow), the analog of the
+reference's external semantics DSL (ANTLR grammar dataflowengineoss/
+src/main/antlr4/io/joern/dataflowengineoss/Semantics.g4): operators can
+reconfigure per-predicate behavior by editing the file — or pointing
+$JOERN_SPARK_SEMANTICS at their own — without touching code. Both the
+Spark query and the oracle generator read through `current_semantics()`,
+so an override changes both sides identically.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,21 +53,71 @@ class PredSemantics:
     canon_obj: bool
 
 
-# The default table. Non-passthrough rows are deliberate semantics, not
-# optimization: measures/conditions are literals (never alias targets),
-# db names live outside the location-alias vocabulary, and same_as facts
-# are emitted RAW — (nyc same_as new_york_city), not the vacuous
-# (big_apple same_as big_apple) the canonical rewrite would produce.
-DEFAULT_SEMANTICS: list[PredSemantics] = [
-    PredSemantics("same_as", keep=True, canon_subj=False, canon_obj=False),
-    PredSemantics("replaces", keep=True, canon_subj=False, canon_obj=False),
-    PredSemantics("mentions_location", keep=True, canon_subj=True, canon_obj=True),
-    PredSemantics("uses_tool", keep=True, canon_subj=True, canon_obj=True),
-    PredSemantics("called_for", keep=True, canon_subj=True, canon_obj=True),
-    PredSemantics("has_temperature", keep=True, canon_subj=True, canon_obj=False),
-    PredSemantics("has_condition", keep=True, canon_subj=True, canon_obj=True),
-    PredSemantics("queried_about", keep=True, canon_subj=False, canon_obj=True),
-]
+DEFAULT_SEMANTICS_PATH = (
+    Path(__file__).resolve().parent.parent / "conf" / "semantics.flow"
+)
+SEMANTICS_ENV = "JOERN_SPARK_SEMANTICS"
+
+_DROP_RE = re.compile(r'^"([^"]+)"\s+drop$')
+_KEEP_RE = re.compile(
+    r'^"([^"]+)"\s+subj->(raw|canon)\s+obj->(raw|canon)$'
+)
+
+
+def parse_semantics(text: str) -> list[PredSemantics]:
+    """Parse the semantics-file format (see conf/semantics.flow header).
+    Strict: a malformed or duplicate line raises — a silently skipped row
+    would make facts appear/vanish with no error."""
+    rows: list[PredSemantics] = []
+    seen: set[str] = set()
+    for lineno, raw_line in enumerate(text.splitlines(), start=1):
+        line = raw_line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        line = re.sub(r"\s+", " ", line)
+        if m := _DROP_RE.match(line):
+            row = PredSemantics(m.group(1), keep=False,
+                                canon_subj=False, canon_obj=False)
+        elif m := _KEEP_RE.match(line):
+            row = PredSemantics(
+                m.group(1),
+                keep=True,
+                canon_subj=m.group(2) == "canon",
+                canon_obj=m.group(3) == "canon",
+            )
+        else:
+            raise ValueError(
+                f"semantics file line {lineno}: cannot parse {raw_line!r}"
+            )
+        if row.pred in seen:
+            raise ValueError(
+                f"semantics file line {lineno}: duplicate predicate {row.pred!r}"
+            )
+        seen.add(row.pred)
+        rows.append(row)
+    if not rows:
+        raise ValueError("semantics file defines no predicates")
+    return rows
+
+
+def load_semantics(path: str | Path | None = None) -> list[PredSemantics]:
+    """Load semantics rows from `path`, defaulting to the checked-in
+    table. Pass nothing AND set $JOERN_SPARK_SEMANTICS to substitute a
+    custom table globally (query and oracle generator both honor it)."""
+    if path is None:
+        path = os.environ.get(SEMANTICS_ENV) or DEFAULT_SEMANTICS_PATH
+    return parse_semantics(Path(path).read_text())
+
+
+def current_semantics() -> list[PredSemantics]:
+    """The active table: $JOERN_SPARK_SEMANTICS if set, else the default
+    file. Read-through (not cached) so tests and long-lived consoles see
+    edits without re-import."""
+    return load_semantics(None)
+
+
+# The default table, loaded once at import from the checked-in file.
+DEFAULT_SEMANTICS: list[PredSemantics] = load_semantics(DEFAULT_SEMANTICS_PATH)
 
 # Unknown predicates fall through to PassThroughMapping
 # (Semantics.scala PassThroughMapping): keep + canonicalize both ends.

@@ -216,15 +216,17 @@ FROM canon GROUP BY subj, pred, obj
 
 
 def triples_semantics_sql(sf: float) -> str:
-    """Generated from the SAME DEFAULT_SEMANTICS rows the Spark operator
-    broadcasts (functions/semantics.py) — per-predicate keep / rewrite
-    behavior rendered as IN-list CASEs, so changing a semantics row
-    changes both sides identically."""
-    from joern_spark.functions.semantics import DEFAULT_SEMANTICS
+    """Generated from the SAME semantics rows the Spark operator
+    broadcasts (functions/semantics.py, loaded from conf/semantics.flow
+    or $JOERN_SPARK_SEMANTICS) — per-predicate keep / rewrite behavior
+    rendered as IN-list CASEs, so changing a semantics row (in code OR
+    in the file) changes both sides identically."""
+    from joern_spark.functions.semantics import current_semantics
 
-    kept = [s.pred for s in DEFAULT_SEMANTICS if s.keep]
-    cs = [s.pred for s in DEFAULT_SEMANTICS if s.keep and s.canon_subj]
-    co = [s.pred for s in DEFAULT_SEMANTICS if s.keep and s.canon_obj]
+    rows = current_semantics()
+    kept = [s.pred for s in rows if s.keep]
+    cs = [s.pred for s in rows if s.keep and s.canon_subj]
+    co = [s.pred for s in rows if s.keep and s.canon_obj]
 
     def inlist(preds: list[str]) -> str:
         return ", ".join(f"'{p}'" for p in preds) or "''"

@@ -102,15 +102,21 @@ def q_triples_semantics(spark, sf_dir):
     """Table-driven canonicalization (DefaultSemantics.scala analog):
     identical pipeline to triples_final but every predicate's behavior —
     kept? subject/object rewritten through SAME_AS? — comes from the
-    broadcast DEFAULT_SEMANTICS table. Differs from triples_final by
-    design: same_as facts are emitted raw instead of being dropped."""
-    from joern_spark.functions.semantics import apply_semantics, semantics_df
+    broadcast semantics table, loaded from conf/semantics.flow (or
+    $JOERN_SPARK_SEMANTICS — the loadable Semantics.g4 analog). Differs
+    from triples_final by design: same_as facts are emitted raw instead
+    of being dropped."""
+    from joern_spark.functions.semantics import (
+        apply_semantics,
+        current_semantics,
+        semantics_df,
+    )
 
     t = _t(spark, sf_dir)
     cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
     raw = extract_triples_raw(t)
     dyn = rebind.dbcur_triples(t)
-    sem = semantics_df(spark)
+    sem = semantics_df(spark, current_semantics())
     out = apply_semantics(raw.unionByName(dyn), cmap, sem)
     return materialize.dedup_triples(out)
 

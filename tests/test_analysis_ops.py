@@ -416,3 +416,79 @@ def test_pagerank_empty_edges(spark):
 
     out = pagerank(spark.createDataFrame([], "a string, b string"))
     assert out.count() == 0 and out.columns == ["node", "rank"]
+
+
+def test_semantics_file_loads_and_overrides(spark, make_transcripts, tmp_path,
+                                            monkeypatch):
+    """Loadable semantics file (Semantics.g4 analog): the default table
+    comes from conf/semantics.flow; pointing $JOERN_SPARK_SEMANTICS at an
+    edited copy changes the canonicalization output AND the generated
+    oracle SQL identically."""
+    import pytest
+
+    from joern_spark import oracle as O
+    from joern_spark.functions import semantics as S
+
+    # the checked-in file IS the default table
+    assert S.load_semantics(S.DEFAULT_SEMANTICS_PATH) == S.DEFAULT_SEMANTICS
+    assert S.current_semantics() == S.DEFAULT_SEMANTICS
+    by_pred = {r.pred: r for r in S.DEFAULT_SEMANTICS}
+    assert by_pred["same_as"] == S.PredSemantics(
+        "same_as", keep=True, canon_subj=False, canon_obj=False)
+    assert by_pred["mentions_location"].canon_obj is True
+
+    # strict parser: malformed / duplicate / empty all raise
+    with pytest.raises(ValueError, match="cannot parse"):
+        S.parse_semantics('"p" subj->canon')
+    with pytest.raises(ValueError, match="duplicate"):
+        S.parse_semantics(
+            '"p" subj->raw obj->raw\n"p" drop')
+    with pytest.raises(ValueError, match="no predicates"):
+        S.parse_semantics("# only comments\n")
+    assert S.parse_semantics('"p" drop') == [
+        S.PredSemantics("p", keep=False, canon_subj=False, canon_obj=False)]
+
+    # env override: mentions_location stops canonicalizing its object,
+    # same_as facts are dropped — observed through the real query path
+    edited = tmp_path / "custom.flow"
+    lines = []
+    for r in S.DEFAULT_SEMANTICS:
+        if r.pred == "same_as":
+            lines.append('"same_as" drop')
+        elif r.pred == "mentions_location":
+            lines.append('"mentions_location" subj->canon obj->raw')
+        else:
+            lines.append(
+                f'"{r.pred}" subj->{"canon" if r.canon_subj else "raw"} '
+                f'obj->{"canon" if r.canon_obj else "raw"}')
+    edited.write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv(S.SEMANTICS_ENV, str(edited))
+
+    from joern_spark.functions.semantics import apply_semantics, semantics_df
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+    from joern_spark.operators.extract import extract_triples_raw
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+            ("c1", 1, "user", "Please check the weather in NYC.", None),
+        ]
+    )
+    raw = extract_triples_raw(t)
+    cmap = connected_components(same_as_pairs(t))
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in apply_semantics(
+            raw, cmap, semantics_df(spark, S.current_semantics())
+        ).collect()
+    }
+    assert ("conv:c1", "mentions_location", "nyc") in got
+    assert not any(p == "same_as" for _, p, _ in got)
+    # the oracle generator reads the same override: same_as leaves the
+    # kept-predicates IN list (file order puts it first when present)
+    assert "WHERE pred IN ('replaces'," in O.triples_semantics_sql(0.001)
+    monkeypatch.delenv(S.SEMANTICS_ENV)
+    assert "WHERE pred IN ('same_as'," in O.triples_semantics_sql(0.001)
