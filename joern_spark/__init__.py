@@ -25,6 +25,7 @@ _TOP_LEVEL = {
     "run_pipeline": ("joern_spark.pipeline", "run_pipeline"),
     "build_graph": ("joern_spark.pipeline", "build_graph"),
     "register_views": ("joern_spark.console", "register_views"),
+    "Workspace": ("joern_spark.workspace", "Workspace"),
 }
 
 

@@ -1,0 +1,153 @@
+"""Workspace / project lifecycle — the WorkspaceManager analog.
+
+The reference console manages a workspace of named projects, each backed
+by an input path and a lazily loaded CPG, with `importCode` / `open` /
+`close` / `delete` and one ACTIVE project the `cpg` binding points at
+(console/src/main/scala/io/joern/console/workspacehandling/
+WorkspaceManager.scala:29-126, Console.scala:177-232,306,394-396; each
+project persists a small `project.json` with its input path and name,
+WorkspaceManager.scala:88-101).
+
+The transcript analog: a `Project` is (name, corpus dir); its graph is
+the pipeline's `GraphResult`, built lazily on first access and cached on
+the project. Every project's layers register as `{name}_{layer}` temp
+views; the ACTIVE project additionally registers under the default
+`tpg_` prefix so the console starters (the `cpg.`-steps analog) always
+target it — switching projects re-points `tpg_*` exactly like the
+reference re-binds `cpg`. The registry round-trips through a
+`workspace.json` manifest (the project.json analog), so a console can
+reopen yesterday's corpora by name; graphs are NOT persisted — reopening
+recomputes lazily, which is the reference's load-on-open behavior.
+
+Scale note: a workspace holds METADATA only (names and paths). Opening a
+project costs nothing until a layer is touched; no graph is materialized
+driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from joern_spark.console import VIEWS, register_views
+from joern_spark.pipeline import GraphResult, run_pipeline
+
+ACTIVE_PREFIX = "tpg_"
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+@dataclass
+class Project:
+    """One workspace entry (Project/ProjectFile analog): a named corpus
+    plus its lazily built, cached graph."""
+
+    name: str
+    sf_dir: str | float
+    _graph: GraphResult | None = field(default=None, repr=False)
+
+    @property
+    def is_open(self) -> bool:
+        return self._graph is not None
+
+    def graph(self, spark: SparkSession) -> GraphResult:
+        if self._graph is None:
+            self._graph = run_pipeline(spark, self.sf_dir)
+        return self._graph
+
+
+class Workspace:
+    """Project registry with one active project (WorkspaceManager +
+    Console.open/close/delete semantics)."""
+
+    def __init__(self, spark: SparkSession, path: str | Path | None = None):
+        self.spark = spark
+        self.path = Path(path) if path is not None else None
+        self._projects: dict[str, Project] = {}
+        self._active: str | None = None
+        if self.path is not None and self.path.exists():
+            for name, sf_dir in json.loads(self.path.read_text()).items():
+                self._projects[name] = Project(name, sf_dir)
+
+    # -- registry ------------------------------------------------------
+
+    @property
+    def projects(self) -> list[Project]:
+        return list(self._projects.values())
+
+    def project(self, name: str | None = None) -> Project:
+        """Named project, or the active one (Console.project analog —
+        raises if nothing is active, like the reference's error)."""
+        if name is None:
+            if self._active is None:
+                raise ValueError("no active project — import_code/open first")
+            name = self._active
+        return self._projects[name]
+
+    @property
+    def cpg(self) -> GraphResult:
+        """The active project's graph (the console `cpg` binding)."""
+        return self.project().graph(self.spark)
+
+    # -- lifecycle -----------------------------------------------------
+
+    def import_code(self, sf_dir: str | float, name: str) -> Project:
+        """Create (or replace) a project for a corpus and make it active
+        — the importCode lifecycle (Console.scala:306 → §3.1)."""
+        if not _NAME_RE.match(name):
+            raise ValueError(
+                f"project name {name!r} must be a valid view-prefix identifier"
+            )
+        self._projects[name] = Project(name, sf_dir)
+        self._save()
+        return self.open(name)
+
+    def open(self, name: str) -> Project:
+        """Make `name` active: build/reuse its graph, register its views
+        under `{name}_` AND re-point the default `tpg_*` views at it
+        (Console.open, Console.scala:177-196)."""
+        p = self._projects[name]
+        g = p.graph(self.spark)
+        register_views(g, prefix=f"{name}_")
+        register_views(g, prefix=ACTIVE_PREFIX)
+        self._active = name
+        return p
+
+    def close(self, name: str | None = None) -> Project:
+        """Drop the project's cached graph and its views; an empty name
+        closes the active project (Console.close, Console.scala:394-396).
+        The registry entry stays — `open` rebuilds lazily."""
+        p = self.project(name)
+        for layer in VIEWS:
+            self.spark.catalog.dropTempView(f"{p.name}_{layer}")
+        if self._active == p.name:
+            for layer in VIEWS:
+                self.spark.catalog.dropTempView(f"{ACTIVE_PREFIX}{layer}")
+            self._active = None
+        p._graph = None
+        return p
+
+    def delete(self, name: str) -> None:
+        """Remove a project from the registry entirely
+        (WorkspaceManager.removeProject, WorkspaceManager.scala:68)."""
+        self.close(name)  # dropTempView is a no-op for never-opened projects
+        del self._projects[name]
+        self._save()
+
+    # -- queries -------------------------------------------------------
+
+    def sql(self, starter: str, **params: str) -> DataFrame:
+        """Run a console starter against the ACTIVE project."""
+        from joern_spark import console
+
+        self.project()  # assert something is active
+        return console.sql(self.spark, starter, **params)
+
+    def _save(self) -> None:
+        if self.path is not None:
+            self.path.write_text(
+                json.dumps({p.name: p.sf_dir for p in self.projects}, indent=1)
+            )

@@ -1,0 +1,76 @@
+"""Workspace/project lifecycle tests (WorkspaceManager.scala:29-126,
+Console.scala:177-232,306,394-396 analog): two corpora side by side,
+active-project view re-pointing, close/delete, manifest round-trip."""
+
+import json
+
+import pytest
+
+from joern_spark.workspace import Workspace
+
+SF_A = 0.0006  # ≈ 8k turns
+SF_B = 0.0003  # ≈ 4k turns
+
+
+def test_two_corpora_side_by_side(spark, tmp_path):
+    ws = Workspace(spark, tmp_path / "workspace.json")
+    ws.import_code(SF_A, "alpha")
+    n_alpha = spark.table("tpg_turns").count()
+    ws.import_code(SF_B, "beta")
+    n_beta = spark.table("tpg_turns").count()
+    assert n_alpha != n_beta and n_alpha > 0 and n_beta > 0
+
+    # both projects queryable simultaneously under their own prefixes
+    assert spark.table("alpha_turns").count() == n_alpha
+    assert spark.table("beta_turns").count() == n_beta
+    # the active `tpg_*` alias points at beta (last imported)
+    assert ws.project().name == "beta"
+    assert spark.table("tpg_conversations").count() == spark.table(
+        "beta_conversations").count()
+
+    # console starters run against the active project
+    assert ws.sql("conversations").count() == spark.table(
+        "beta_conversations").count()
+
+    # switching re-points tpg_* like the reference re-binds `cpg`
+    ws.open("alpha")
+    assert spark.table("tpg_turns").count() == n_alpha
+    assert ws.cpg.turns.count() == n_alpha
+
+    # cross-project SQL join over both prefixes works
+    both = spark.sql(
+        "SELECT (SELECT count(*) FROM alpha_turns) AS a, "
+        "(SELECT count(*) FROM beta_turns) AS b").collect()[0]
+    assert (both.a, both.b) == (n_alpha, n_beta)
+
+
+def test_close_delete_and_manifest_roundtrip(spark, tmp_path):
+    path = tmp_path / "workspace.json"
+    ws = Workspace(spark, path)
+    ws.import_code(SF_A, "alpha")
+    ws.import_code(SF_B, "beta")
+
+    # close drops the cached graph + views and clears active
+    ws.close()
+    assert not ws._projects["beta"].is_open
+    assert "beta_turns" not in [t.name for t in spark.catalog.listTables()]
+    with pytest.raises(ValueError, match="no active"):
+        ws.sql("conversations")
+
+    # the registry survives in the manifest (project.json analog)
+    assert set(json.loads(path.read_text())) == {"alpha", "beta"}
+    ws2 = Workspace(spark, path)
+    assert {p.name for p in ws2.projects} == {"alpha", "beta"}
+    assert not ws2.project("beta").is_open  # lazy — nothing built yet
+    ws2.open("beta")
+    assert spark.table("tpg_turns").count() == ws2.cpg.turns.count()
+
+    # delete removes the entry and persists the removal
+    ws2.delete("alpha")
+    assert set(json.loads(path.read_text())) == {"beta"}
+    with pytest.raises(KeyError):
+        ws2.project("alpha")
+
+    # invalid project names are rejected (they become view prefixes)
+    with pytest.raises(ValueError, match="view-prefix"):
+        ws2.import_code(SF_A, "bad name!")
