@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from joern_spark.operators.extract import RULES_BY_NAME, _match_cond
 
@@ -707,6 +708,213 @@ def scan_protocol_violations(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def scan_fact_flips(transcripts: DataFrame) -> DataFrame:
+    """Cross-conversation fact contradiction BY TIME: a location whose
+    reported temperature CHANGES when observations are replayed in
+    chronological order — distinct from temperature-contradiction (which
+    counts distinct values): ordering matters, A→B→A is two flips.
+
+    Scale shape (hub defense): flips decompose hierarchically. Level 1
+    counts flips WITHIN each (loc, conversation) — the pipeline's native
+    partition, bounded by conversation length — plus each conversation's
+    first/last value; level 2 orders the per-conversation summaries by
+    first-observation time and counts boundary flips. A hub location
+    never funnels raw observations through one task, only one summary
+    row per mentioning conversation (extend with a time-bucket level for
+    corpora where even that is too many)."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    rule = RULES_BY_NAME["result"]
+    obs = transcripts.where(_match_cond(rule)).select(
+        normalize_surface_col(
+            F.regexp_extract("text", rule.pattern, 1)
+        ).alias("loc"),
+        F.regexp_extract("text", rule.pattern, 2).alias("temp"),
+        "conv_id",
+        "turn_idx",
+        "ts",
+    )
+    w_in = Window.partitionBy("loc", "conv_id").orderBy("turn_idx")
+    per_conv = (
+        obs.withColumn("prev", F.lag("temp").over(w_in))
+        .groupBy("loc", "conv_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("prev") != F.col("temp")),
+                    1,
+                ).otherwise(0)
+            ).alias("flips_in"),
+            F.min_by("temp", "turn_idx").alias("first_temp"),
+            F.max_by("temp", "turn_idx").alias("last_temp"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+    w_seq = Window.partitionBy("loc").orderBy(
+        F.asc_nulls_first("first_ts"), "conv_id"
+    )
+    return (
+        per_conv.withColumn("prev_last", F.lag("last_temp").over(w_seq))
+        .groupBy("loc")
+        .agg(
+            (
+                F.sum("flips_in")
+                + F.sum(
+                    F.when(
+                        F.col("prev_last").isNotNull()
+                        & (F.col("prev_last") != F.col("first_temp")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n")
+        )
+        .where(F.col("n") >= 1)
+        .select(
+            F.lit("fact-flip").alias("query_name"),
+            F.col("loc").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_kind_drift(transcripts: DataFrame) -> DataFrame:
+    """Entity kind drift: one normalized surface observed as ≥ 2 mention
+    KINDS (location/tool/db) across the corpus — the XTypeRecovery
+    conflict signal surfaced as a finding instead of silently re-voted.
+    Algebraic per-key distinct over a ≤3-value domain — hub-safe."""
+    from joern_spark.operators.extract import extract_mentions, normalize_surface_col
+
+    m = extract_mentions(transcripts).select(
+        normalize_surface_col(F.col("surface")).alias("k"), "kind"
+    )
+    return (
+        m.groupBy("k")
+        .agg(F.countDistinct("kind").alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("kind-drift").alias("query_name"),
+            F.col("k").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_conversation_clones(transcripts: DataFrame) -> DataFrame:
+    """Conversations whose full turn-text sequence is byte-identical to
+    another conversation's — cross-conversation exact duplication (the
+    transcript analog of duplicated source files). Fingerprint = md5 of
+    the newline-joined texts in turn order, grouped corpus-wide; one
+    collect_list per conversation (bounded by conversation length) and
+    one hash shuffle on the 16-byte fingerprint."""
+    fp = transcripts.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+        ).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("conversation-clone").alias("query_name"),
+            F.col("fp").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_replaced_db_uses(transcripts: DataFrame) -> DataFrame:
+    """Cross-conversation stale usage: a db name that some conversation
+    REPLACED ("From now on use X instead of OLD") but that is still
+    queried directly, strictly later in time, by conversations that never
+    themselves rebound it. Two vocabulary-bounded dimension joins (db
+    names) against the big side — no windows, no skew surface."""
+    rebind = RULES_BY_NAME["rebind"]
+    db = RULES_BY_NAME["db"]
+    rebinds = transcripts.where(_match_cond(rebind)).select(
+        F.regexp_extract("text", rebind.pattern, 2).alias("old_db"),
+        "conv_id",
+        "ts",
+    )
+    first_replace = rebinds.groupBy("old_db").agg(
+        F.min("ts").alias("first_ts")
+    )
+    aware_convs = rebinds.select("old_db", "conv_id").dropDuplicates()
+    uses = transcripts.where(_match_cond(db)).select(
+        F.regexp_extract("text", db.pattern, 1).alias("old_db"),
+        "conv_id",
+        "ts",
+    )
+    return (
+        uses.join(F.broadcast(first_replace), "old_db")
+        .where(F.col("ts") > F.col("first_ts"))
+        .join(F.broadcast(aware_convs), ["old_db", "conv_id"], "left_anti")
+        .groupBy("old_db")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("replaced-db-use").alias("query_name"),
+            F.col("old_db").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_globally_unanswered_asks(transcripts: DataFrame) -> DataFrame:
+    """Corpus-wide completeness under canonical equivalence: locations
+    ASKED about that no conversation anywhere answered with a weather
+    result — where ask and answer keys are compared through the SAME_AS
+    canonical map (asking about NYC is answered by a New York City
+    result). Distinct from unanswered-ask (intra-conversation ordering).
+    The canonical map is vocabulary-bounded — both rewrites broadcast."""
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+    from joern_spark.operators.extract import normalize_surface_col
+
+    ask = RULES_BY_NAME["ask"]
+    result = RULES_BY_NAME["result"]
+    cmap = F.broadcast(connected_components(same_as_pairs(transcripts)))
+
+    def canon(df, col):
+        return (
+            df.select(normalize_surface_col(F.col(col)).alias("entity_key"))
+            .join(cmap, "entity_key", "left")
+            .select(
+                F.coalesce("canon", "entity_key").alias("kc")
+            )
+        )
+
+    asked = canon(
+        transcripts.where(_match_cond(ask)).select(
+            F.regexp_extract("text", ask.pattern, 1).alias("loc")
+        ),
+        "loc",
+    )
+    answered = canon(
+        transcripts.where(_match_cond(result)).select(
+            F.regexp_extract("text", result.pattern, 1).alias("loc")
+        ),
+        "loc",
+    ).dropDuplicates()
+    return (
+        asked.join(answered, "kc", "left_anti")
+        .groupBy("kc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("globally-unanswered-ask").alias("query_name"),
+            F.col("kc").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -732,6 +940,11 @@ SCANNERS: dict[str, Callable] = {
     "extreme-temperature": scan_extreme_temperatures,
     "duplicate-turn": scan_duplicate_turns,
     "turn-gap": scan_turn_gaps,
+    "fact-flip": scan_fact_flips,
+    "kind-drift": scan_kind_drift,
+    "conversation-clone": scan_conversation_clones,
+    "replaced-db-use": scan_replaced_db_uses,
+    "globally-unanswered-ask": scan_globally_unanswered_asks,
 }
 
 

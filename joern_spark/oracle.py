@@ -899,6 +899,70 @@ FROM t
 WHERE {_rule_where(result)}
   AND (CAST(regexp_extract(text, '{result.pattern}', 2) AS BIGINT) > {TEMP_HIGH}
        OR CAST(regexp_extract(text, '{result.pattern}', 2) AS BIGINT) < {TEMP_LOW})
+UNION ALL
+SELECT 'fact-flip', loc, n::BIGINT FROM (
+  SELECT loc,
+         sum(flips_in)
+         + sum(CASE WHEN prev_last IS NOT NULL AND prev_last <> first_temp
+                    THEN 1 ELSE 0 END) AS n
+  FROM (
+    SELECT loc, flips_in, first_temp,
+           lag(last_temp) OVER (
+             PARTITION BY loc
+             ORDER BY first_ts ASC NULLS FIRST, conv_id) AS prev_last
+    FROM (
+      SELECT loc, conv_id,
+             sum(CASE WHEN prev IS NOT NULL AND prev <> temp
+                      THEN 1 ELSE 0 END) AS flips_in,
+             arg_min(temp, turn_idx) AS first_temp,
+             arg_max(temp, turn_idx) AS last_temp,
+             min(ts) AS first_ts
+      FROM (
+        SELECT {res_loc} AS loc,
+               regexp_extract(text, '{result.pattern}', 2) AS temp,
+               conv_id, turn_idx, ts,
+               lag(regexp_extract(text, '{result.pattern}', 2)) OVER (
+                 PARTITION BY {res_loc}, conv_id ORDER BY turn_idx) AS prev
+        FROM t WHERE {_rule_where(result)}
+      ) GROUP BY loc, conv_id
+    )
+  ) GROUP BY loc
+) WHERE n >= 1
+UNION ALL
+SELECT 'kind-drift', {key}, count(DISTINCT kind)::BIGINT
+FROM m GROUP BY 2 HAVING count(DISTINCT kind) >= 2
+UNION ALL
+SELECT 'conversation-clone', fp, count(*)::BIGINT FROM (
+  SELECT md5(string_agg(text, chr(10) ORDER BY turn_idx, text)) AS fp
+  FROM t GROUP BY conv_id
+) GROUP BY fp HAVING count(*) >= 2
+UNION ALL
+SELECT 'replaced-db-use', old_db, count(*)::BIGINT FROM (
+  SELECT u.old_db
+  FROM (SELECT regexp_extract(text, '{db.pattern}', 1) AS old_db, conv_id, ts
+        FROM t WHERE {_rule_where(db)}) u
+  JOIN (SELECT regexp_extract(text, '{rebind.pattern}', 2) AS old_db,
+               min(ts) AS first_ts
+        FROM t WHERE {_rule_where(rebind)} GROUP BY 1) fr
+    ON u.old_db = fr.old_db AND u.ts > fr.first_ts
+  LEFT JOIN (SELECT DISTINCT regexp_extract(text, '{rebind.pattern}', 2) AS old_db,
+                    conv_id
+             FROM t WHERE {_rule_where(rebind)}) aw
+    ON u.old_db = aw.old_db AND u.conv_id = aw.conv_id
+  WHERE aw.conv_id IS NULL
+) GROUP BY old_db
+UNION ALL
+SELECT 'globally-unanswered-ask', kc, count(*)::BIGINT FROM (
+  SELECT coalesce(c.canon, a.k) AS kc
+  FROM (SELECT {ask_loc} AS k FROM t WHERE {_rule_where(ask)}) a
+  LEFT JOIN cmap c ON a.k = c.entity_key
+)
+WHERE kc NOT IN (
+  SELECT DISTINCT coalesce(c2.canon, r.k)
+  FROM (SELECT {res_loc} AS k FROM t WHERE {_rule_where(result)}) r
+  LEFT JOIN cmap c2 ON r.k = c2.entity_key
+)
+GROUP BY kc
 """
 
 

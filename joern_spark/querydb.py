@@ -25,6 +25,7 @@ reference keeps Finding nodes lean and query metadata in the bundle.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -50,7 +51,10 @@ class Query:
 
 
 def _df(spark: SparkSession, rows: Rows) -> DataFrame:
-    full = [(c, i, r, t, tool, None) for (c, i, r, t, tool) in rows]
+    """Example rows are 5-tuples (conv_id, turn_idx, role, text, tool) —
+    ts filled as None — or 6-tuples with an explicit datetime ts, for
+    scanners whose semantics are time-ordered."""
+    full = [r + (None,) if len(r) == 5 else r for r in rows]
     return spark.createDataFrame(full, TRANSCRIPT_SCHEMA)
 
 
@@ -656,6 +660,262 @@ QUERY_DB.extend(
         ),
     ]
 )
+
+
+# Cross-conversation bundle: scanners whose unit of analysis is the
+# CORPUS, not one conversation — contradiction over time, kind drift,
+# clone detection, stale usage across conversations, global completeness.
+_TS = _dt.datetime
+QUERY_DB.extend(
+    [
+        Query(
+            name="fact-flip",
+            author=_A,
+            title="Fact value changes over time",
+            description="A location whose reported temperature CHANGES "
+            "when observations are replayed in chronological order — "
+            "cross-conversation contradiction by time (A→B→A counts "
+            "twice; distinct-value checks cannot see ordering).",
+            score=6.0,
+            scanner=scan.scan_fact_flips,
+            tags=["consistency", "temporal"],
+            positive_examples=[
+                [  # flip within one conversation (turn order = time)
+                    ("c1", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c1", 1, "tool", "Paris: 20C, sunny.", "weather_api"),
+                ],
+                [  # cross-conversation flip in TIME order (c2 is earlier)
+                    ("c1", 0, "tool", "Paris: 20C, sunny.", "weather_api",
+                     _TS(2025, 1, 2, 10, 0)),
+                    ("c2", 0, "tool", "Paris: 10C, rainy.", "weather_api",
+                     _TS(2025, 1, 1, 9, 0)),
+                ],
+            ],
+            negative_examples=[
+                [  # same value everywhere — no flip
+                    ("c3", 0, "tool", "Paris: 10C, sunny.", "weather_api",
+                     _TS(2025, 1, 1, 9, 0)),
+                    ("c4", 0, "tool", "Paris: 10C, rainy.", "weather_api",
+                     _TS(2025, 1, 2, 10, 0)),
+                ]
+            ],
+        ),
+        Query(
+            name="kind-drift",
+            author=_A,
+            title="Entity surface observed as multiple kinds",
+            description="One normalized surface mentioned as ≥2 distinct "
+            "kinds (location/tool/db/…) across the corpus — the "
+            "XTypeRecovery conflict signal surfaced as a finding "
+            "(XTypeRecovery.scala:20-25 re-votes these silently).",
+            score=3.0,
+            scanner=scan.scan_kind_drift,
+            tags=["linking", "consistency"],
+            positive_examples=[
+                [  # weather_api used as a TOOL and queried as a DB
+                    ("c1", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c2", 0, "assistant",
+                     "Querying weather_api for records about Oslo.",
+                     "db_query"),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c3", 0, "assistant", "Calling weather_api for Lima.",
+                     "weather_api"),
+                    ("c3", 1, "assistant",
+                     "Querying prod_db for records about Lima.", "db_query"),
+                ]
+            ],
+        ),
+        Query(
+            name="conversation-clone",
+            author=_A,
+            title="Byte-identical conversations",
+            description="Conversations whose full turn-text sequence is "
+            "identical to another's — exact transcript duplication (the "
+            "duplicated-source-file analog; feeds the dedup pipeline).",
+            score=2.0,
+            scanner=scan.scan_conversation_clones,
+            tags=["quality", "dedup"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.", None),
+                    ("c1", 1, "tool", "Lima: 10C, sunny.", "weather_api"),
+                    ("c2", 0, "user", "Please check the weather in Lima.", None),
+                    ("c2", 1, "tool", "Lima: 10C, sunny.", "weather_api"),
+                ]
+            ],
+            negative_examples=[
+                [  # one turn differs — not a clone
+                    ("c3", 0, "user", "Please check the weather in Lima.", None),
+                    ("c3", 1, "tool", "Lima: 10C, sunny.", "weather_api"),
+                    ("c4", 0, "user", "Please check the weather in Lima.", None),
+                    ("c4", 1, "tool", "Lima: 20C, sunny.", "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="replaced-db-use",
+            author=_A,
+            title="Replaced database still queried later",
+            description="A db name some conversation replaced via rebind "
+            "is still queried directly, strictly later in time, by "
+            "conversations that never rebound it themselves — "
+            "cross-conversation stale usage (use-after-redefinition "
+            "across transcript boundaries).",
+            score=5.0,
+            scanner=scan.scan_replaced_db_uses,
+            tags=["dataflow", "temporal"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None,
+                     _TS(2025, 1, 1, 9, 0)),
+                    ("c2", 0, "assistant",
+                     "Querying prod_db for records about Lima.", "db_query",
+                     _TS(2025, 1, 2, 9, 0)),
+                ]
+            ],
+            negative_examples=[
+                [  # the use predates the replacement
+                    ("c1", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None,
+                     _TS(2025, 1, 2, 9, 0)),
+                    ("c2", 0, "assistant",
+                     "Querying prod_db for records about Lima.", "db_query",
+                     _TS(2025, 1, 1, 9, 0)),
+                ],
+                [  # the using conversation rebound it itself — it knows
+                    ("c3", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None,
+                     _TS(2025, 1, 1, 9, 0)),
+                    ("c3", 1, "assistant",
+                     "Querying prod_db for records about Lima.", "db_query",
+                     _TS(2025, 1, 2, 9, 0)),
+                ],
+            ],
+        ),
+        Query(
+            name="globally-unanswered-ask",
+            author=_A,
+            title="Location asked about, never answered anywhere",
+            description="Locations ASKED about that no conversation in the "
+            "whole corpus answered with a weather result, compared "
+            "through the SAME_AS canonical map — asking about NYC is "
+            "answered by a New York City result. Distinct from "
+            "unanswered-ask (intra-conversation ordering).",
+            score=4.0,
+            scanner=scan.scan_globally_unanswered_asks,
+            tags=["completeness", "linking"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.", None),
+                ]
+            ],
+            negative_examples=[
+                [  # answered in a DIFFERENT conversation via an alias
+                    ("c1", 0, "user",
+                     "Note that NYC is also known as New York City.", None),
+                    ("c1", 1, "user", "Please check the weather in NYC.", None),
+                    ("c2", 0, "tool", "New York City: 10C, sunny.",
+                     "weather_api"),
+                ]
+            ],
+        ),
+    ]
+)
+
+
+class QueryTags:
+    """Tag vocabulary as named constants (querydb/src/main/scala/io/joern/
+    scanners/QueryTags.scala analog) — typo-proof tagging; the registry
+    is validated against this set in tests."""
+
+    skew = "skew"
+    dataflow = "dataflow"
+    consistency = "consistency"
+    linking = "linking"
+    callgraph = "callgraph"
+    quality = "quality"
+    completeness = "completeness"
+    provenance = "provenance"
+    protocol = "protocol"
+    security = "security"
+    ordering = "ordering"
+    ambiguity = "ambiguity"
+    correctness = "correctness"
+    range_check = "range-check"
+    integrity = "integrity"
+    ingest = "ingest"
+    temporal = "temporal"
+    dedup = "dedup"
+
+    @classmethod
+    def all(cls) -> set[str]:
+        return {
+            v
+            for k, v in vars(cls).items()
+            if isinstance(v, str) and not k.startswith("_")
+        }
+
+
+# Bundle structure (the per-directory scanner bundles of the reference —
+# querydb/src/main/scala/io/joern/scanners/{android,c,ghidra,java,kotlin,
+# php}): every query belongs to exactly ONE bundle, grouped by its unit
+# of analysis; validated exhaustively in tests/test_querydb.py.
+BUNDLES: dict[str, tuple[str, ...]] = {
+    # structural health of single conversations (skew, protocol, ingest)
+    "structure": (
+        "mega-conversation", "protocol-violation", "duplicate-turn",
+        "turn-gap", "tool-fanout", "hub-entity",
+    ),
+    # entity-linking / aliasing layer ("unknown-entity" is the battery's
+    # one two-input scanner — transcripts ⋈ entities — so it has no
+    # standalone Query entry, but it belongs to this bundle)
+    "linking": (
+        "unknown-entity", "lone-mention", "alias-chain", "self-alias",
+        "alias-conflict", "late-alias", "kind-drift",
+    ),
+    # intra-conversation dataflow / binding lifecycle
+    "dataflow": (
+        "rebind-conversation", "stale-binding-use", "dead-rebind",
+        "default-binding-use", "mixed-db-query",
+    ),
+    # request/response completeness and call hygiene
+    "callgraph": (
+        "unanswered-ask", "dangling-call", "orphan-result", "retry-loop",
+        "repeated-question", "result-mismatch",
+    ),
+    # fact-level consistency, single-snapshot
+    "consistency": (
+        "temperature-contradiction", "extreme-temperature",
+    ),
+    # corpus-level, cross-conversation analyses
+    "crossconv": (
+        "fact-flip", "conversation-clone", "replaced-db-use",
+        "globally-unanswered-ask",
+    ),
+}
+
+
+def bundle_of(query_name: str) -> str:
+    for bundle, names in BUNDLES.items():
+        if query_name in names:
+            return bundle
+    raise KeyError(query_name)
+
+
+def bundles() -> dict[str, list[Query]]:
+    """bundle name → its Query objects, registry order preserved
+    (bundle members without a Query entry — unknown-entity — are
+    membership-only and skipped here)."""
+    by_name = {q.name: q for q in QUERY_DB}
+    return {
+        b: [by_name[n] for n in names if n in by_name]
+        for b, names in BUNDLES.items()
+    }
 
 
 def query_report(spark: SparkSession) -> list[dict]:

@@ -31,3 +31,24 @@ def test_querydb_covers_every_scanner():
     from joern_spark.operators import scan
 
     assert {q.name for q in QUERY_DB} == set(scan.SCANNERS)
+
+
+def test_bundles_partition_the_battery():
+    """Bundle structure (QueryTags.scala + per-directory bundle analog):
+    every battery scanner — including the two-input unknown-entity — is
+    in exactly ONE bundle; tags come from the QueryTags vocabulary."""
+    from joern_spark.operators import scan
+    from joern_spark.querydb import BUNDLES, QueryTags, bundle_of, bundles
+
+    members = [n for ns in BUNDLES.values() for n in ns]
+    assert len(members) == len(set(members))  # no query in two bundles
+    assert set(members) == set(scan.SCANNERS) | {"unknown-entity"}
+    for q in QUERY_DB:
+        assert bundle_of(q.name) in BUNDLES
+        assert set(q.tags) <= QueryTags.all(), q.name
+    got = bundles()
+    assert set(got) == set(BUNDLES)
+    assert [q.name for q in got["crossconv"]] == [
+        "fact-flip", "conversation-clone", "replaced-db-use",
+        "globally-unanswered-ask",
+    ]
