@@ -51,6 +51,12 @@ def tag_nodes(findings: DataFrame) -> DataFrame:
 # entity key. The oracle (oracle.tagged_by_sql) imports this list.
 NON_ADDRESSABLE_SCANNERS = ("retry-loop", "repeated-question")
 
+# Findings whose evidence is not a graph node under ANY anchoring (a
+# corpus-wide fingerprint names a GROUP of conversations, not one) —
+# excluded from the TAGGED_BY write-back entirely; they remain queryable
+# on the findings table itself.
+NO_NODE_SCANNERS = ("conversation-clone",)
+
 
 def tagged_by_edges(findings: DataFrame) -> DataFrame:
     """TAGGED_BY edges evidence-node → TAG node, property = score — the
@@ -63,12 +69,40 @@ def tagged_by_edges(findings: DataFrame) -> DataFrame:
         F.col("query_name").isin(*NON_ADDRESSABLE_SCANNERS),
         F.substring_index("evidence", ":", 1),
     ).otherwise(F.col("evidence"))
-    return findings.select(
+    return findings.where(
+        ~F.col("query_name").isin(*NO_NODE_SCANNERS)
+    ).select(
         src.alias("src"),
         F.concat(F.lit("tag:"), F.col("query_name")).alias("dst"),
         F.lit("TAGGED_BY").alias("label"),
         F.col("score").cast("string").alias("property"),
     )
+
+
+def tagged_nodes(
+    tagged_by: DataFrame, nodes: DataFrame, tag: str | None = None
+) -> DataFrame:
+    """Read-side tag traversal — the `cpg.tag.name(x)` starter and
+    `taggedNode` step (semanticcpg/.../language/
+    NewTagNodePairTraversal.scala:8-19 is the write side; this is the
+    missing read-back): TAGGED_BY edges → the tagged node rows, so users
+    traverse findings as graph structure instead of filtering the
+    findings table by hand.
+
+    `nodes` is any node table with an `id` column (turn nodes,
+    conversation ids, entity keys); `tag` optionally restricts to one
+    tag name (with or without the 'tag:' prefix). One equi-join on the
+    node id — broadcast-able whenever the tag slice is small."""
+    e = tagged_by.where(F.col("label") == "TAGGED_BY")
+    if tag is not None:
+        full = tag if tag.startswith("tag:") else f"tag:{tag}"
+        e = e.where(F.col("dst") == full)
+    e = e.select(
+        F.col("src").alias("id"),
+        F.substring(F.col("dst"), 5, 10_000).alias("tag"),
+        F.col("property").alias("score"),
+    )
+    return e.join(nodes, "id")
 
 
 def write_graph(

@@ -313,16 +313,35 @@ LEFT JOIN e e2 ON k.entity_key = e2.entity_key
 def tagged_by_sql(sf: float) -> str:
     """TAGGED_BY write-back: one edge per finding, projected from the
     same findings battery SQL. Composite-evidence scanners anchor on
-    their conversation node (materialize.NON_ADDRESSABLE_SCANNERS)."""
-    from joern_spark.operators.materialize import NON_ADDRESSABLE_SCANNERS
+    their conversation node (materialize.NON_ADDRESSABLE_SCANNERS);
+    group-evidence scanners (NO_NODE_SCANNERS) are excluded — their
+    fingerprints name no node."""
+    from joern_spark.operators.materialize import (
+        NO_NODE_SCANNERS,
+        NON_ADDRESSABLE_SCANNERS,
+    )
 
     non_addr = ", ".join(f"'{n}'" for n in NON_ADDRESSABLE_SCANNERS)
+    no_node = ", ".join(f"'{n}'" for n in NO_NODE_SCANNERS)
     return f"""
 SELECT CASE WHEN query_name IN ({non_addr})
             THEN split_part(evidence, ':', 1) ELSE evidence END AS src,
        'tag:' || query_name AS dst,
        'TAGGED_BY' AS label, CAST(score AS VARCHAR) AS property
 FROM ({findings_sql(sf)})
+WHERE query_name NOT IN ({no_node})
+"""
+
+
+def tag_readback_sql(sf: float) -> str:
+    """Read-back twin of materialize.tagged_nodes over TURN evidence: the
+    TAGGED_BY projection joined to the turn table on the node id."""
+    return f"""
+SELECT e.src AS id, substring(e.dst, 5) AS tag, e.property AS score, t.role
+FROM ({tagged_by_sql(sf)}) e
+JOIN (SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id, role
+      FROM {t_src(sf)}) t
+  ON e.src = t.id
 """
 
 

@@ -375,6 +375,19 @@ def q_conv_vectors(spark, sf_dir):
     return conversation_vectors(linked)
 
 
+def q_tag_readback(spark, sf_dir):
+    """Read-side tag traversal (`cpg.tag.name(x).taggedNode` analog,
+    materialize.tagged_nodes): every TAGGED_BY edge whose evidence is a
+    TURN node, joined back to the turn rows — findings consumed as graph
+    structure. Reuses the per-session findings checkpoint, so in the
+    battery this is a projection + one join, not a battery re-run."""
+    edges = materialize.tagged_by_edges(_findings(spark, sf_dir))
+    turns = assemble.turn_nodes(_t(spark, sf_dir))
+    return materialize.tagged_nodes(edges, turns).select(
+        "id", "tag", "score", "role"
+    )
+
+
 def q_tagged_by(spark, sf_dir):
     """Findings written back into the graph as TAGGED_BY edges (the
     newTagNodePair(...).store() analog). Reuses the per-session
@@ -573,6 +586,7 @@ TPG_QUERIES = {
     "tpg_tool_pairs": q_tool_pairs,
     "tpg_linked_multi": q_linked_multi,
     "tpg_tagged_by": q_tagged_by,
+    "tpg_tag_readback": q_tag_readback,
     "tpg_slice": q_slice,
     "tpg_conv_vectors": q_conv_vectors,
     "tpg_edge_stats": q_edge_stats,

@@ -307,3 +307,34 @@ def test_expand_paths_modes_identical(spark, monkeypatch):
     assert got_shuffle == want
     monkeypatch.setattr(G, "FRONTIER_BROADCAST_MAX", 1)
     assert key(G.expand_paths(roots, e, max_depth=4, keep="all")) == want
+
+
+def test_tag_readback_traversal(spark, make_transcripts, entities):
+    """cpg.tag read-back (NewTagNodePairTraversal's missing read side):
+    TAGGED_BY edges traverse back to the tagged node rows; group-evidence
+    findings (conversation-clone fingerprints) never write edges."""
+    from joern_spark.operators.assemble import turn_nodes
+    from joern_spark.operators.materialize import tagged_by_edges, tagged_nodes
+    from joern_spark.operators.scan import run_scan
+
+    rows = [
+        # an unanswered ask — turn-addressable evidence "c1:0"
+        ("c1", 0, "user", "Please check the weather in Lima.", None),
+        # a clone pair — group evidence (md5 fingerprint), no node
+        ("c2", 0, "user", "Hello there.", None),
+        ("c3", 0, "user", "Hello there.", None),
+    ]
+    t = make_transcripts(rows)
+    findings = run_scan(t, entities)
+    assert findings.where(
+        F.col("query_name") == "conversation-clone").count() == 1
+    edges = tagged_by_edges(findings)
+    # the clone finding is excluded from the write-back entirely
+    assert edges.where(F.col("dst") == "tag:conversation-clone").count() == 0
+    got = tagged_nodes(edges, turn_nodes(t), tag="unanswered-ask").collect()
+    assert {(r.id, r.tag, r.role) for r in got} == {
+        ("c1:0", "unanswered-ask", "user")}
+    # unrestricted read-back joins every turn-addressable tag
+    all_tags = tagged_nodes(edges, turn_nodes(t))
+    assert set(all_tags.columns) >= {"id", "tag", "score", "role"}
+    assert all_tags.where(F.col("tag") == "unanswered-ask").count() == 1
