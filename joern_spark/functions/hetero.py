@@ -123,6 +123,48 @@ def step_edges(
     return out
 
 
+def sources_to_starting_points(
+    sources: DataFrame,
+    edges: DataFrame,
+    k: int = CROSS_FAN_K,
+    id_col: str = "id",
+) -> DataFrame:
+    """Source normalization (SourcesToStartingPoints.scala:19-102): the
+    reference expands literal/member SOURCES to their first usages before
+    flow search, so "where does X flow" starts from places X actually
+    appears. Transcript analog: an ENTITY source (a fact key) expands to
+    the k lexicographically-first TURNS that mention it (reverse
+    LINKS_TO); TURN sources are already starting points and pass through
+    unchanged.
+
+    Output: (id, start, via) — `via` is 'self' for pass-through rows and
+    'LINKS_TO_REV' for expanded ones, so callers can tell seed kinds
+    apart. Skew shape: the per-entity fan is the salted exact top-k
+    (hub entities at corpus scale never funnel one reducer), and the
+    sources side joins the capped edge slice — no corpus-proportional
+    broadcast."""
+    lt = (
+        edges.where(F.col("label") == "LINKS_TO")
+        .select(F.col("dst").alias("entity"), F.col("src").alias("turn"))
+        .dropDuplicates()
+    )
+    first_k = salted_min_k(lt, "entity", "turn", k)
+    src = sources.select(F.col(id_col).alias("id")).dropDuplicates()
+    expanded = src.join(
+        first_k, src["id"] == first_k["entity"]
+    ).select(
+        "id",
+        F.col("turn").alias("start"),
+        F.lit("LINKS_TO_REV").alias("via"),
+    )
+    passthrough = src.join(
+        lt.select("entity").dropDuplicates(),
+        src["id"] == F.col("entity"),
+        "left_anti",
+    ).select("id", F.col("id").alias("start"), F.lit("self").alias("via"))
+    return expanded.unionByName(passthrough)
+
+
 CROSS_PATHS_SCHEMA = (
     "src string, dst string, depth int, crossings int, "
     "path array<string>, labels array<string>"

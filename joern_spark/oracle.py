@@ -715,6 +715,27 @@ SELECT src, dst, depth, crossings, path, labels FROM (
 """
 
 
+def starting_points_sql(sf: float) -> str:
+    """Source-normalization twin (hetero.sources_to_starting_points over
+    the full entity layer): k first mentioning turns per entity. The
+    fan constant is imported from the engine so the two sides cannot
+    drift."""
+    from joern_spark.functions.hetero import CROSS_FAN_K
+
+    return f"""
+WITH lt AS (
+  SELECT DISTINCT entity_key AS entity,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS turn
+  FROM ({linked_mentions_sql(sf)})
+)
+SELECT entity AS id, turn AS start, 'LINKS_TO_REV' AS via FROM (
+  SELECT entity, turn,
+         row_number() OVER (PARTITION BY entity ORDER BY turn) AS rn
+  FROM lt
+) WHERE rn <= {CROSS_FAN_K}
+"""
+
+
 def entity_degree_sql(sf: float) -> str:
     key = NORM.format(x="surface")
     return f"""

@@ -298,6 +298,21 @@ def q_cross_paths(spark, sf_dir):
     )
 
 
+def q_starting_points(spark, sf_dir):
+    """Source normalization (SourcesToStartingPoints.scala:19-102 analog,
+    functions/hetero.sources_to_starting_points): every entity in the
+    linked layer expands to the k lexicographically-first turns that
+    mention it — the seed set a provenance flow starts from. Skew-safe
+    exact salted top-k per entity."""
+    from joern_spark.functions.hetero import sources_to_starting_points
+
+    t = _t(spark, sf_dir)
+    linked = link.link_mentions(extract_mentions(t), read_entities(spark))
+    edges = link.links_to_edges(linked)
+    seeds = edges.select(F.col("dst").alias("id")).dropDuplicates()
+    return sources_to_starting_points(seeds, edges).select("id", "start", "via")
+
+
 def q_cdg(spark, sf_dir):
     """Control-dependence edges (post-dominance frontier). Provably empty
     on linear transcript chains — the oracle asserts exactly that; the
@@ -581,6 +596,7 @@ TPG_QUERIES = {
     "tpg_reach_k": q_reach_k,
     "tpg_reach_paths": q_reach_paths,
     "tpg_cross_paths": q_cross_paths,
+    "tpg_starting_points": q_starting_points,
     "tpg_entity_degree": q_entity_degree,
     "tpg_findings": q_findings,
     "tpg_tool_pairs": q_tool_pairs,

@@ -190,3 +190,25 @@ def test_hetero_empty_frontier(spark):
     assert out.count() == 0
     assert set(out.columns) == {
         "src", "dst", "depth", "crossings", "path", "labels"}
+
+
+# ------------------------------------------------- source normalization
+
+
+def test_sources_to_starting_points(spark):
+    """Entity sources expand to the k-first mentioning turns; turn
+    sources pass through unchanged (SourcesToStartingPoints analog)."""
+    from joern_spark.functions.hetero import sources_to_starting_points
+
+    e = ledges(spark, [
+        ("B:1", "E", "LINKS_TO"), ("A:1", "E", "LINKS_TO"),
+        ("C:1", "E", "LINKS_TO"),
+        ("A:2", "F", "LINKS_TO"),
+        ("A:1", "A:2", "NEXT_TURN"),  # non-LINKS_TO edges ignored
+    ])
+    src = seeds(spark, ["E", "A:9"])  # one entity, one raw turn
+    got = rows_set(sources_to_starting_points(src, e, k=2))
+    assert got == {
+        ("E", "A:1", "LINKS_TO_REV"), ("E", "B:1", "LINKS_TO_REV"),
+        ("A:9", "A:9", "self"),
+    }
