@@ -279,3 +279,75 @@ def scrub_pii(documents: DataFrame) -> DataFrame:
         F.col(f"n_{PII_PATTERNS[0][0]}"),
     )
     return out.withColumn("n_redactions", total.cast("long"))
+
+
+# --- dataset mixture sampling ------------------------------------------
+
+# Integer mixture weights (unlisted sources weight 1). Integers are
+# deliberate: the weight SUM must be exact and order-independent so the
+# Spark plan and the DuckDB oracle cannot diverge by float summation
+# order; every subsequent rate is one double expression of exact ints.
+DEFAULT_MIXTURE_WEIGHTS: dict[str, int] = {"src0": 3, "src1": 2}
+
+# Default char budget for the sampled mixture (≈40% of the sf0.01
+# corpus) — the knob a real run sets from its token target.
+MIXTURE_BUDGET_CHARS = 200_000
+
+
+def mixture_rates(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    budget_chars: int | None = None,
+) -> DataFrame:
+    """(source, w, chars_s, rate) — per-source acceptance rates for a
+    target mixture: source s receives share w_s/Σw of the char budget,
+    rate_s = min(1, budget·w_s / (Σw·chars_s)). One vocabulary-bounded
+    groupBy; the output is a dimension table (rows = #sources)."""
+    weights = DEFAULT_MIXTURE_WEIGHTS if weights is None else weights
+    budget = MIXTURE_BUDGET_CHARS if budget_chars is None else budget_chars
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    per_src = (
+        documents.groupBy("source")
+        .agg(F.sum("n_chars").alias("chars_s"))
+        .withColumn(
+            "w", F.coalesce(wmap[F.col("source")], F.lit(1)).cast("long")
+        )
+    )
+    sumw = per_src.agg(F.sum("w").alias("sumw"))
+    return per_src.crossJoin(F.broadcast(sumw)).select(
+        "source",
+        "w",
+        "chars_s",
+        F.least(
+            F.lit(1.0),
+            (F.col("w") * F.lit(budget)).cast("double")
+            / (F.col("sumw").cast("double") * F.col("chars_s").cast("double")),
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    budget_chars: int | None = None,
+) -> DataFrame:
+    """Deterministic dataset-mixture sample: re-weight sources toward
+    target proportions under a char budget — the pre-training mixing
+    step (upweight curated sources, downweight bulk crawl). Keep a doc
+    iff H(doc_id) < rate(source)·2^60, with per-source rates from
+    `mixture_rates`; the same H as stratified_sample, so sampling is a
+    pure filter, reproducible at any parallelism.
+
+    Scale shape: one vocabulary-bounded aggregation builds the rate
+    dimension table; it broadcasts back onto the corpus scan — the big
+    side never shuffles, and the filter composes with predicate
+    pushdown."""
+    rates = mixture_rates(documents, weights, budget_chars)
+    h = md5_long(F.col("doc_id").cast("string"))
+    return (
+        documents.join(
+            F.broadcast(rates.select("source", "rate")), "source"
+        )
+        .where(h.cast("double") < F.col("rate") * F.lit(H_SPACE))
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -690,3 +690,37 @@ SELECT doc_id,
        list_max(bs) AS max_byte
 FROM bytes
 """
+
+
+def mixture_sample_sql() -> str:
+    """Twin of curate.mixture_sample: per-source rates from the same
+    integer weights/budget constants, the same H(doc_id) filter. Integer
+    weight sum keeps Σw exact on both engines."""
+    from joern_spark.operators.curate import (
+        DEFAULT_MIXTURE_WEIGHTS,
+        H_SPACE,
+        MIXTURE_BUDGET_CHARS,
+    )
+
+    h = H.format(x="CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {w}" for k, w in DEFAULT_MIXTURE_WEIGHTS.items()
+    )
+    return f"""
+WITH per_src AS (
+  SELECT source, sum(n_chars) AS chars_s,
+         CAST(CASE source {cases} ELSE 1 END AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source,
+         least(1.0,
+               CAST(w * {MIXTURE_BUDGET_CHARS} AS DOUBLE)
+               / (CAST((SELECT sum(w) FROM per_src) AS DOUBLE)
+                  * CAST(chars_s AS DOUBLE))) AS rate
+  FROM per_src
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN rates r USING (source)
+WHERE {h}::DOUBLE < r.rate * {H_SPACE!r}
+"""

@@ -455,6 +455,16 @@ def q_stratified_sample(spark, sf_dir):
     return curate.stratified_sample(read_documents(spark, sf_dir))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Dataset-mixture sampling (pre-training mixing): per-source
+    acceptance rates hit target integer-weight proportions under a char
+    budget; the sample itself is a pure H(doc_id) filter behind one
+    broadcast rate table."""
+    from joern_spark.operators import curate
+
+    return curate.mixture_sample(read_documents(spark, sf_dir))
+
+
 def q_curation_verdict(spark, sf_dir):
     """End-to-end curation decision (quality → sample → decontaminate →
     dedup-survivor) with the first-failing-gate audit reason per doc."""
@@ -612,6 +622,7 @@ TPG_QUERIES = {
     "doc_tokens": q_doc_tokens,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
+    "doc_mixture": q_mixture_sample,
     "doc_curation": q_curation_verdict,
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,

@@ -324,6 +324,30 @@ def test_stratified_sample_deterministic(docs, spark):
     assert ids(curate.stratified_sample(docs, {"zz": 1.0})) == set()
 
 
+def test_mixture_sample(docs, spark):
+    """Per-source acceptance rates hit the integer-weight mixture exactly;
+    the sample itself is the same partition-invariant H(doc_id) filter as
+    stratified_sample."""
+    from joern_spark.operators import curate
+
+    # s0 holds docs 0,1 (86 chars), s1 {2} (44), s2 {3} (43), s3 {4} (4).
+    rates = {
+        r.source: (r.w, r.chars_s, r.rate)
+        for r in curate.mixture_rates(docs, {"s0": 3}, budget_chars=60).collect()
+    }
+    assert rates["s0"][:2] == (3, 86)
+    # sumw = 3+1+1+1 = 6; rate_s0 = min(1, 60*3/(6*86))
+    assert math.isclose(rates["s0"][2], 60 * 3 / (6 * 86))
+    assert math.isclose(rates["s1"][2], 60 * 1 / (6 * 44))
+    # budget ≥ Σw·chars/w_min → every rate clamps to 1, everything kept
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    assert ids(curate.mixture_sample(docs, {"s0": 3}, 10_000)) == {0, 1, 2, 3, 4}
+    # exact-reproducible across partitionings, monotone in budget
+    half = ids(curate.mixture_sample(docs, {"s0": 3}, 100))
+    assert half == ids(curate.mixture_sample(docs.repartition(7), {"s0": 3}, 100))
+    assert half <= ids(curate.mixture_sample(docs, {"s0": 3}, 500))
+
+
 def test_curation_verdict_all_gates(spark):
     """Every gate fires in pipeline order: low-quality beats sampled-out
     beats contaminated beats duplicate; clean docs are kept."""
