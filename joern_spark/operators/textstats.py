@@ -188,3 +188,73 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
         for p in QUANTILE_PROBS
     ]
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *ps)
+
+
+def _grams_col(n: int) -> Column:
+    """Ordered n-gram array over the `toks` column (empty below n tokens).
+    1-based element_at mirrors the oracle's DuckDB list indexing."""
+    joined = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size("toks") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), joined),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    'repetition removal' filters, the missing member of the quality
+    battery next to stopword/uniq ratios): per document, the share of
+    bigram mass held by the single most frequent bigram and the share of
+    5-gram occurrences whose 5-gram repeats within the document. High
+    values flag boilerplate / degenerate generation loops.
+
+    Reference analog: querydb metric scanners — one pure aggregation per
+    document over extracted node properties (joern's per-method metric
+    queries, e.g. querydb/.../c/Metrics.scala style thresholds).
+
+    Shape at 100 TB: one scan → explode n-grams → two hash aggregations
+    keyed by (doc_id, n, gram) then doc_id. Both aggs map-side combine;
+    the key space is doc-scoped so there is no hub skew by construction
+    (a gram key never spans documents). No Python, no window over the
+    corpus, no driver state.
+
+    Docs with fewer than 2 tokens emit no row (no bigrams exist);
+    `dup_fivegram_frac` is NULL below 5 tokens. Top-bigram ties break to
+    the lexicographically greatest gram (struct-max), mirrored exactly by
+    the oracle's ORDER BY cnt DESC, g DESC."""
+    toks = tokens_col(F.col("text"))
+    d = documents.select("doc_id", toks.alias("toks"))
+    tagged = lambda n: F.transform(  # noqa: E731
+        _grams_col(n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+    )
+    exploded = d.select(
+        "doc_id", F.explode(F.concat(tagged(2), tagged(5))).alias("x")
+    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    counted = exploded.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is2 = F.col("n") == 2
+    is5 = F.col("n") == 5
+    per_doc = counted.groupBy("doc_id").agg(
+        F.sum(F.when(is2, F.col("cnt"))).alias("n_bigrams"),
+        F.max(F.when(is2, F.struct(F.col("cnt"), F.col("g")))).alias("_top2"),
+        F.sum(F.when(is5, F.col("cnt"))).alias("n_fivegrams"),
+        F.sum(F.when(is5 & (F.col("cnt") > 1), F.col("cnt"))).alias("_dup5"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("_top2.g").alias("top_bigram"),
+        F.col("_top2.cnt").alias("top_bigram_count"),
+        "n_bigrams",
+        (F.col("_top2.cnt").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+        F.col("n_fivegrams").cast("long").alias("n_fivegrams"),
+        F.when(
+            F.col("n_fivegrams") > 0,
+            F.coalesce(F.col("_dup5"), F.lit(0)).cast("double")
+            / F.col("n_fivegrams"),
+        ).alias("dup_fivegram_frac"),
+    )

@@ -314,6 +314,50 @@ GROUP BY d.lang
 """
 
 
+def repetition_stats_sql() -> str:
+    """Mirror of textstats.repetition_stats: top-bigram share + duplicate
+    5-gram share per doc; tie-break ORDER BY cnt DESC, g DESC matches the
+    Spark struct-max exactly."""
+    return f"""
+WITH {TOKS},
+b AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+  FROM toks WHERE len(toks) >= 2
+),
+f AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4]
+                 FOR i IN range(1, len(toks) - 3)]) AS g
+  FROM toks WHERE len(toks) >= 5
+),
+bc AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+br AS (
+  SELECT doc_id, g, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn,
+         sum(cnt) OVER (PARTITION BY doc_id)::BIGINT AS n_bigrams
+  FROM bc
+),
+btop AS (
+  SELECT doc_id, g AS top_bigram, cnt AS top_bigram_count, n_bigrams
+  FROM br WHERE rn = 1
+),
+fc AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM f GROUP BY 1, 2),
+fagg AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_fivegrams,
+         coalesce(sum(cnt) FILTER (cnt > 1), 0)::BIGINT AS dup5
+  FROM fc GROUP BY 1
+)
+SELECT b.doc_id, top_bigram, top_bigram_count, n_bigrams,
+       top_bigram_count::DOUBLE / n_bigrams AS top_bigram_frac,
+       f.n_fivegrams,
+       CASE WHEN f.n_fivegrams > 0
+            THEN dup5::DOUBLE / f.n_fivegrams END AS dup_fivegram_frac
+FROM btop b LEFT JOIN fagg f USING (doc_id)
+"""
+
+
 def stratified_topn_sql() -> str:
     from joern_spark.operators.curate import TOPN_PER_STRATUM
 

@@ -509,6 +509,12 @@ def q_doc_langid(spark, sf_dir):
     return textstats.lang_id(read_documents(spark, sf_dir))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals (top-bigram share,
+    duplicate-5-gram share)."""
+    return textstats.repetition_stats(read_documents(spark, sf_dir))
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(read_documents(spark, sf_dir))
 
@@ -618,6 +624,7 @@ TPG_QUERIES = {
     "tpg_edge_stats": q_edge_stats,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
+    "doc_repetition": q_doc_repetition,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_tokens": q_doc_tokens,
     "doc_decontaminate": q_decontaminate,

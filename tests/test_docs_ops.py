@@ -118,6 +118,35 @@ def test_textstats(docs):
     assert lang[4] == "und"  # no profile hits
 
 
+def test_repetition_stats(spark):
+    rows = [
+        # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top "a b" 3/5;
+        # 5-grams = [a b a b a, b a b a b] both unique → dup frac 0.0
+        (0, "a b a b a b"),
+        # no repeated bigram; 4 tokens → bigrams exist, no 5-grams → NULL
+        (1, "w x y z"),
+        # 1 token → no bigrams → NO output row
+        (2, "solo"),
+        # tie between "p q" and "q p" (2 each of 4): struct-max picks the
+        # lexicographically greatest gram "q p"
+        (3, "p q p q p"),
+        # fully degenerate: "r r r r r r" → top bigram "r r" 5/5;
+        # both 5-grams identical → dup frac 1.0
+        (4, "r r r r r r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert set(out) == {0, 1, 3, 4}  # doc 2 emits no row
+    assert out[0].top_bigram == "a b"
+    assert out[0].top_bigram_count == 3 and out[0].n_bigrams == 5
+    assert math.isclose(out[0].top_bigram_frac, 3 / 5)
+    assert out[0].dup_fivegram_frac == 0.0
+    assert out[1].dup_fivegram_frac is None and out[1].n_fivegrams is None
+    assert out[3].top_bigram == "q p"  # tie → lexicographically greatest
+    assert out[4].top_bigram_frac == 1.0
+    assert out[4].dup_fivegram_frac == 1.0
+
+
 def test_resize_dims_aspect(spark):
     """Aspect preserved, longest side clamps to RESIZE_MAX, never
     upscale, dims floor to ≥1."""
