@@ -427,6 +427,10 @@ def entity_rank_sql(sf: float) -> str:
 )"""
         )
     joined = ",\n".join(rounds)
+    # sym/deg/nn are referenced by every unrolled round; DuckDB inlines
+    # plain CTEs per reference, which would recompute the full regex
+    # mention extraction ~2×PR_ITERATIONS times (measured 18.6s → ~1s
+    # at sf0.01 with MATERIALIZED).
     return f"""
 WITH m AS ({mentions_sql(sf)}),
 pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
@@ -435,9 +439,9 @@ e AS (
   ON x.conv_id = y.conv_id AND x.k < y.k
   GROUP BY 1, 2
 ),
-sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
-deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-nn AS (SELECT count(*) AS n FROM deg),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
 {joined}
 SELECT node, rank FROM r{PR_ITERATIONS}
@@ -470,7 +474,7 @@ def entity_triangles_sql(sf: float) -> str:
     return f"""
 WITH m AS ({mentions_sql(sf)}),
 pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
-e AS (
+e AS MATERIALIZED (
   SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
   ON x.conv_id = y.conv_id AND x.k < y.k
   GROUP BY 1, 2
