@@ -1,0 +1,129 @@
+"""Transcript interchange connectors — JSONL and CSV readers/writers.
+
+The reference ingests many source formats through its language frontends
+(joern-cli/frontends/*, each `X2Cpg` turning an external format into the
+closed graph schema); the transcript analog is ingesting conversation
+logs from the two interchange formats agent stacks actually emit (JSONL
+event dumps, CSV exports) into the SAME closed TRANSCRIPT_SCHEMA the
+parquet lake uses, so every downstream operator is format-agnostic.
+
+Scale shape: both readers pass an EXPLICIT schema — no `inferSchema`
+(which would scan the corpus twice at 100 TB) — and both formats split
+per-file across executors (JSONL additionally splits WITHIN a file by
+line, so one giant dump still parallelizes; multiLine CSV does not,
+which the csv docstring calls out). Timestamps travel as canonical
+naive strings and are cast to TIMESTAMP_NTZ on read, preserving the
+lake's session-TZ-independence invariant (schemas.TRANSCRIPT_SCHEMA).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from joern_spark.schemas import TRANSCRIPT_SCHEMA
+
+# Wire schema: ts is a string on the wire (neither JSON nor CSV has a
+# native naive-timestamp type); everything else is typed directly.
+_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.StringType(), True),
+    ]
+)
+
+_COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+_REQUIRED = [f.name for f in TRANSCRIPT_SCHEMA.fields if not f.nullable]
+
+
+def _typed(df: DataFrame) -> DataFrame:
+    """Wire frame → TRANSCRIPT_SCHEMA types (ts string → NTZ)."""
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+
+
+def validate_transcripts(df: DataFrame) -> DataFrame:
+    """Raise if any non-nullable TRANSCRIPT_SCHEMA column is null (read
+    schemas don't enforce nullability in Spark — a malformed line under
+    PERMISSIVE mode yields an all-null row, which would otherwise flow
+    silently into the graph). One aggregate, no shuffle beyond it."""
+    counts = df.select(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in _REQUIRED]
+    ).first()
+    bad = {c: counts[c] for c in _REQUIRED if counts[c]}
+    if bad:
+        raise ValueError(f"null values in required transcript columns: {bad}")
+    return df
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str, strict: bool = True
+) -> DataFrame:
+    """JSONL transcript ingestion. Explicit wire schema (no inference
+    scan); line-splittable, so even a single huge dump file fans out
+    across executors. `strict=True` validates required columns (catching
+    PERMISSIVE-mode all-null rows from malformed lines)."""
+    df = _typed(spark.read.schema(_WIRE_SCHEMA).json(path))
+    return validate_transcripts(df) if strict else df
+
+
+def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
+    """Write transcripts as JSONL. ts serializes as the canonical naive
+    string (NTZ cast), so a read-back round-trips bit-identically and no
+    session-TZ offset is ever baked into the wire value."""
+    df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts").cast("string").alias("ts"),
+    ).write.mode("overwrite").json(path)
+
+
+def read_transcripts_csv(
+    spark: SparkSession, path: str, strict: bool = True, multiline: bool = False
+) -> DataFrame:
+    """CSV transcript ingestion. Explicit wire schema, header row, RFC
+    quoting with `"` escaped as `""`. Pass multiline=True only when text
+    fields contain raw newlines — multiLine CSV cannot split within a
+    file, so at corpus scale prefer many files (or JSONL, which always
+    line-splits)."""
+    reader = (
+        spark.read.schema(_WIRE_SCHEMA)
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", multiline)
+    )
+    df = _typed(reader.csv(path))
+    return validate_transcripts(df) if strict else df
+
+
+def write_transcripts_csv(df: DataFrame, path: str) -> None:
+    """Write transcripts as headered, RFC-quoted CSV (ts as the canonical
+    naive string, same contract as JSONL)."""
+    (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.col("ts").cast("string").alias("ts"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )

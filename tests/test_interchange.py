@@ -1,0 +1,80 @@
+"""JSONL/CSV transcript interchange connectors: round-trip fidelity
+(including unicode, embedded quotes/commas/newlines, nulls, timestamp
+microseconds) and strict-mode validation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from joern_spark.schemas import TRANSCRIPT_SCHEMA
+from joern_spark.sources import interchange as ic
+
+ROWS = [
+    ("c1", 0, "user", 'quote " comma, and ünïcode ✓', "t0",
+     dt.datetime(2025, 1, 1, 0, 0, 0, 123456)),
+    ("c1", 1, "assistant", "plain", None, dt.datetime(2025, 1, 1, 0, 0, 1)),
+    ("c2", 0, "user", "null ts row", "t1", None),
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(ROWS, TRANSCRIPT_SCHEMA)
+
+
+def _assert_roundtrip(frame, back):
+    assert back.schema == TRANSCRIPT_SCHEMA or [
+        (f.name, f.dataType) for f in back.schema.fields
+    ] == [(f.name, f.dataType) for f in TRANSCRIPT_SCHEMA.fields]
+    assert back.exceptAll(frame).count() == 0
+    assert frame.exceptAll(back).count() == 0
+
+
+def test_jsonl_roundtrip(spark, frame, tmp_path):
+    p = str(tmp_path / "t.jsonl")
+    ic.write_transcripts_jsonl(frame, p)
+    _assert_roundtrip(frame, ic.read_transcripts_jsonl(spark, p))
+
+
+def test_csv_roundtrip(spark, frame, tmp_path):
+    p = str(tmp_path / "t.csv")
+    ic.write_transcripts_csv(frame, p)
+    _assert_roundtrip(frame, ic.read_transcripts_csv(spark, p))
+
+
+def test_csv_multiline_roundtrip(spark, tmp_path):
+    rows = [("c1", 0, "user", "line one\nline two", None,
+             dt.datetime(2025, 1, 1))]
+    frame = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    p = str(tmp_path / "ml.csv")
+    ic.write_transcripts_csv(frame, p)
+    back = ic.read_transcripts_csv(spark, p, multiline=True)
+    _assert_roundtrip(frame, back)
+
+
+def test_jsonl_strict_rejects_malformed(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "ok"}\n'
+        "this is not json\n"
+    )
+    with pytest.raises(ValueError, match="required transcript columns"):
+        ic.read_transcripts_jsonl(spark, str(p))
+    # non-strict passes the malformed line through as an all-null row
+    assert ic.read_transcripts_jsonl(spark, str(p), strict=False).count() == 2
+
+
+def test_jsonl_feeds_pipeline(spark, frame, tmp_path):
+    """The read-back frame drives build_graph unchanged (format-agnostic
+    downstream contract)."""
+    from joern_spark.pipeline import build_graph
+    from joern_spark.sources.transcripts import read_entities
+
+    p = str(tmp_path / "pipe.jsonl")
+    ic.write_transcripts_jsonl(frame, p)
+    g = build_graph(ic.read_transcripts_jsonl(spark, p), read_entities(spark))
+    assert g.turns.count() == 3
+    assert g.next_turn.count() == 1  # c1 has 2 turns, c2 has 1
