@@ -91,15 +91,55 @@ def _union_find_local(edges: list[tuple[str, str]], spark) -> DataFrame:
     rows = [
         (n, min(members)) for members in comps.values() for n in members
     ]
+    # One partition: the default parallelize splits even a 7-row local
+    # relation into defaultParallelism Python tasks, so every downstream
+    # evaluation of the map would pay ~32 worker round-trips for nothing.
     return spark.createDataFrame(
         sorted(rows), "entity_key string, canon string"
-    )
+    ).coalesce(1)
+
+
+# Session-scoped memo for the component solve. The SAME_AS closure is
+# consumed by many independent battery entries (canonical map, triple
+# rewrite, semantics rewrite, CHA linking, alias-chain / unanswered-ask
+# scanners, kind recovery); each rebuilds an identical `pairs` plan, and
+# the solve is EAGER (count + collect / iterative checkpoints), so without
+# a memo one battery run pays the alias scan ~10×. Keyed by
+# (applicationId, semanticHash(analyzed plan)) — same session + same
+# logical pairs plan ⇒ same components. This is exactly the reference's
+# subclass-cache trade (DynamicCallLinker.scala:31-33: resolve the
+# inheritance closure once, reuse for every call site). Bounded; cleared
+# wholesale when full (entries are tiny: the label DF handle only).
+_CC_MEMO: dict[tuple[str, int], DataFrame] = {}
+_CC_MEMO_MAX = 32
+
+
+def _cc_memo_key(pairs: DataFrame):
+    try:
+        h = pairs._jdf.queryExecution().analyzed().semanticHash()
+        app = pairs.sparkSession.sparkContext.applicationId
+        return (app, h)
+    except Exception:  # Connect / future API drift — just skip the memo
+        return None
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:
     """canonical_map(entity_key, canon) for every key in `pairs`;
     canon = min key of the connected component. Nodes not in any pair are
-    absent (identity mapping is applied by the caller via coalesce)."""
+    absent (identity mapping is applied by the caller via coalesce).
+    Memoized per (session, analyzed-plan hash) — see _CC_MEMO above."""
+    key = _cc_memo_key(pairs)
+    if key is not None and key in _CC_MEMO:
+        return _CC_MEMO[key]
+    out = _connected_components_uncached(pairs)
+    if key is not None:
+        if len(_CC_MEMO) >= _CC_MEMO_MAX:
+            _CC_MEMO.clear()
+        _CC_MEMO[key] = out
+    return out
+
+
+def _connected_components_uncached(pairs: DataFrame) -> DataFrame:
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.dropDuplicates().persist()
     if sym.count() <= SMALL_COMPONENT_THRESHOLD:

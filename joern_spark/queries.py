@@ -586,68 +586,81 @@ def q_emb_quantize(spark, sf_dir):
     return similarity.quantize_int8(read_embeddings(spark, sf_dir))
 
 
+# Registry order is deliberate: the driver's correctness gate walks this
+# dict in order under a bounded budget (round 2 recorded rows for exactly
+# the FIRST 50 of 58 entries). So: (1) the five fundamental extraction
+# queries lead as schema sanity; (2) entries that have never had a driver
+# row run next, while budget is guaranteed; (3) the broad middle; (4) the
+# tail holds cheap queries that were driver-green in BOTH prior rounds —
+# if the budget clips again, it clips the entries with two rounds of
+# recorded evidence. tpg_findings precedes its two projections so the
+# per-session battery checkpoint is warm when they run.
 TPG_QUERIES = {
+    # (1) fundamentals
     "tpg_turns": q_turns,
     "tpg_conversations": q_conversations,
     "tpg_next_turn": q_next_turn,
     "tpg_mentions": q_mentions,
     "tpg_triples_raw": q_triples_raw,
+    # (2) never driver-covered (r2 gate clipped these) + battery trio
+    "doc_repetition": q_doc_repetition,
+    "doc_mixture": q_mixture_sample,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "dd_embed_cosine": q_dd_embed_cosine,
+    "emb_quantize": q_emb_quantize,
+    "mm_image_meta": q_mm_image_meta,
+    "mm_decode_features": q_mm_decode_features,
+    "mm_resize_dims": q_mm_resize_dims,
+    "tpg_starting_points": q_starting_points,
+    "tpg_findings": q_findings,
+    "tpg_tag_readback": q_tag_readback,
+    "tpg_tagged_by": q_tagged_by,
+    "tpg_cross_paths": q_cross_paths,
+    # (3) middle
     "tpg_linked_mentions": q_linked_mentions,
-    "tpg_stub_entities": q_stub_entities,
     "tpg_canonical_map": q_canonical_map,
-    "tpg_rebind_current_db": q_rebind_current_db,
     "tpg_triples_final": q_triples_final,
     "tpg_triples_semantics": q_triples_semantics,
     "tpg_kind_recovery": q_kind_recovery,
+    "tpg_linked_multi": q_linked_multi,
     "tpg_hourly_turns": q_hourly_turns,
+    "tpg_sessions": q_sessions,
+    "tpg_conv_metrics": q_conv_metrics,
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
-    "tpg_conv_metrics": q_conv_metrics,
-    "tpg_sessions": q_sessions,
-    "tpg_tool_stats": q_tool_stats,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
     "tpg_postdom": q_postdom,
-    "tpg_cdg": q_cdg,
     "tpg_reach_k": q_reach_k,
     "tpg_reach_paths": q_reach_paths,
-    "tpg_cross_paths": q_cross_paths,
-    "tpg_starting_points": q_starting_points,
-    "tpg_entity_degree": q_entity_degree,
-    "tpg_findings": q_findings,
-    "tpg_tool_pairs": q_tool_pairs,
-    "tpg_linked_multi": q_linked_multi,
-    "tpg_tagged_by": q_tagged_by,
-    "tpg_tag_readback": q_tag_readback,
     "tpg_slice": q_slice,
     "tpg_conv_vectors": q_conv_vectors,
-    "tpg_edge_stats": q_edge_stats,
-    "doc_stats": q_doc_stats,
-    "doc_langid": q_doc_langid,
-    "doc_repetition": q_doc_repetition,
-    "doc_fingerprints": q_doc_fingerprints,
     "doc_tokens": q_doc_tokens,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
-    "doc_mixture": q_mixture_sample,
     "doc_curation": q_curation_verdict,
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,
     "doc_quantiles": q_length_quantiles,
     "doc_scrub": q_scrub_pii,
-    "dd_exact": q_dd_exact,
-    "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
     "dd_survivors": q_dd_survivors,
-    "dd_simhash": q_dd_simhash,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "sim_topk": q_sim_topk,
-    "sim_topk_lsh": q_sim_topk_lsh,
-    "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
-    "sim_topk_ivf": q_sim_topk_ivf,
-    "dd_embed_cosine": q_dd_embed_cosine,
-    "mm_image_meta": q_mm_image_meta,
-    "mm_decode_features": q_mm_decode_features,
-    "mm_resize_dims": q_mm_resize_dims,
-    "emb_quantize": q_emb_quantize,
+    # (4) cheap two-round-green tail
+    "tpg_stub_entities": q_stub_entities,
+    "tpg_rebind_current_db": q_rebind_current_db,
+    "tpg_cdg": q_cdg,
+    "tpg_entity_degree": q_entity_degree,
+    "tpg_tool_pairs": q_tool_pairs,
+    "tpg_tool_stats": q_tool_stats,
+    "tpg_edge_stats": q_edge_stats,
+    "dd_exact": q_dd_exact,
+    "dd_ngram_jaccard": q_dd_ngram_jaccard,
+    "dd_simhash": q_dd_simhash,
+    "doc_stats": q_doc_stats,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprints": q_doc_fingerprints,
 }
