@@ -130,7 +130,13 @@ def semantics_df(
     spark: SparkSession, rows: list[PredSemantics] | None = None
 ) -> DataFrame:
     rows = DEFAULT_SEMANTICS if rows is None else rows
-    return spark.createDataFrame(
+    from joern_spark.functions.localrel import local_df
+
+    # JVM literal relation — the table is broadcast into the triple
+    # rewrite plan; a Python-RDD-backed version re-pays worker
+    # roundtrips on every evaluation (functions/localrel.py).
+    return local_df(
+        spark,
         [(r.pred, r.keep, r.canon_subj, r.canon_obj) for r in rows],
         SEMANTICS_SCHEMA,
     )

@@ -91,12 +91,13 @@ def _union_find_local(edges: list[tuple[str, str]], spark) -> DataFrame:
     rows = [
         (n, min(members)) for members in comps.values() for n in members
     ]
-    # One partition: the default parallelize splits even a 7-row local
-    # relation into defaultParallelism Python tasks, so every downstream
-    # evaluation of the map would pay ~32 worker round-trips for nothing.
-    return spark.createDataFrame(
-        sorted(rows), "entity_key string, canon string"
-    ).coalesce(1)
+    # JVM literal relation: a plain createDataFrame backs the map with a
+    # Python RDD (every downstream evaluation pays ~32 worker
+    # round-trips) and coalesce(1) serializes those round-trips into one
+    # task (~5 s per evaluation, measured) — see functions/localrel.py.
+    from joern_spark.functions.localrel import local_df
+
+    return local_df(spark, sorted(rows), "entity_key string, canon string")
 
 
 # Session-scoped memo for the component solve. The SAME_AS closure is

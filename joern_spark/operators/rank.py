@@ -83,9 +83,11 @@ def _pagerank_local(sym_rows, spark, iterations: int, damping: float) -> DataFra
                 acc += c
             new[node] = base + damping * acc
         rank = new
-    return spark.createDataFrame(
-        sorted(rank.items()), "node string, rank double"
-    )
+    from joern_spark.functions.localrel import local_df
+
+    # JVM literal relation — no Python-worker roundtrip per downstream
+    # evaluation (functions/localrel.py); float64 literals are exact.
+    return local_df(spark, sorted(rank.items()), "node string, rank double")
 
 
 def pagerank(

@@ -38,7 +38,11 @@ def triple_slice(
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
-    keys = spark.createDataFrame([(s,) for s in seeds], "k string")
+    from joern_spark.functions.localrel import local_df
+
+    # JVM literal relation (functions/localrel.py): the seed set is tiny
+    # and re-entered into broadcast joins every hop.
+    keys = local_df(spark, [(s,) for s in seeds], "k string")
     seen = keys.localCheckpoint(eager=True)
     cur = seen
     for _ in range(depth):
