@@ -915,6 +915,175 @@ def scan_globally_unanswered_asks(transcripts: DataFrame) -> DataFrame:
     )
 
 
+ROLE_IMBALANCE_MIN_TURNS = 8
+ROLE_IMBALANCE_PCT = 80  # percent of turns held by a single role
+
+
+def scan_role_imbalance(transcripts: DataFrame) -> DataFrame:
+    """Conversations of ≥ ROLE_IMBALANCE_MIN_TURNS turns where one role
+    holds ≥ ROLE_IMBALANCE_PCT% of them — a broken dialogue loop (user
+    monologue / assistant spam). Integer-arithmetic threshold
+    (mx*100 >= pct*n) so the Spark and DuckDB sides compare identically
+    with no float round-off. One two-level aggregation, map-side
+    combined. Scored by the majority role's turn count."""
+    per = transcripts.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.groupBy("conv_id").agg(
+        F.sum("c").alias("n"), F.max("c").alias("mx")
+    )
+    return (
+        tot.where(
+            (F.col("n") >= ROLE_IMBALANCE_MIN_TURNS)
+            & (F.col("mx") * 100 >= ROLE_IMBALANCE_PCT * F.col("n"))
+        )
+        .select(
+            F.lit("role-imbalance").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("mx").cast("long").alias("score"),
+        )
+    )
+
+
+TOOL_THRASH_MIN = 4  # tool switches per conversation
+
+
+def scan_tool_thrash(transcripts: DataFrame) -> DataFrame:
+    """Conversations switching between DIFFERENT tools ≥ TOOL_THRASH_MIN
+    times (lag over the tool-bearing turns in order) — dispatch
+    thrashing: the conversation cannot settle on a capability, the
+    dynamic-dispatch analog of a call site oscillating between receiver
+    types. Distinct from tool-fanout (breadth): thrash counts
+    TRANSITIONS, so A,B,A,B scores 3 while A,A,B,B scores 1. Scored by
+    the switch count."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tl = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    return (
+        tl.withColumn("prev", F.lag("tool").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") != F.col("tool")))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= TOOL_THRASH_MIN)
+        .select(
+            F.lit("tool-thrash").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_answered_reasks(transcripts: DataFrame) -> DataFrame:
+    """User asks about a location AFTER a result for that location was
+    already delivered in the same conversation — a redundant request the
+    pipeline should have answered from context (the dataflow redundant-
+    load smell). Distinct from repeated-question (same ask text ≥ k
+    times regardless of answers). Evidence = the redundant ask's
+    conv:turn; score 1."""
+    ask = RULES_BY_NAME["ask"]
+    result = RULES_BY_NAME["result"]
+    from joern_spark.operators.extract import normalize_surface_col
+
+    asks = transcripts.where(_match_cond(ask)).select(
+        "conv_id",
+        "turn_idx",
+        normalize_surface_col(
+            F.regexp_extract("text", ask.pattern, 1)
+        ).alias("loc"),
+    )
+    first_res = (
+        transcripts.where(_match_cond(result))
+        .select(
+            "conv_id",
+            normalize_surface_col(
+                F.regexp_extract("text", result.pattern, 1)
+            ).alias("loc"),
+            "turn_idx",
+        )
+        .groupBy("conv_id", "loc")
+        .agg(F.min("turn_idx").alias("first_res"))
+    )
+    return (
+        asks.join(first_res, ["conv_id", "loc"])
+        .where(F.col("turn_idx") > F.col("first_res"))
+        .select(
+            F.lit("answered-reask").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+ENTITY_SPREAD_MIN = 3  # distinct conversations, absolute floor
+ENTITY_SPREAD_PCT = 5  # percent of all conversations
+
+
+def scan_entity_spread(transcripts: DataFrame) -> DataFrame:
+    """Entity keys mentioned in ≥ ENTITY_SPREAD_PCT% of ALL conversations
+    (and at least ENTITY_SPREAD_MIN absolute) — coverage hubs. Distinct
+    from hub-entity, which scores raw mention COUNT: a key mentioned
+    500× inside one mega-conversation is a hub but has no spread;
+    spread keys dominate the co-mention graph's edge fan-out. The
+    per-key distinct-conversation count dedupes (conv, key) BEFORE the
+    per-key aggregation — two shuffles on skew-resistant composite /
+    aggregated keys, and the total-conversation count joins as a 1-row
+    broadcast. Integer-arithmetic percent threshold; scored by the
+    conversation count."""
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import keyed_mentions
+
+    ck = (
+        keyed_mentions(extract_mentions(transcripts))
+        .select("conv_id", "entity_key")
+        .dropDuplicates()
+    )
+    per_key = ck.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n"))
+    total = transcripts.select("conv_id").dropDuplicates().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .where(
+            (F.col("n") >= ENTITY_SPREAD_MIN)
+            & (F.col("n") * 100 >= ENTITY_SPREAD_PCT * F.col("total"))
+        )
+        .select(
+            F.lit("entity-spread").alias("query_name"),
+            F.col("entity_key").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_condition_contradictions(transcripts: DataFrame) -> DataFrame:
+    """Locations whose tool results report ≥ 2 distinct weather
+    CONDITIONS (sunny vs rain) — the categorical twin of
+    temperature-contradiction, closing the fact-consistency pair over
+    both extracted measures. Scored by the distinct-condition count."""
+    result = RULES_BY_NAME["result"]
+    from joern_spark.operators.extract import normalize_surface_col
+
+    obs = transcripts.where(_match_cond(result)).select(
+        normalize_surface_col(
+            F.regexp_extract("text", result.pattern, 1)
+        ).alias("loc"),
+        F.regexp_extract("text", result.pattern, 3).alias("cond"),
+    )
+    return (
+        obs.groupBy("loc")
+        .agg(F.countDistinct("cond").alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.lit("condition-contradiction").alias("query_name"),
+            F.col("loc").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -945,6 +1114,11 @@ SCANNERS: dict[str, Callable] = {
     "conversation-clone": scan_conversation_clones,
     "replaced-db-use": scan_replaced_db_uses,
     "globally-unanswered-ask": scan_globally_unanswered_asks,
+    "role-imbalance": scan_role_imbalance,
+    "tool-thrash": scan_tool_thrash,
+    "answered-reask": scan_answered_reasks,
+    "entity-spread": scan_entity_spread,
+    "condition-contradiction": scan_condition_contradictions,
 }
 
 

@@ -752,11 +752,16 @@ def findings_sql(sf: float) -> str:
     from joern_spark.operators.scan import (  # shared constants
         DB_MIX_MIN,
         DEAD_REBIND_SENTINEL,
+        ENTITY_SPREAD_MIN,
+        ENTITY_SPREAD_PCT,
         HUB_SHARE,
         REPEAT_ASK_MIN,
+        ROLE_IMBALANCE_MIN_TURNS,
+        ROLE_IMBALANCE_PCT,
         TEMP_HIGH,
         TEMP_LOW,
         TOOL_FANOUT_MIN,
+        TOOL_THRASH_MIN,
     )
 
     rebind = RULES_BY_NAME["rebind"]
@@ -1007,6 +1012,41 @@ WHERE kc NOT IN (
   LEFT JOIN cmap c2 ON r.k = c2.entity_key
 )
 GROUP BY kc
+UNION ALL
+SELECT 'role-imbalance', conv_id, mx::BIGINT FROM (
+  SELECT conv_id, sum(c) AS n, max(c) AS mx
+  FROM (SELECT conv_id, role, count(*) AS c FROM t GROUP BY 1, 2)
+  GROUP BY conv_id
+) WHERE n >= {ROLE_IMBALANCE_MIN_TURNS} AND mx * 100 >= {ROLE_IMBALANCE_PCT} * n
+UNION ALL
+SELECT 'tool-thrash', conv_id, count(*)::BIGINT FROM (
+  SELECT conv_id,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+         tool
+  FROM t WHERE tool IS NOT NULL
+) WHERE prev IS NOT NULL AND prev <> tool
+GROUP BY conv_id HAVING count(*) >= {TOOL_THRASH_MIN}
+UNION ALL
+SELECT 'answered-reask',
+       a.conv_id || ':' || CAST(a.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, {ask_loc} AS loc FROM t
+      WHERE {_rule_where(ask)}) a
+JOIN (SELECT conv_id, {res_loc} AS loc, min(turn_idx) AS first_res
+      FROM t WHERE {_rule_where(result)} GROUP BY 1, 2) r
+  ON a.conv_id = r.conv_id AND a.loc = r.loc
+WHERE a.turn_idx > r.first_res
+UNION ALL
+SELECT 'entity-spread', entity_key, n::BIGINT FROM (
+  SELECT entity_key, count(*) AS n FROM (
+    SELECT DISTINCT conv_id, {key} AS entity_key FROM m
+  ) GROUP BY entity_key
+) WHERE n >= {ENTITY_SPREAD_MIN}
+  AND n * 100 >= {ENTITY_SPREAD_PCT} * (SELECT count(DISTINCT conv_id) FROM t)
+UNION ALL
+SELECT 'condition-contradiction', loc, count(DISTINCT cond)::BIGINT FROM (
+  SELECT {loc} AS loc, regexp_extract(text, '{result.pattern}', 3) AS cond
+  FROM t WHERE {_rule_where(result)}
+) GROUP BY loc HAVING count(DISTINCT cond) >= 2
 """
 
 

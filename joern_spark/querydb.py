@@ -824,6 +824,146 @@ QUERY_DB.extend(
                 ]
             ],
         ),
+        Query(
+            name="role-imbalance",
+            author=_A,
+            title="One role dominates the conversation",
+            description="Conversations of ≥8 turns where a single role "
+            "holds ≥80% of them — a broken dialogue loop (user monologue "
+            "or assistant spam), the conversational dead-code smell.",
+            score=3.0,
+            scanner=scan.scan_role_imbalance,
+            tags=["quality", "protocol"],
+            positive_examples=[
+                [("c1", i, "user" if i < 7 else "assistant", f"pad {i}", None)
+                 for i in range(8)]
+            ],
+            negative_examples=[
+                [("c2", i, "user" if i % 2 == 0 else "assistant",
+                  f"pad {i}", None) for i in range(8)],
+                # 7 of 8 turns one role but too short to judge
+                [("c3", i, "user" if i < 6 else "assistant", f"pad {i}", None)
+                 for i in range(7)],
+            ],
+        ),
+        Query(
+            name="tool-thrash",
+            author=_A,
+            title="Conversation oscillates between tools",
+            description="Conversations switching between DIFFERENT tools "
+            "≥4 times in turn order — dispatch thrashing (a call site "
+            "oscillating between receiver types). Distinct from "
+            "tool-fanout, which scores breadth: A,B,A,B,A thrashes 4× "
+            "with breadth 2.",
+            score=3.0,
+            scanner=scan.scan_tool_thrash,
+            tags=["callgraph", "ambiguity"],
+            positive_examples=[
+                [("c1", i, "assistant", f"pad {i}",
+                  "weather_api" if i % 2 == 0 else "db_query")
+                 for i in range(5)]
+            ],
+            negative_examples=[
+                [  # breadth 2 but only one switch
+                    ("c2", 0, "assistant", "pad 0", "weather_api"),
+                    ("c2", 1, "assistant", "pad 1", "weather_api"),
+                    ("c2", 2, "assistant", "pad 2", "db_query"),
+                    ("c2", 3, "assistant", "pad 3", "db_query"),
+                ]
+            ],
+        ),
+        Query(
+            name="answered-reask",
+            author=_A,
+            title="Location asked again after it was answered",
+            description="A user asks about a location AFTER a tool result "
+            "for that location already landed in the same conversation — "
+            "a redundant request the pipeline should have served from "
+            "context (the redundant-load smell). Distinct from "
+            "repeated-question (same ask text ≥k times regardless of "
+            "answers).",
+            score=2.0,
+            scanner=scan.scan_answered_reasks,
+            tags=["dataflow", "quality"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.",
+                     None),
+                    ("c1", 1, "tool", "Lima: 10C, sunny.", "weather_api"),
+                    ("c1", 2, "user", "Please check the weather in Lima.",
+                     None),
+                ]
+            ],
+            negative_examples=[
+                [  # ask precedes the result — normal flow
+                    ("c2", 0, "user", "Please check the weather in Lima.",
+                     None),
+                    ("c2", 1, "tool", "Lima: 10C, sunny.", "weather_api"),
+                ],
+                [  # re-ask about a DIFFERENT location
+                    ("c3", 0, "user", "Please check the weather in Lima.",
+                     None),
+                    ("c3", 1, "tool", "Lima: 10C, sunny.", "weather_api"),
+                    ("c3", 2, "user", "Please check the weather in Oslo.",
+                     None),
+                ],
+            ],
+        ),
+        Query(
+            name="entity-spread",
+            author=_A,
+            title="Entity present in a large share of conversations",
+            description="Entity keys mentioned in ≥5% of ALL conversations "
+            "(≥3 absolute) — coverage hubs that dominate the co-mention "
+            "graph's fan-out. Distinct from hub-entity, which scores raw "
+            "mention count: 500 mentions inside one mega-conversation is "
+            "a hub with no spread.",
+            score=2.0,
+            scanner=scan.scan_entity_spread,
+            tags=["skew", "linking"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "Please check the weather in Lima.",
+                     None),
+                    ("c2", 0, "user", "Please check the weather in Lima.",
+                     None),
+                    ("c3", 0, "user", "Please check the weather in Lima.",
+                     None),
+                ]
+            ],
+            negative_examples=[
+                [  # only 2 conversations — under the absolute floor
+                    ("c4", 0, "user", "Please check the weather in Lima.",
+                     None),
+                    ("c5", 0, "user", "Please check the weather in Lima.",
+                     None),
+                ]
+            ],
+        ),
+        Query(
+            name="condition-contradiction",
+            author=_A,
+            title="Location reports conflicting weather conditions",
+            description="Locations whose tool results report ≥2 distinct "
+            "weather conditions — the categorical twin of "
+            "temperature-contradiction, closing the fact-consistency "
+            "pair over both extracted measures.",
+            score=3.0,
+            scanner=scan.scan_condition_contradictions,
+            tags=["consistency"],
+            positive_examples=[
+                [
+                    ("c1", 0, "tool", "Lima: 10C, sunny.", "weather_api"),
+                    ("c1", 1, "tool", "Lima: 10C, rain.", "weather_api"),
+                ]
+            ],
+            negative_examples=[
+                [  # same condition twice — consistent
+                    ("c2", 0, "tool", "Lima: 10C, sunny.", "weather_api"),
+                    ("c2", 1, "tool", "Lima: 12C, sunny.", "weather_api"),
+                ]
+            ],
+        ),
     ]
 )
 
@@ -869,7 +1009,7 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     # structural health of single conversations (skew, protocol, ingest)
     "structure": (
         "mega-conversation", "protocol-violation", "duplicate-turn",
-        "turn-gap", "tool-fanout", "hub-entity",
+        "turn-gap", "tool-fanout", "hub-entity", "role-imbalance",
     ),
     # entity-linking / aliasing layer ("unknown-entity" is the battery's
     # one two-input scanner — transcripts ⋈ entities — so it has no
@@ -886,16 +1026,18 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     # request/response completeness and call hygiene
     "callgraph": (
         "unanswered-ask", "dangling-call", "orphan-result", "retry-loop",
-        "repeated-question", "result-mismatch",
+        "repeated-question", "result-mismatch", "tool-thrash",
+        "answered-reask",
     ),
     # fact-level consistency, single-snapshot
     "consistency": (
         "temperature-contradiction", "extreme-temperature",
+        "condition-contradiction",
     ),
     # corpus-level, cross-conversation analyses
     "crossconv": (
         "fact-flip", "conversation-clone", "replaced-db-use",
-        "globally-unanswered-ask",
+        "globally-unanswered-ask", "entity-spread",
     ),
 }
 

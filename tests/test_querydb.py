@@ -50,5 +50,5 @@ def test_bundles_partition_the_battery():
     assert set(got) == set(BUNDLES)
     assert [q.name for q in got["crossconv"]] == [
         "fact-flip", "conversation-clone", "replaced-db-use",
-        "globally-unanswered-ask",
+        "globally-unanswered-ask", "entity-spread",
     ]
