@@ -140,6 +140,43 @@ def pagerank(
     return ranks
 
 
+# Minimum distinct co-mentioning conversations for a community edge —
+# a single shared conversation is noise at corpus scale (any two keys
+# meeting once would fuse their communities).
+COMMUNITY_MIN_CONVS = 2
+
+
+def entity_communities(edges: DataFrame) -> DataFrame:
+    """(entity_key, community, size) — connected components of the
+    co-mention graph restricted to edges with ≥ COMMUNITY_MIN_CONVS
+    supporting conversations; community id = lexicographic min member
+    (the canonical-representative discipline of canonicalize), size =
+    member count.
+
+    The graph-community analog of the reference's inheritance-closure
+    grouping (DynamicCallLinker's subclass cache groups types the same
+    way): reuses `canonicalize.connected_components` — memoized
+    union-find fast path under the threshold, iterative label
+    propagation above — so the solve inherits both the scale shape and
+    the session memo. Edge filtering happens BEFORE the solve; the
+    component map is vocabulary-bounded, so the size join broadcasts."""
+    from joern_spark.operators.canonicalize import connected_components
+
+    strong = edges.where(F.col("n_convs") >= COMMUNITY_MIN_CONVS).select(
+        "a", "b"
+    )
+    cmap = connected_components(strong)
+    sizes = cmap.groupBy("canon").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        cmap.join(F.broadcast(sizes), "canon")
+        .select(
+            "entity_key",
+            F.col("canon").alias("community"),
+            F.col("size").cast("long").alias("size"),
+        )
+    )
+
+
 def entity_triangles(edges: DataFrame) -> DataFrame:
     """(entity_key, degree, n_triangles, clustering) — per-entity triangle
     participation and local clustering coefficient over the undirected

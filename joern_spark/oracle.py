@@ -448,6 +448,41 @@ SELECT node, rank FROM r{PR_ITERATIONS}
 """
 
 
+def entity_communities_sql(sf: float) -> str:
+    """Connected components over the strong co-mention graph (edges with
+    ≥ COMMUNITY_MIN_CONVS supporting conversations): the same recursive
+    transitive-closure shape as the SAME_AS oracle, generated from the
+    identical threshold constant the Spark operator uses."""
+    from joern_spark.operators.rank import COMMUNITY_MIN_CONVS
+
+    key = NORM.format(x="m.surface")
+    # `t` is declared at the OUTER level: under WITH RECURSIVE, DuckDB
+    # does not bind the nested `WITH t` inside mentions_sql (same reason
+    # findings_sql declares it first).
+    return f"""
+WITH RECURSIVE t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)}),
+pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2 HAVING count(*) >= {COMMUNITY_MIN_CONVS}
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+),
+reach(n, mm) AS (
+    SELECT DISTINCT a AS n, a AS mm FROM sym
+    UNION
+    SELECT r.n, s.b AS mm FROM reach r JOIN sym s ON s.a = r.mm
+),
+cmap AS (SELECT n AS entity_key, min(mm) AS community FROM reach GROUP BY n),
+sizes AS (SELECT community, count(*) AS size FROM cmap GROUP BY 1)
+SELECT c.entity_key, c.community, s.size::BIGINT AS size
+FROM cmap c JOIN sizes s USING (community)
+"""
+
+
 def conv_metrics_sql(sf: float) -> str:
     ask = RULES_BY_NAME["ask"]
     call = RULES_BY_NAME["call"]

@@ -135,6 +135,17 @@ def q_entity_rank(spark, sf_dir):
     return pagerank(entity_cooccurrence(extract_mentions(_t(spark, sf_dir))))
 
 
+def q_entity_communities(spark, sf_dir):
+    """Connected components of the strong co-mention graph (edges with
+    ≥2 supporting conversations) — entity communities with canonical-min
+    representative and size, via the memoized union-find kernel."""
+    from joern_spark.operators.rank import entity_communities, entity_cooccurrence
+
+    return entity_communities(
+        entity_cooccurrence(extract_mentions(_t(spark, sf_dir)))
+    )
+
+
 def q_conv_metrics(spark, sf_dir):
     """Per-conversation complexity metrics — the querydb Metrics family
     (Metrics.scala:11-180 tooManyParameters/tooHighComplexity/tooLong/
@@ -630,6 +641,7 @@ TPG_QUERIES = {
     "tpg_conv_metrics": q_conv_metrics,
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
+    "tpg_entity_communities": q_entity_communities,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
     "tpg_postdom": q_postdom,

@@ -492,3 +492,25 @@ def test_semantics_file_loads_and_overrides(spark, make_transcripts, tmp_path,
     assert "WHERE pred IN ('replaces'," in O.triples_semantics_sql(0.001)
     monkeypatch.delenv(S.SEMANTICS_ENV)
     assert "WHERE pred IN ('same_as'," in O.triples_semantics_sql(0.001)
+
+
+def test_entity_communities_known_graph(spark):
+    """Two strong components {a,b,c} and {d,e} plus a weak (1-conversation)
+    bridge c-d that must NOT fuse them; community id = min member."""
+    from joern_spark.operators.rank import entity_communities
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "c", 2), ("d", "e", 5),
+            ("c", "d", 1),  # weak bridge, below COMMUNITY_MIN_CONVS
+        ],
+        "a string, b string, n_convs long",
+    )
+    got = {
+        r.entity_key: (r.community, r.size)
+        for r in entity_communities(edges).collect()
+    }
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("d", 2), "e": ("d", 2),
+    }
