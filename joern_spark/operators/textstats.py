@@ -258,3 +258,57 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             / F.col("n_fivegrams"),
         ).alias("dup_fivegram_frac"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_lp) — CCNet-style language-model quality
+    proxy: the mean unigram log-probability of each document under the
+    corpus's own unigram distribution (CCNet buckets corpora into
+    head/middle/tail by exactly this kind of LM score; here the "model"
+    is the corpus itself, so no external artifact is needed).
+
+    Scale shape: per-(doc, token) term frequencies aggregate FIRST
+    (map-side combined), so the vocabulary join carries one row per
+    distinct (doc, token) — never per occurrence — and each term
+    contributes tf·ln(c/total) once. Stop-word-grade hub tokens make the
+    join key skewed; the count side is one row per token, so AQE's
+    skew-join split handles the probe side (the salting story of
+    functions/salted.py applies if AQE is off). The grand total joins as
+    a one-row broadcast.
+
+    Cross-engine float discipline (see rank.py): both engines compute
+    the identical expression tree tf::double · ln(c::double / total) and
+    fold the per-document terms in ASCENDING SORTED order, so the IEEE
+    additions happen identically and the oracle hashes match
+    bit-for-bit. Documents with zero tokens are absent on both sides."""
+    toks = tokens_col(F.col("text"))
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    w = F.col("tf").cast("double") * F.ln(
+        F.col("c").cast("double") / F.col("total")
+    )
+    scored = (
+        tf.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.col("tf"), w.alias("w"))
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            sorted_sum.alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_s") / F.col("n_tokens").cast("double")).alias("mean_lp"),
+        )
+    )

@@ -124,6 +124,27 @@ FROM documents d JOIN toks t USING (doc_id)
 """
 
 
+def unigram_logprob_sql() -> str:
+    """Mirror of textstats.unigram_logprob: identical expression tree
+    (tf::DOUBLE * ln(c::DOUBLE / total)) and ascending-sorted fold of
+    the per-document terms (list_sort + list_sum), so the IEEE additions
+    happen in the same order as Spark's array_sort + aggregate."""
+    return f"""
+WITH {TOKS},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+cnt AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS total FROM cnt)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_tokens,
+       list_sum(list_sort(
+         list(tf::DOUBLE * ln(c::DOUBLE / (SELECT total FROM tot)))
+       )) / sum(tf)::DOUBLE AS mean_lp
+FROM tf JOIN cnt USING (tok)
+GROUP BY doc_id
+"""
+
+
 def fingerprints_sql(ngram: int = 4, window: int = 5) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
     return f"""

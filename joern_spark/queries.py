@@ -534,6 +534,12 @@ def q_doc_tokens(spark, sf_dir):
     return textstats.token_counts(read_documents(spark, sf_dir))
 
 
+def q_doc_unigram_lp(spark, sf_dir):
+    """CCNet-style mean unigram log-prob per document under the corpus's
+    own unigram distribution (sorted-fold float discipline)."""
+    return textstats.unigram_logprob(read_documents(spark, sf_dir))
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
@@ -616,6 +622,7 @@ TPG_QUERIES = {
     # (2) never driver-covered (r2 gate clipped these) + battery trio
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
+    "doc_unigram_lp": q_doc_unigram_lp,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
     "sim_topk_ivf": q_sim_topk_ivf,

@@ -536,3 +536,31 @@ def test_dedup_survivors_wide_ids(spark):
     )
     out = {r.doc_id: r.keep_id for r in dedup.dedup_survivors(docs, pairs).collect()}
     assert out == {big + 1: big + 2, big + 2: big + 2, 7: 7}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3 tokens total ('a a b'): mean_lp(doc0) = (2·ln(2/3) + 1·ln(1/3))/3;
+    a pure-'a' doc scores higher (less surprising) than a pure-'b' doc."""
+    d = spark.createDataFrame(
+        [(0, "a a b"), (1, "a a"), (2, "b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_lp)
+        for r in textstats.unigram_logprob(d).collect()
+    }
+    c_a, c_b, tot = 4, 2, 6
+    lp_a, lp_b = math.log(c_a / tot), math.log(c_b / tot)
+    assert got[0][0] == 3
+    assert got[0][1] == pytest.approx((2 * lp_a + lp_b) / 3, abs=1e-12)
+    assert got[1][1] == pytest.approx(lp_a, abs=1e-12)
+    assert got[2][1] == pytest.approx(lp_b, abs=1e-12)
+    assert got[1][1] > got[0][1] > got[2][1]
+
+
+def test_unigram_logprob_empty_doc_absent(spark):
+    d = spark.createDataFrame(
+        [(0, "hello world"), (1, "   ")], "doc_id long, text string"
+    )
+    out = textstats.unigram_logprob(d)
+    assert {r.doc_id for r in out.collect()} == {0}
