@@ -177,6 +177,63 @@ def entity_communities(edges: DataFrame) -> DataFrame:
     )
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def entity_kcore(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """(entity_key, core_degree) — the k-core of the co-mention graph by
+    FIXED-ROUND peeling: s0 = all nodes; round i drops every node whose
+    degree within the surviving induced subgraph is < k; output =
+    survivors of round `rounds` with their degree inside the final
+    induced subgraph. The dense-nucleus extractor (which entities form
+    the corpus's tightly-knit core, vs pendants PageRank still scores).
+
+    Fixed rounds, not loop-until-fixpoint, for the same reason PageRank
+    and XTypeRecovery fix their iteration counts: the DuckDB oracle
+    unrolls the identical sequence, so both engines compute the same
+    table even on adversarial graphs that need more rounds (long chains
+    peel one layer per round). On vocabulary-bounded co-mention graphs,
+    peeling converges in a handful of rounds.
+
+    Scale shape: each round is two semi-joins (edge endpoints against the
+    surviving node set) + one map-side-combined degree count — no
+    corpus-proportional broadcast (the node set is the broadcast-or-
+    shuffle side and shrinks monotonically); lineage is truncated per
+    round with a lazy localCheckpoint."""
+    e = edges.select("a", "b")
+    surv = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .dropDuplicates()
+    )
+
+    def induced_deg(s: DataFrame) -> DataFrame:
+        ee = e.join(
+            s.select(F.col("n").alias("a")), "a", "left_semi"
+        ).join(s.select(F.col("n").alias("b")), "b", "left_semi")
+        return (
+            ee.select(F.col("a").alias("n"))
+            .unionByName(ee.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(rounds):
+        surv = (
+            induced_deg(surv)
+            .where(F.col("d") >= k)
+            .select("n")
+            .localCheckpoint(eager=False)
+        )
+    return induced_deg(surv).select(
+        F.col("n").alias("entity_key"),
+        F.col("d").cast("long").alias("core_degree"),
+    )
+
+
 def entity_triangles(edges: DataFrame) -> DataFrame:
     """(entity_key, degree, n_triangles, clustering) — per-entity triangle
     participation and local clustering coefficient over the undirected

@@ -312,3 +312,49 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             (F.col("_s") / F.col("n_tokens").cast("double")).alias("mean_lp"),
         )
     )
+
+
+DOC_KEYWORDS_K = 5
+
+
+def doc_keywords(documents: DataFrame, k: int = DOC_KEYWORDS_K) -> DataFrame:
+    """(doc_id, tok, tf, score, rank) — top-k tf-idf keywords per
+    document: score = tf · ln(n_docs / df). The per-document keyword
+    table a retrieval or labeling pipeline precomputes.
+
+    Scale shape mirrors unigram_logprob: per-(doc, token) term
+    frequencies first (map-side combined); document frequency is one row
+    per token (AQE skew-split absorbs stop-word keys on the probe side);
+    the corpus document count joins as a one-row broadcast. The final
+    top-k is a per-document window — partitioned on doc_id, so no global
+    sort and no skew (documents are bounded).
+
+    Ranking determinism: both engines rank by (score DESC, tok ASC) over
+    identical doubles (same expression tree), so the selected rows and
+    rank values match exactly."""
+    toks = tokens_col(F.col("text"))
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select("doc_id").dropDuplicates().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    score = F.col("tf").cast("double") * F.ln(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"), "score", "rank")
+    )

@@ -483,6 +483,53 @@ FROM cmap c JOIN sizes s USING (community)
 """
 
 
+def entity_kcore_sql(sf: float) -> str:
+    """Fixed-round k-core peeling, rounds unrolled as chained CTEs from
+    the same constants the Spark operator uses. Every survivor CTE is
+    MATERIALIZED: each is referenced four times by the next round, so
+    reference-inlining would re-expand the mention extraction
+    exponentially."""
+    from joern_spark.operators.rank import KCORE_K, KCORE_ROUNDS
+
+    key = NORM.format(x="m.surface")
+    rounds: list[str] = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT e.a AS n FROM e
+    JOIN s{i - 1} x ON e.a = x.n JOIN s{i - 1} y ON e.b = y.n
+    UNION ALL
+    SELECT e.b AS n FROM e
+    JOIN s{i - 1} x ON e.a = x.n JOIN s{i - 1} y ON e.b = y.n
+  ) GROUP BY n
+),
+s{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {KCORE_K})"""
+        )
+    joined = ",\n".join(rounds)
+    last = f"s{KCORE_ROUNDS}"
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+e AS MATERIALIZED (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+s0 AS MATERIALIZED (SELECT a AS n FROM e UNION SELECT b AS n FROM e),
+{joined}
+SELECT n AS entity_key, d::BIGINT AS core_degree FROM (
+  SELECT n, count(*) AS d FROM (
+    SELECT e.a AS n FROM e
+    JOIN {last} x ON e.a = x.n JOIN {last} y ON e.b = y.n
+    UNION ALL
+    SELECT e.b AS n FROM e
+    JOIN {last} x ON e.a = x.n JOIN {last} y ON e.b = y.n
+  ) GROUP BY n
+)
+"""
+
+
 def conv_metrics_sql(sf: float) -> str:
     ask = RULES_BY_NAME["ask"]
     call = RULES_BY_NAME["call"]

@@ -145,6 +145,30 @@ GROUP BY doc_id
 """
 
 
+def doc_keywords_sql() -> str:
+    """Mirror of textstats.doc_keywords: identical tf·ln(n_docs/df)
+    expression and (score DESC, tok ASC) ranking."""
+    from joern_spark.operators.textstats import DOC_KEYWORDS_K
+
+    return f"""
+WITH {TOKS},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, tok, tf::BIGINT AS tf, score, rank FROM (
+  SELECT doc_id, tok, tf,
+         tf::DOUBLE * ln((SELECT n_docs FROM nd)::DOUBLE / df::DOUBLE)
+           AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf::DOUBLE * ln(
+                              (SELECT n_docs FROM nd)::DOUBLE / df::DOUBLE
+                            ) DESC, tok ASC) AS rank
+  FROM tf JOIN dfreq USING (tok)
+) WHERE rank <= {DOC_KEYWORDS_K}
+"""
+
+
 def fingerprints_sql(ngram: int = 4, window: int = 5) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
     return f"""

@@ -146,6 +146,16 @@ def q_entity_communities(spark, sf_dir):
     )
 
 
+def q_entity_kcore(spark, sf_dir):
+    """Fixed-round k-core of the co-mention graph (dense-nucleus
+    extraction; 8 unrolled peeling rounds, k=3)."""
+    from joern_spark.operators.rank import entity_cooccurrence, entity_kcore
+
+    return entity_kcore(
+        entity_cooccurrence(extract_mentions(_t(spark, sf_dir)))
+    )
+
+
 def q_conv_metrics(spark, sf_dir):
     """Per-conversation complexity metrics — the querydb Metrics family
     (Metrics.scala:11-180 tooManyParameters/tooHighComplexity/tooLong/
@@ -540,6 +550,12 @@ def q_doc_unigram_lp(spark, sf_dir):
     return textstats.unigram_logprob(read_documents(spark, sf_dir))
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Top-k tf-idf keywords per document (deterministic score/token
+    ranking)."""
+    return textstats.doc_keywords(read_documents(spark, sf_dir))
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
@@ -623,6 +639,7 @@ TPG_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,
+    "doc_keywords": q_doc_keywords,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
     "sim_topk_ivf": q_sim_topk_ivf,
@@ -649,6 +666,7 @@ TPG_QUERIES = {
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
     "tpg_entity_communities": q_entity_communities,
+    "tpg_entity_kcore": q_entity_kcore,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
     "tpg_postdom": q_postdom,

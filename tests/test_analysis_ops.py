@@ -514,3 +514,21 @@ def test_entity_communities_known_graph(spark):
         "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
         "d": ("d", 2), "e": ("d", 2),
     }
+
+
+def test_entity_kcore_peels_pendants(spark):
+    """Triangle {a,b,c} + pendant chain d-e hanging off a: at k=2 the
+    chain peels (e first, then d) and the triangle survives with core
+    degree 2; at k=3 everything peels to an empty core."""
+    from joern_spark.operators.rank import entity_kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    got = {
+        r.entity_key: r.core_degree
+        for r in entity_kcore(edges, k=2, rounds=4).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert entity_kcore(edges, k=3, rounds=4).count() == 0

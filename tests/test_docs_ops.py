@@ -564,3 +564,19 @@ def test_unigram_logprob_empty_doc_absent(spark):
     )
     out = textstats.unigram_logprob(d)
     assert {r.doc_id for r in out.collect()} == {0}
+
+
+def test_doc_keywords_tfidf_ranking(spark):
+    """'rare' (df=1) outranks 'common' (df=2, idf=ln(1)=0 at n_docs=2);
+    ties break token-ascending."""
+    d = spark.createDataFrame(
+        [(0, "common rare rare"), (1, "common")], "doc_id long, text string"
+    )
+    rows = textstats.doc_keywords(d, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.tok, r.tf, r.score))
+    assert [t[1] for t in sorted(by_doc[0])] == ["rare", "common"]
+    assert sorted(by_doc[0])[0][3] == pytest.approx(2 * math.log(2), abs=1e-12)
+    assert sorted(by_doc[0])[1][3] == 0.0  # ln(2/2) = 0
+    assert [t[1] for t in sorted(by_doc[1])] == ["common"]
