@@ -42,10 +42,11 @@ def materialize(df) -> None:
 RETRY_THRESHOLD = 1.0
 N_TRIALS = 2
 # Queries whose plan is checkpoint-backed after the first materialization
-# (the findings battery is computed once per session and shared with its
-# TAGGED_BY projection): a second trial would measure the checkpoint
-# read, not the query — report the honest single compute time instead.
-NO_RETRY = {"tpg_findings"}
+# (the findings battery and the cross-layer walk are computed once per
+# session and shared with their projections): a second trial would
+# measure the checkpoint read, not the query — report the honest single
+# compute time instead.
+NO_RETRY = {"tpg_findings", "tpg_cross_paths"}
 
 
 def main() -> None:

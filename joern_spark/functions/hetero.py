@@ -181,6 +181,42 @@ CROSS_PATHS_SCHEMA = (
 )
 
 
+def flows_between(
+    sources: DataFrame,
+    sinks: DataFrame,
+    edges: DataFrame,
+    sems: "list[StepSem] | None" = None,
+    max_depth: int = 4,
+    max_crossings: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """reachableBy(source, sink) — the reference's two-ended flow query
+    (Engine.scala:81-107 runs the solver per SINK against the source
+    set): surviving cross-layer paths whose endpoint lies in `sinks`,
+    one max-length path per (src, dst) with full node+label evidence.
+
+    The sink restriction is applied AFTER the keep="max" selection, so
+    the surviving path per (src, dst) pair is identical to what
+    expand_paths_hetero returns for that pair — filtering before the
+    walk would change which paths exist (a path THROUGH a sink to a
+    longer sink is still the max-length representative). The sink set
+    joins as a broadcast semi-join when small; at corpus scale a sink
+    set is a node-id table and the join falls back to shuffle-hash on
+    the padded id like any dimension probe."""
+    paths = expand_paths_hetero(
+        sources,
+        edges,
+        sems,
+        max_depth=max_depth,
+        max_crossings=max_crossings,
+        id_col=id_col,
+    )
+    sk = sinks.select(F.col(id_col).alias("dst")).dropDuplicates()
+    return paths.join(sk, "dst", "left_semi").select(
+        "src", "dst", "depth", "crossings", "path", "labels"
+    )
+
+
 def expand_paths_hetero(
     frontier: DataFrame,
     edges: DataFrame,

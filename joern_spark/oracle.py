@@ -801,6 +801,21 @@ SELECT src, dst, depth, crossings, path, labels FROM (
 """
 
 
+def flows_sql(sf: float, k: int = 4, max_crossings: int = 1) -> str:
+    """Two-ended flow twin (hetero.flows_between): the cross-paths walk
+    restricted to paths ENDING at a result turn — the sink filter
+    applies after the max-length-per-(src,dst) selection, exactly like
+    the Spark side."""
+    result = RULES_BY_NAME["result"]
+    return f"""
+SELECT p.src, p.dst, p.depth, p.crossings, p.path, p.labels
+FROM ({cross_paths_sql(sf, k, max_crossings)}) p
+JOIN (SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst
+      FROM {t_src(sf)} WHERE {_rule_where(result)}) s
+  ON p.dst = s.dst
+"""
+
+
 def starting_points_sql(sf: float) -> str:
     """Source-normalization twin (hetero.sources_to_starting_points over
     the full entity layer): k first mentioning turns per entity. The

@@ -272,21 +272,13 @@ def q_reach_paths(spark, sf_dir):
     )
 
 
-def q_cross_paths(spark, sf_dir):
-    """Cross-layer provenance flows (the TaskCreator/EdgeValidator analog,
-    functions/hetero.py): from every asking turn (a `queried_about`
-    triple), walk the heterogeneous edge union — NEXT_TURN forward,
-    LINKS_TO into the entity layer, SAME_AS aliasing both ways, and
-    LINKS_TO BACKWARD (the parameter→argument fan-out into other
-    conversations, crossing-budgeted, first-k fan) — to depth 4 with at
-    most one conversation crossing. Answers "how did this fact reach
-    this conversation" with full node+label evidence per path."""
-    from joern_spark.functions.hetero import expand_paths_hetero
-
+def _hetero_edges(spark, sf_dir):
+    """The labeled heterogeneous edge union the path engine walks:
+    NEXT_TURN + LINKS_TO + SAME_AS."""
     t = _t(spark, sf_dir)
     linked = link.link_mentions(extract_mentions(t), read_entities(spark))
     pairs = canonicalize.same_as_pairs(t)
-    edges = (
+    return (
         assemble.next_turn_edges(t)
         .unionByName(link.links_to_edges(linked))
         .unionByName(
@@ -298,24 +290,86 @@ def q_cross_paths(spark, sf_dir):
             )
         )
     )
-    seeds = (
-        extract_triples_raw(t)
-        .where(F.col("pred") == "queried_about")
-        .select(
-            F.concat(
-                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
-            ).alias("id")
+
+
+# The depth-4 cross-layer walk is the most expensive plan in the pack and
+# TWO registered queries consume its result (tpg_cross_paths, and its
+# sink-restricted projection tpg_flows) — same per-(session, sf_dir)
+# checkpoint discipline as the findings battery. The path set is ~1% of
+# corpus rows (bounded by seeds × fan), not a corpus-sized intermediate.
+_PATHS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cross_paths(spark, sf_dir):
+    from joern_spark.functions.hetero import expand_paths_hetero
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PATHS_CACHE.get(key)
+    if df is None:
+        t = _t(spark, sf_dir)
+        seeds = (
+            extract_triples_raw(t)
+            .where(F.col("pred") == "queried_about")
+            .select(
+                F.concat(
+                    "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+                ).alias("id")
+            )
+            .dropDuplicates()
         )
-        .dropDuplicates()
-    )
-    p = expand_paths_hetero(seeds, edges, max_depth=4, max_crossings=1)
-    return p.select(
+        df = expand_paths_hetero(
+            seeds, _hetero_edges(spark, sf_dir), max_depth=4, max_crossings=1
+        ).localCheckpoint(eager=False)
+        _PATHS_CACHE[key] = df
+    return df
+
+
+def q_cross_paths(spark, sf_dir):
+    """Cross-layer provenance flows (the TaskCreator/EdgeValidator analog,
+    functions/hetero.py): from every asking turn (a `queried_about`
+    triple), walk the heterogeneous edge union — NEXT_TURN forward,
+    LINKS_TO into the entity layer, SAME_AS aliasing both ways, and
+    LINKS_TO BACKWARD (the parameter→argument fan-out into other
+    conversations, crossing-budgeted, first-k fan) — to depth 4 with at
+    most one conversation crossing. Answers "how did this fact reach
+    this conversation" with full node+label evidence per path."""
+    return _cross_paths(spark, sf_dir).select(
         "src",
         "dst",
         "depth",
         "crossings",
         F.array_join("path", "->").alias("path"),
         F.array_join("labels", "->").alias("labels"),
+    )
+
+
+def q_flows_ask_to_result(spark, sf_dir):
+    """Two-ended provenance flows (reachableBy(source, sink) — the
+    engine runs per-sink tasks, Engine.scala:81-107): cross-layer walks
+    from asking turns restricted to paths that END at a weather-result
+    turn. The sink semi-join applies after the per-(src,dst) max-length
+    selection (hetero.flows_between semantics) over the session's
+    checkpointed path set, so the battery pays the walk once."""
+    from joern_spark.operators.extract import RULES_BY_NAME as _R
+    from joern_spark.operators.extract import _match_cond as _mc
+
+    t = _t(spark, sf_dir)
+    sinks = t.where(_mc(_R["result"])).select(
+        F.concat(
+            "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("dst")
+    ).dropDuplicates()
+    return (
+        _cross_paths(spark, sf_dir)
+        .join(sinks, "dst", "left_semi")
+        .select(
+            "src",
+            "dst",
+            "depth",
+            "crossings",
+            F.array_join("path", "->").alias("path"),
+            F.array_join("labels", "->").alias("labels"),
+        )
     )
 
 
@@ -653,6 +707,7 @@ TPG_QUERIES = {
     "tpg_tag_readback": q_tag_readback,
     "tpg_tagged_by": q_tagged_by,
     "tpg_cross_paths": q_cross_paths,
+    "tpg_flows": q_flows_ask_to_result,
     # (3) middle
     "tpg_linked_mentions": q_linked_mentions,
     "tpg_canonical_map": q_canonical_map,

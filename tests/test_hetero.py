@@ -212,3 +212,27 @@ def test_sources_to_starting_points(spark):
         ("E", "A:1", "LINKS_TO_REV"), ("E", "B:1", "LINKS_TO_REV"),
         ("A:9", "A:9", "self"),
     }
+
+
+# -------------------------------------------------------- two-ended flows
+
+
+def test_flows_between_sink_restriction(spark):
+    """flows_between = expand_paths_hetero filtered to sink endpoints,
+    AFTER the keep-max selection: a path THROUGH a sink to a longer
+    endpoint keeps its max-length representative, so the sink row is
+    the sink-terminated path only."""
+    from joern_spark.functions.hetero import expand_paths_hetero, flows_between
+
+    e = ledges(spark, [
+        ("A:1", "A:2", "NEXT_TURN"),
+        ("A:2", "A:3", "NEXT_TURN"),
+    ])
+    src = seeds(spark, ["A:1"])
+    sinks = seeds(spark, ["A:2"])
+    all_paths = pkey(expand_paths_hetero(src, e, max_depth=3))
+    flows = pkey(flows_between(src, sinks, e, max_depth=3))
+    assert flows == {p for p in all_paths if p[1] == "A:2"}
+    assert flows == {
+        ("A:1", "A:2", 1, 0, ("A:1", "A:2"), ("NEXT_TURN",)),
+    }
