@@ -721,6 +721,31 @@ FROM documents
 """
 
 
+def frame_sample_sql(every_n: int = 2, frame_bytes: int = 16) -> str:
+    """Mirror of multimodal.frame_sample compared in hex space: a
+    16-byte binary frame is a 32-char slice of hex(payload), byte-
+    aligned, so the VARCHAR oracle needs no BLOB slicing (DuckDB has
+    none); the trailing partial frame shortens identically on both
+    engines."""
+    hx = frame_bytes * 2
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hxs,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, hxs,
+         unnest(range(0, CAST(ceil(n_bytes / {frame_bytes}.0) AS BIGINT)))
+           AS frame_idx
+  FROM b
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       substring(hxs, frame_idx * {hx} + 1, {hx}) AS frame_hex
+FROM fr WHERE frame_idx % {every_n} = 0
+"""
+
+
 def resize_dims_sql() -> str:
     from joern_spark.operators.multimodal import RESIZE_MAX
 

@@ -669,6 +669,17 @@ def q_mm_resize_dims(spark, sf_dir):
     return multimodal.resize_dims(read_documents(spark, sf_dir))
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Every-2nd 16-byte frame per payload (pure JVM substring explode);
+    frames compared as hex so the oracle stays in VARCHAR space (DuckDB
+    cannot slice BLOBs)."""
+    return multimodal.frame_sample(read_documents(spark, sf_dir)).select(
+        "doc_id",
+        "frame_idx",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
 def q_emb_quantize(spark, sf_dir):
     return similarity.quantize_int8(read_embeddings(spark, sf_dir))
 
@@ -702,6 +713,7 @@ TPG_QUERIES = {
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_resize_dims": q_mm_resize_dims,
+    "mm_frame_sample": q_mm_frame_sample,
     "tpg_starting_points": q_starting_points,
     "tpg_findings": q_findings,
     "tpg_tag_readback": q_tag_readback,
