@@ -358,3 +358,30 @@ def doc_keywords(documents: DataFrame, k: int = DOC_KEYWORDS_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"), "score", "rank")
     )
+
+
+def lm_buckets(documents: DataFrame) -> DataFrame:
+    """(doc_id, mean_lp, bucket) — CCNet's head/middle/tail corpus split:
+    documents bucketed by the terciles of their own unigram log-prob
+    distribution (head = least surprising third). The two tercile cut
+    points reduce to a single broadcast row; the comparison runs at scan
+    speed. Exact `percentile` matches DuckDB's `quantile_cont`
+    definition (the doc_quantiles discipline); the tercile probabilities
+    are written as 1.0/3 on both engines so even the cut points are the
+    same doubles."""
+    lp = unigram_logprob(documents)
+    qs = lp.agg(
+        F.percentile("mean_lp", F.lit(1.0) / F.lit(3.0)).alias("q33"),
+        F.percentile("mean_lp", F.lit(2.0) / F.lit(3.0)).alias("q67"),
+    )
+    return (
+        lp.crossJoin(F.broadcast(qs))
+        .select(
+            "doc_id",
+            "mean_lp",
+            F.when(F.col("mean_lp") >= F.col("q67"), F.lit("head"))
+            .when(F.col("mean_lp") >= F.col("q33"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

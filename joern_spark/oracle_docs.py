@@ -145,6 +145,22 @@ GROUP BY doc_id
 """
 
 
+def lm_buckets_sql() -> str:
+    """Mirror of textstats.lm_buckets over the unigram_logprob CTE;
+    quantile_cont == Spark's exact percentile, probabilities written as
+    1.0/3.0 on both engines."""
+    return f"""
+WITH lp AS ({unigram_logprob_sql()}),
+q AS (SELECT quantile_cont(mean_lp, 1.0/3.0) AS q33,
+             quantile_cont(mean_lp, 2.0/3.0) AS q67 FROM lp)
+SELECT doc_id, mean_lp,
+       CASE WHEN mean_lp >= q67 THEN 'head'
+            WHEN mean_lp >= q33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp, q
+"""
+
+
 def doc_keywords_sql() -> str:
     """Mirror of textstats.doc_keywords: identical tf·ln(n_docs/df)
     expression and (score DESC, tok ASC) ranking."""

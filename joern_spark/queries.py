@@ -610,6 +610,11 @@ def q_doc_keywords(spark, sf_dir):
     return textstats.doc_keywords(read_documents(spark, sf_dir))
 
 
+def q_doc_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split by unigram log-prob terciles."""
+    return textstats.lm_buckets(read_documents(spark, sf_dir))
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
@@ -705,6 +710,7 @@ TPG_QUERIES = {
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,
     "doc_keywords": q_doc_keywords,
+    "doc_lm_buckets": q_doc_lm_buckets,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
     "sim_topk_ivf": q_sim_topk_ivf,

@@ -580,3 +580,20 @@ def test_doc_keywords_tfidf_ranking(spark):
     assert sorted(by_doc[0])[0][3] == pytest.approx(2 * math.log(2), abs=1e-12)
     assert sorted(by_doc[0])[1][3] == 0.0  # ln(2/2) = 0
     assert [t[1] for t in sorted(by_doc[1])] == ["common"]
+
+
+def test_lm_buckets_partition_and_order(spark):
+    """Every doc lands in exactly one bucket; bucket order follows
+    mean_lp (no head doc scores below a tail doc)."""
+    d = spark.createDataFrame(
+        [(i, " ".join(["common"] * 5 + [f"rare{i}"] * i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = textstats.lm_buckets(d).collect()
+    assert len(rows) == 6 and len({r.doc_id for r in rows}) == 6
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.mean_lp)
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    if "head" in by_bucket and "tail" in by_bucket:
+        assert min(by_bucket["head"]) >= max(by_bucket["tail"])
