@@ -1,0 +1,62 @@
+"""Bucketed materialization: co-located conversation-keyed joins.
+
+The 100-TB claim being tested: two tables bucketed identically on
+conv_id join WITHOUT any shuffle Exchange — Spark reads matching buckets
+side by side (the Iceberg bucket(conv_id) hidden-partitioning property,
+SURVEY.md §1.1). The assertion is on the PHYSICAL PLAN, not wall time,
+so it holds at any scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from joern_spark.operators import assemble, materialize
+from joern_spark.sources.transcripts import read_transcripts
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    t = read_transcripts(spark, 0.001)
+    return materialize.write_bucketed_tables(
+        assemble.turn_nodes(t),
+        assemble.next_turn_edges(t),
+        n_buckets=8,
+        prefix="test",
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    t_name, e_name = bucketed_tables
+    turns = spark.table(t_name)
+    edges = spark.table(e_name)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = turns.join(edges, "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # SortMergeJoin over co-located buckets: no Exchange of any kind
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    t_name, e_name = bucketed_tables
+    t = read_transcripts(spark, 0.001)
+    plain = assemble.turn_nodes(t).join(
+        assemble.next_turn_edges(t).withColumn(
+            "conv_id", F.substring_index(F.col("src"), ":", 1)
+        ),
+        "conv_id",
+    )
+    bucketed = spark.table(t_name).join(spark.table(e_name), "conv_id")
+    assert bucketed.count() == plain.count()
+    assert (
+        bucketed.select("conv_id", "id", "src", "dst")
+        .exceptAll(plain.select("conv_id", "id", "src", "dst"))
+        .count()
+        == 0
+    )
