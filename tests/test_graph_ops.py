@@ -218,14 +218,19 @@ def test_tagged_by_write_back(spark, make_transcripts, entities):
     t = make_transcripts(rows)
     findings = run_scan(t, entities)
     tags = tag_nodes(findings).collect()
-    assert {r.id for r in tags} == {"tag:mega-conversation"}
+    # 256 user-only turns: the size guard AND the role-imbalance scanner
+    assert {r.id for r in tags} == {
+        "tag:mega-conversation", "tag:role-imbalance",
+    }
     edges = tagged_by_edges(findings)
-    e = edges.collect()
-    assert len(e) == 1 and e[0].src == "mega" and e[0].property == "256"
+    e = {r.dst: r for r in edges.collect()}
+    assert set(e) == {"tag:mega-conversation", "tag:role-imbalance"}
+    assert all(r.src == "mega" for r in e.values())
+    assert e["tag:mega-conversation"].property == "256"
     # unions cleanly into the graph's edge table (same schema)
     g = build_graph(t, entities)
     combined = g.edges.unionByName(edges)
-    assert combined.where(F.col("label") == "TAGGED_BY").count() == 1
+    assert combined.where(F.col("label") == "TAGGED_BY").count() == 2
 
 
 def test_connected_components_paths_agree(spark, monkeypatch):
