@@ -68,9 +68,10 @@ def same_as_pairs(transcripts: DataFrame) -> DataFrame:
     ).dropDuplicates()
 
 
-def _union_find_local(edges: list[tuple[str, str]], spark) -> DataFrame:
-    """Driver-side union-find for the small-pair-set fast path; canon =
-    lexicographic min of the component (identical to the distributed loop)."""
+def _union_find_rows(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Pure driver-side union-find; canon = lexicographic min of the
+    component (identical to the distributed loop). Kept Spark-free so
+    property tests drive it directly."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -88,16 +89,21 @@ def _union_find_local(edges: list[tuple[str, str]], spark) -> DataFrame:
     comps: dict[str, list[str]] = {}
     for n in parent:
         comps.setdefault(find(n), []).append(n)
-    rows = [
+    return sorted(
         (n, min(members)) for members in comps.values() for n in members
-    ]
+    )
+
+
+def _union_find_local(edges: list[tuple[str, str]], spark) -> DataFrame:
     # JVM literal relation: a plain createDataFrame backs the map with a
     # Python RDD (every downstream evaluation pays ~32 worker
     # round-trips) and coalesce(1) serializes those round-trips into one
     # task (~5 s per evaluation, measured) — see functions/localrel.py.
     from joern_spark.functions.localrel import local_df
 
-    return local_df(spark, sorted(rows), "entity_key string, canon string")
+    return local_df(
+        spark, _union_find_rows(edges), "entity_key string, canon string"
+    )
 
 
 # Session-scoped memo for the component solve. The SAME_AS closure is

@@ -14,6 +14,10 @@ Py2Cpg.scala:48, maps to Iceberg snapshot commits — SURVEY.md §1.1).
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -162,8 +166,14 @@ def write_bucketed_tables(
     co-location."""
     t_name, e_name = f"{prefix}_turns_b", f"{prefix}_next_turn_b"
     spark = turns.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for name in (t_name, e_name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a prior SESSION's managed-table directory survives the (in-memory)
+        # catalog — saveAsTable refuses LOCATION_ALREADY_EXISTS without this
+        loc = os.path.join(re.sub("^file:", "", warehouse), name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     (
         turns.write.mode("overwrite")
         .bucketBy(n_buckets, "conv_id")

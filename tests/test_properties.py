@@ -8,7 +8,7 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from joern_spark.operators.canonicalize import _union_find_local
+from joern_spark.operators.canonicalize import _union_find_rows
 from joern_spark.operators.cfg import _idom_group
 
 # --- random single-entry DAGs: CHK vs brute-force dominators -----------------
@@ -238,11 +238,6 @@ def test_expand_paths_matches_bruteforce(spark, edges, depth):
 # --- union-find: canon = component min ---------------------------------------
 
 
-class _FakeSpark:
-    def createDataFrame(self, rows, schema):
-        return rows  # the test only needs the row list
-
-
 @settings(max_examples=50, deadline=None)
 @given(
     st.lists(
@@ -254,7 +249,7 @@ class _FakeSpark:
     )
 )
 def test_union_find_component_min(pairs):
-    rows = _union_find_local(pairs, _FakeSpark())
+    rows = _union_find_rows(pairs)
     canon = dict(rows)
     # brute-force components via BFS over the symmetric adjacency
     adj = {}
