@@ -532,3 +532,20 @@ def test_entity_kcore_peels_pendants(spark):
     }
     assert got == {"a": 2, "b": 2, "c": 2}
     assert entity_kcore(edges, k=3, rounds=4).count() == 0
+
+
+def test_entity_kcore_local_equals_distributed(spark, monkeypatch):
+    """Driver fast path and the distributed peel must agree exactly."""
+    from joern_spark.operators import rank as R
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("d", "e"),
+         ("c", "d"), ("b", "d")],
+        "a string, b string",
+    )
+    fast = {(r.entity_key, r.core_degree)
+            for r in R.entity_kcore(edges, k=2, rounds=4).collect()}
+    monkeypatch.setattr(R, "PR_LOCAL_THRESHOLD", 0)
+    slow = {(r.entity_key, r.core_degree)
+            for r in R.entity_kcore(edges, k=2, rounds=4).collect()}
+    assert fast == slow and fast
