@@ -53,7 +53,7 @@ def tag_nodes(findings: DataFrame) -> DataFrame:
 # scanner's evidence is already a node id: a conversation (conv_id), a
 # turn (conv_id:turn_idx — the composite IS the turn node id), or an
 # entity key. The oracle (oracle.tagged_by_sql) imports this list.
-NON_ADDRESSABLE_SCANNERS = ("retry-loop", "repeated-question")
+NON_ADDRESSABLE_SCANNERS = ("retry-loop", "repeated-question", "local-contradiction")
 
 # Findings whose evidence is not a graph node under ANY anchoring (a
 # corpus-wide fingerprint names a GROUP of conversations, not one) —

@@ -1084,6 +1084,154 @@ def scan_condition_contradictions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# --- security / hygiene bundle ----------------------------------------
+#
+# The transcript analog of the reference's security-scanner bundles
+# (querydb/src/main/scala/io/joern/scanners/c/CredentialDrop.scala,
+# android/Misconfigurations.scala) — leak detection over turn text and
+# an allowlist check over the tool column. Patterns are RE2-safe (no
+# lookaround/backreferences) and shared VERBATIM with the DuckDB oracle
+# (oracle.findings_sql), so Java regex and RE2 agree on every match.
+
+LEAK_PATTERNS: dict[str, str] = {
+    # email — same shape as curate.PII_PATTERNS' email redaction rule
+    "pii-email-leak": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-format phone: +CC then 7-19 digits/separators
+    "pii-phone-leak": r"\+[0-9][0-9 -]{6,18}[0-9]",
+    # bearer-token shapes: sk-/api- prefixed keys, AWS access key ids
+    "secret-leak": r"(?:sk|api)-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16}",
+}
+
+# Tool allowlist (the deployment's registered tools). Calls reporting a
+# tool outside this set are protocol/supply-chain violations — the
+# transcript analog of calling an unvetted external function.
+KNOWN_TOOLS = (
+    "weather_api", "search_api", "calendar_api", "translate_api",
+    "stock_api", "email_api", "code_exec", "db_query",
+)
+
+LOCAL_CONTRA_MIN = 2  # distinct temps within ONE conversation → finding
+
+
+def _leak_scan(transcripts: DataFrame, name: str) -> DataFrame:
+    """Shared kernel of the three leak scanners: filter on the pattern,
+    score = number of matches in the turn. Pure scan-speed filter —
+    no shuffle, fires on ~0 rows in a healthy corpus."""
+    pat = LEAK_PATTERNS[name]
+    return (
+        transcripts.where(F.col("text").rlike(pat))
+        .select(
+            F.lit(name).alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+            ).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_pii_email_leaks(transcripts: DataFrame) -> DataFrame:
+    """Turns whose text contains an email address — PII that must not
+    reach a training corpus or a transcript archive."""
+    return _leak_scan(transcripts, "pii-email-leak")
+
+
+def scan_pii_phone_leaks(transcripts: DataFrame) -> DataFrame:
+    """Turns whose text contains an international-format phone number."""
+    return _leak_scan(transcripts, "pii-phone-leak")
+
+
+def scan_secret_leaks(transcripts: DataFrame) -> DataFrame:
+    """Turns whose text contains an API-key-shaped token (sk-/api-
+    prefixed bearer keys, AWS AKIA ids) — the credential-drop scanner
+    (querydb CredentialDrop.scala analog)."""
+    return _leak_scan(transcripts, "secret-leak")
+
+
+def scan_unknown_tool_calls(transcripts: DataFrame) -> DataFrame:
+    """Turns whose tool column names a tool OUTSIDE the registered
+    allowlist — unvetted-dependency detection at scan speed."""
+    return (
+        transcripts.where(
+            F.col("tool").isNotNull() & ~F.col("tool").isin(*KNOWN_TOOLS)
+        )
+        .select(
+            F.lit("unknown-tool-call").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_unasked_results(transcripts: DataFrame) -> DataFrame:
+    """Tool results for a location the user never ASKED about in that
+    conversation — provenance: data entered the conversation with no
+    originating request (distinct from orphan-result, which checks for
+    the missing CALL). Fires legitimately on blocks whose ask slot was
+    replaced by an alias/rebind statement. Both join sides are filtered
+    slices, so only the two small slices shuffle."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    result = RULES_BY_NAME["result"]
+    ask = RULES_BY_NAME["ask"]
+    res = transcripts.where(_match_cond(result)).select(
+        "conv_id",
+        "turn_idx",
+        normalize_surface_col(
+            F.regexp_extract("text", result.pattern, 1)
+        ).alias("loc"),
+    )
+    asked = (
+        transcripts.where(_match_cond(ask))
+        .select(
+            "conv_id",
+            normalize_surface_col(
+                F.regexp_extract("text", ask.pattern, 1)
+            ).alias("loc"),
+        )
+        .distinct()
+    )
+    return res.join(asked, ["conv_id", "loc"], "left_anti").select(
+        F.lit("unasked-result").alias("query_name"),
+        F.concat(
+            "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("evidence"),
+        F.lit(1).cast("long").alias("score"),
+    )
+
+
+def scan_local_contradictions(transcripts: DataFrame) -> DataFrame:
+    """Locations reported with ≥ LOCAL_CONTRA_MIN distinct temperatures
+    WITHIN one conversation — the conversation-scoped twin of the
+    corpus-level temperature-contradiction scanner: a single agent
+    contradicting itself is a stronger signal than two agents
+    disagreeing. One map-side-combined groupBy on (conv_id, loc)."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    result = RULES_BY_NAME["result"]
+    obs = transcripts.where(_match_cond(result)).select(
+        "conv_id",
+        normalize_surface_col(
+            F.regexp_extract("text", result.pattern, 1)
+        ).alias("loc"),
+        F.regexp_extract("text", result.pattern, 2).alias("temp"),
+    )
+    return (
+        obs.groupBy("conv_id", "loc")
+        .agg(F.countDistinct("temp").alias("n"))
+        .where(F.col("n") >= LOCAL_CONTRA_MIN)
+        .select(
+            F.lit("local-contradiction").alias("query_name"),
+            F.concat("conv_id", F.lit(":"), "loc").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -1119,6 +1267,12 @@ SCANNERS: dict[str, Callable] = {
     "answered-reask": scan_answered_reasks,
     "entity-spread": scan_entity_spread,
     "condition-contradiction": scan_condition_contradictions,
+    "pii-email-leak": scan_pii_email_leaks,
+    "pii-phone-leak": scan_pii_phone_leaks,
+    "secret-leak": scan_secret_leaks,
+    "unknown-tool-call": scan_unknown_tool_calls,
+    "unasked-result": scan_unasked_results,
+    "local-contradiction": scan_local_contradictions,
 }
 
 

@@ -852,6 +852,9 @@ def findings_sql(sf: float) -> str:
         ENTITY_SPREAD_MIN,
         ENTITY_SPREAD_PCT,
         HUB_SHARE,
+        KNOWN_TOOLS,
+        LEAK_PATTERNS,
+        LOCAL_CONTRA_MIN,
         REPEAT_ASK_MIN,
         ROLE_IMBALANCE_MIN_TURNS,
         ROLE_IMBALANCE_PCT,
@@ -860,6 +863,8 @@ def findings_sql(sf: float) -> str:
         TOOL_FANOUT_MIN,
         TOOL_THRASH_MIN,
     )
+
+    known_tools = ", ".join(f"'{t}'" for t in KNOWN_TOOLS)
 
     rebind = RULES_BY_NAME["rebind"]
     result = RULES_BY_NAME["result"]
@@ -1144,6 +1149,37 @@ SELECT 'condition-contradiction', loc, count(DISTINCT cond)::BIGINT FROM (
   SELECT {loc} AS loc, regexp_extract(text, '{result.pattern}', 3) AS cond
   FROM t WHERE {_rule_where(result)}
 ) GROUP BY loc HAVING count(DISTINCT cond) >= 2
+UNION ALL
+SELECT 'pii-email-leak', conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       len(regexp_extract_all(text, '{LEAK_PATTERNS["pii-email-leak"]}'))::BIGINT
+FROM t WHERE regexp_matches(text, '{LEAK_PATTERNS["pii-email-leak"]}')
+UNION ALL
+SELECT 'pii-phone-leak', conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       len(regexp_extract_all(text, '{LEAK_PATTERNS["pii-phone-leak"]}'))::BIGINT
+FROM t WHERE regexp_matches(text, '{LEAK_PATTERNS["pii-phone-leak"]}')
+UNION ALL
+SELECT 'secret-leak', conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       len(regexp_extract_all(text, '{LEAK_PATTERNS["secret-leak"]}'))::BIGINT
+FROM t WHERE regexp_matches(text, '{LEAK_PATTERNS["secret-leak"]}')
+UNION ALL
+SELECT 'unknown-tool-call', conv_id || ':' || CAST(turn_idx AS VARCHAR), 1::BIGINT
+FROM t WHERE tool IS NOT NULL AND tool NOT IN ({known_tools})
+UNION ALL
+SELECT 'unasked-result',
+       x.conv_id || ':' || CAST(x.turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, {res_loc} AS loc FROM t
+      WHERE {_rule_where(result)}) x
+LEFT JOIN (SELECT DISTINCT conv_id, {ask_loc} AS loc FROM t
+           WHERE {_rule_where(ask)}) a
+  ON x.conv_id = a.conv_id AND x.loc = a.loc
+WHERE a.conv_id IS NULL
+UNION ALL
+SELECT 'local-contradiction', conv_id || ':' || loc,
+       count(DISTINCT temp)::BIGINT FROM (
+  SELECT conv_id, {loc} AS loc,
+         regexp_extract(text, '{result.pattern}', 2) AS temp
+  FROM t WHERE {_rule_where(result)}
+) GROUP BY conv_id, loc HAVING count(DISTINCT temp) >= {LOCAL_CONTRA_MIN}
 """
 
 
