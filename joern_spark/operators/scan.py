@@ -16,7 +16,9 @@ job; adding a scanner costs one union branch, not a pass over the data.
 
 from __future__ import annotations
 
+import inspect
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,6 +27,92 @@ from pyspark.sql.window import Window
 from joern_spark.operators.extract import RULES_BY_NAME, _match_cond
 
 FINDING_COLS = ("query_name", "evidence", "score")
+
+
+@dataclass(frozen=True)
+class TurnSlices:
+    """One slice per extraction rule — the battery's shared scan set.
+
+    At 10^12 turns the battery must NOT pay one corpus text-pass per
+    scanner: ~25 of the scanners each re-filtered the raw turn table
+    with their rule regex, i.e. ~25 full text scans for one battery
+    run. `run_scan` builds these slices ONCE (one filtered extraction
+    pass per rule, lazily checkpointed — at cluster scale these are the
+    intermediate tables a production battery would persist) and every
+    rule-based scanner reads its slice. A standalone scanner call (the
+    querydb example replay) builds unmaterialized slices inline — the
+    identical plan, just not shared.
+
+    Column conventions: every slice carries (conv_id, turn_idx, ts);
+    `loc`/`a`/`b` are blocking-normalized (normalize_surface_col),
+    `tool_name`/`temp`/`cond`/db names are raw extracts — exactly the
+    expressions the scanners previously built inline, so findings are
+    value-identical."""
+
+    ask: DataFrame      # + loc
+    call: DataFrame     # + tool_name, loc
+    result: DataFrame   # + loc, temp, cond
+    alias: DataFrame    # + a, b
+    rebind: DataFrame   # + new_db, old_db
+    dbcur: DataFrame
+    db: DataFrame       # + db_name
+    mentions: DataFrame  # extract_mentions output (all rules)
+
+
+def build_slices(transcripts: DataFrame, materialize: bool = False) -> TurnSlices:
+    from joern_spark.operators.extract import (
+        extract_mentions,
+        normalize_surface_col,
+    )
+
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if materialize
+        else (lambda df: df)
+    )
+
+    def ex(rule: str, grp: int):
+        return F.regexp_extract("text", RULES_BY_NAME[rule].pattern, grp)
+
+    def sl(rule: str, *cols):
+        return ckpt(
+            transcripts.where(_match_cond(RULES_BY_NAME[rule])).select(
+                "conv_id", "turn_idx", "ts", *cols
+            )
+        )
+
+    n = normalize_surface_col
+    return TurnSlices(
+        ask=sl("ask", n(ex("ask", 1)).alias("loc")),
+        call=sl(
+            "call",
+            ex("call", 1).alias("tool_name"),
+            n(ex("call", 2)).alias("loc"),
+        ),
+        result=sl(
+            "result",
+            n(ex("result", 1)).alias("loc"),
+            ex("result", 2).alias("temp"),
+            ex("result", 3).alias("cond"),
+        ),
+        alias=sl(
+            "alias",
+            n(ex("alias", 1)).alias("a"),
+            n(ex("alias", 2)).alias("b"),
+        ),
+        rebind=sl(
+            "rebind",
+            ex("rebind", 1).alias("new_db"),
+            ex("rebind", 2).alias("old_db"),
+        ),
+        dbcur=sl("dbcur"),
+        db=sl("db", ex("db", 1).alias("db_name")),
+        mentions=ckpt(extract_mentions(transcripts)),
+    )
+
+
+def _slices(transcripts: DataFrame, slices: TurnSlices | None) -> TurnSlices:
+    return slices if slices is not None else build_slices(transcripts)
 
 
 def scan_mega_conversations(transcripts: DataFrame) -> DataFrame:
@@ -43,14 +131,15 @@ def scan_mega_conversations(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _mention_counts(transcripts: DataFrame) -> DataFrame:
+def _mention_counts(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """(entity_key, n) — the shared base of the three mention-statistics
-    scanners. run_scan builds this ONCE so the extraction scan + shuffle
-    dedupe via ReuseExchange instead of running per scanner."""
-    from joern_spark.operators.extract import extract_mentions
+    scanners. run_scan builds this ONCE (from the shared mention slice)
+    so the extraction scan + shuffle run once instead of per scanner."""
     from joern_spark.operators.link import keyed_mentions
 
-    m = keyed_mentions(extract_mentions(transcripts))
+    m = keyed_mentions(_slices(transcripts, slices).mentions)
     return m.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -73,12 +162,13 @@ def scan_unknown_entities(transcripts: DataFrame, entities: DataFrame) -> DataFr
     return _unknown_findings(_mention_counts(transcripts), entities)
 
 
-def scan_rebind_conversations(transcripts: DataFrame) -> DataFrame:
+def scan_rebind_conversations(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Conversations whose binding changes mid-stream (dataflow-relevant
     control points), scored by number of rebind statements."""
-    rule = RULES_BY_NAME["rebind"]
     return (
-        transcripts.where(_match_cond(rule))
+        _slices(transcripts, slices).rebind
         .groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -92,21 +182,15 @@ def scan_rebind_conversations(transcripts: DataFrame) -> DataFrame:
 HUB_SHARE = 0.01  # mention share above which an entity is a "hub"
 
 
-def scan_temperature_contradictions(transcripts: DataFrame) -> DataFrame:
+def scan_temperature_contradictions(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Locations reported with ≥ 2 distinct temperatures across the corpus
     (querydb-style semantic inconsistency check: the same entity carrying
     conflicting facts). Scored by the number of distinct values."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    rule = RULES_BY_NAME["result"]
-    obs = transcripts.where(_match_cond(rule)).select(
-        normalize_surface_col(
-            F.regexp_extract("text", rule.pattern, 1)
-        ).alias("loc"),
-        F.regexp_extract("text", rule.pattern, 2).alias("temp"),
-    )
     return (
-        obs.groupBy("loc")
+        _slices(transcripts, slices).result
+        .groupBy("loc")
         .agg(F.countDistinct("temp").alias("n"))
         .where(F.col("n") >= 2)
         .select(
@@ -117,35 +201,23 @@ def scan_temperature_contradictions(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_stale_binding_use(transcripts: DataFrame) -> DataFrame:
+def scan_stale_binding_use(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """dbcur queries issued BEFORE the conversation's first rebind (they
     silently hit the default binding that a later turn replaces — the
-    use-before-redefinition smell). Scored by count of such turns."""
-    rebind = RULES_BY_NAME["rebind"]
-    dbcur = RULES_BY_NAME["dbcur"]
-    marks = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        _match_cond(rebind).alias("is_rebind"),
-        _match_cond(dbcur).alias("is_dbcur"),
-    ).where(F.col("is_rebind") | F.col("is_dbcur"))
-    agg = marks.groupBy("conv_id").agg(
-        F.min(F.when(F.col("is_rebind"), F.col("turn_idx"))).alias("first_rebind"),
-        F.collect_list(
-            F.when(F.col("is_dbcur"), F.col("turn_idx"))
-        ).alias("dbcur_turns"),
+    use-before-redefinition smell). Scored by count of such turns.
+    Shape: the dbcur slice joins the per-conversation MIN rebind index;
+    only the two tiny slices shuffle."""
+    s = _slices(transcripts, slices)
+    first_rebind = s.rebind.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("first_rebind")
     )
     return (
-        agg.where(F.col("first_rebind").isNotNull())
-        .select(
-            "conv_id",
-            F.size(
-                F.filter(
-                    F.col("dbcur_turns"), lambda x: x < F.col("first_rebind")
-                )
-            ).alias("n"),
-        )
-        .where(F.col("n") >= 1)
+        s.dbcur.join(first_rebind, "conv_id")
+        .where(F.col("turn_idx") < F.col("first_rebind"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.lit("stale-binding-use").alias("query_name"),
             F.col("conv_id").alias("evidence"),
@@ -235,20 +307,19 @@ def scan_lone_mentions(transcripts: DataFrame) -> DataFrame:
     return _lone_findings(_mention_counts(transcripts))
 
 
-def scan_unanswered_asks(transcripts: DataFrame) -> DataFrame:
+def scan_unanswered_asks(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """User asks with NO later assistant tool call in the conversation —
     the order-constrained whereNot (a request the agent never acted on).
     Shape: per-conversation max call index (shuffles only the filtered
     call slice) joined back to the ask slice; unanswered ⇔ the latest
     call precedes the ask (or no call exists). Evidence is the TURN id —
     node-level findings like the reference's evidence nodes."""
-    ask = RULES_BY_NAME["ask"]
-    call = RULES_BY_NAME["call"]
-    asks = transcripts.where(_match_cond(ask)).select("conv_id", "turn_idx")
-    last_call = (
-        transcripts.where(_match_cond(call))
-        .groupBy("conv_id")
-        .agg(F.max("turn_idx").alias("last_call"))
+    s = _slices(transcripts, slices)
+    asks = s.ask.select("conv_id", "turn_idx")
+    last_call = s.call.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("last_call")
     )
     return (
         asks.join(last_call, "conv_id", "left")
@@ -263,35 +334,19 @@ def scan_unanswered_asks(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_dangling_calls(transcripts: DataFrame) -> DataFrame:
+def scan_dangling_calls(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Tool calls for a location with NO later tool-result for that
     location in the same conversation — the ignored-return-value /
     call-without-effect smell (querydb RetvalChecks.scala:12-30
     `returnValueNotChecked`, QueryLangExtensions.scala:11-23).
     Shape: calls join the per-(conv, loc) MAX result index, so only the
     two filtered slices shuffle. Evidence is the call TURN id."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    call = RULES_BY_NAME["call"]
-    result = RULES_BY_NAME["result"]
-    calls = transcripts.where(_match_cond(call)).select(
-        "conv_id",
-        "turn_idx",
-        normalize_surface_col(
-            F.regexp_extract("text", call.pattern, 2)
-        ).alias("loc"),
-    )
-    last_res = (
-        transcripts.where(_match_cond(result))
-        .select(
-            "conv_id",
-            "turn_idx",
-            normalize_surface_col(
-                F.regexp_extract("text", result.pattern, 1)
-            ).alias("loc"),
-        )
-        .groupBy("conv_id", "loc")
-        .agg(F.max("turn_idx").alias("last_res"))
+    s = _slices(transcripts, slices)
+    calls = s.call.select("conv_id", "turn_idx", "loc")
+    last_res = s.result.groupBy("conv_id", "loc").agg(
+        F.max("turn_idx").alias("last_res")
     )
     return (
         calls.join(last_res, ["conv_id", "loc"], "left")
@@ -306,33 +361,17 @@ def scan_dangling_calls(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_orphan_results(transcripts: DataFrame) -> DataFrame:
+def scan_orphan_results(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Tool results for a location with NO earlier call for that location
     in the conversation — a provenance violation (data appearing without
     the operation that produced it). Mirror image of dangling-call:
     results join the per-(conv, loc) MIN call index."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    call = RULES_BY_NAME["call"]
-    result = RULES_BY_NAME["result"]
-    results = transcripts.where(_match_cond(result)).select(
-        "conv_id",
-        "turn_idx",
-        normalize_surface_col(
-            F.regexp_extract("text", result.pattern, 1)
-        ).alias("loc"),
-    )
-    first_call = (
-        transcripts.where(_match_cond(call))
-        .select(
-            "conv_id",
-            "turn_idx",
-            normalize_surface_col(
-                F.regexp_extract("text", call.pattern, 2)
-            ).alias("loc"),
-        )
-        .groupBy("conv_id", "loc")
-        .agg(F.min("turn_idx").alias("first_call"))
+    s = _slices(transcripts, slices)
+    results = s.result.select("conv_id", "turn_idx", "loc")
+    first_call = s.call.groupBy("conv_id", "loc").agg(
+        F.min("turn_idx").alias("first_call")
     )
     return (
         results.join(first_call, ["conv_id", "loc"], "left")
@@ -349,24 +388,17 @@ def scan_orphan_results(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_retry_loops(transcripts: DataFrame) -> DataFrame:
+def scan_retry_loops(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """The same tool called ≥2 times for the same location in one
     conversation — the retry/error-loop smell (the repeated dangerous-call
     pattern, querydb DangerousFunctions.scala:13-52; loop-shape metrics
     Metrics.scala:156 `tooManyLoops`). One map-side-combined groupBy; scored by
     the call count."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    call = RULES_BY_NAME["call"]
-    calls = transcripts.where(_match_cond(call)).select(
-        "conv_id",
-        F.regexp_extract("text", call.pattern, 1).alias("tool_name"),
-        normalize_surface_col(
-            F.regexp_extract("text", call.pattern, 2)
-        ).alias("loc"),
-    )
     return (
-        calls.groupBy("conv_id", "tool_name", "loc")
+        _slices(transcripts, slices).call
+        .groupBy("conv_id", "tool_name", "loc")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select(
@@ -382,7 +414,9 @@ def scan_retry_loops(transcripts: DataFrame) -> DataFrame:
 DEAD_REBIND_SENTINEL = 2**62  # "no next rebind" upper bound
 
 
-def scan_dead_rebinds(transcripts: DataFrame) -> DataFrame:
+def scan_dead_rebinds(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Rebinds with NO dbcur use before the next rebind (or end of the
     conversation) — the dead-store query from reaching-definitions: the
     binding is written and overwritten without ever being read. Shape:
@@ -390,23 +424,16 @@ def scan_dead_rebinds(transcripts: DataFrame) -> DataFrame:
     the dbcur slice on conv_id."""
     from pyspark.sql import Window
 
-    rebind = RULES_BY_NAME["rebind"]
-    dbcur = RULES_BY_NAME["dbcur"]
+    s = _slices(transcripts, slices)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    rebinds = (
-        transcripts.where(_match_cond(rebind))
-        .select("conv_id", "turn_idx")
-        .withColumn(
-            "next_idx",
-            F.coalesce(
-                F.lead("turn_idx").over(w).cast("long"),
-                F.lit(DEAD_REBIND_SENTINEL),
-            ),
-        )
+    rebinds = s.rebind.select("conv_id", "turn_idx").withColumn(
+        "next_idx",
+        F.coalesce(
+            F.lead("turn_idx").over(w).cast("long"),
+            F.lit(DEAD_REBIND_SENTINEL),
+        ),
     )
-    uses = transcripts.where(_match_cond(dbcur)).select(
-        "conv_id", F.col("turn_idx").alias("use_idx")
-    )
+    uses = s.dbcur.select("conv_id", F.col("turn_idx").alias("use_idx"))
     cond = (
         (rebinds.conv_id == uses.conv_id)
         & (uses.use_idx > rebinds.turn_idx)
@@ -421,19 +448,15 @@ def scan_dead_rebinds(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_self_aliases(transcripts: DataFrame) -> DataFrame:
+def scan_self_aliases(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Alias statements whose two surfaces normalize to the SAME key —
     degenerate SAME_AS self-loops that add an edge but no information
     (the reference's no-op-assignment smell)."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    alias = RULES_BY_NAME["alias"]
     return (
-        transcripts.where(_match_cond(alias))
-        .where(
-            normalize_surface_col(F.regexp_extract("text", alias.pattern, 1))
-            == normalize_surface_col(F.regexp_extract("text", alias.pattern, 2))
-        )
+        _slices(transcripts, slices).alias
+        .where(F.col("a") == F.col("b"))
         .select(
             F.lit("self-alias").alias("query_name"),
             F.concat(
@@ -448,17 +471,15 @@ DB_MIX_MIN = 2  # distinct named DBs per conversation → cross-silo smell
 REPEAT_ASK_MIN = 3  # identical asks per conversation → repeated-question
 
 
-def scan_mixed_db_queries(transcripts: DataFrame) -> DataFrame:
+def scan_mixed_db_queries(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Conversations that explicitly query ≥2 DISTINCT named databases —
     the cross-silo access smell (querydb's sql-injection-surface family:
     one flow touching multiple trust domains). One map-side-combined
     count-distinct over the tiny db-rule slice."""
-    db = RULES_BY_NAME["db"]
     return (
-        transcripts.where(_match_cond(db))
-        .select(
-            "conv_id", F.regexp_extract("text", db.pattern, 1).alias("db_name")
-        )
+        _slices(transcripts, slices).db
         .groupBy("conv_id")
         .agg(F.countDistinct("db_name").alias("n"))
         .where(F.col("n") >= DB_MIX_MIN)
@@ -470,21 +491,14 @@ def scan_mixed_db_queries(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_repeated_questions(transcripts: DataFrame) -> DataFrame:
+def scan_repeated_questions(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """The same location asked about ≥3 times in one conversation — the
     redundant-recomputation smell (the agent never caches what it already
     learned). groupBy on the filtered ask slice only."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    ask = RULES_BY_NAME["ask"]
     return (
-        transcripts.where(_match_cond(ask))
-        .select(
-            "conv_id",
-            normalize_surface_col(
-                F.regexp_extract("text", ask.pattern, 1)
-            ).alias("loc"),
-        )
+        _slices(transcripts, slices).ask
         .groupBy("conv_id", "loc")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= REPEAT_ASK_MIN)
@@ -496,30 +510,26 @@ def scan_repeated_questions(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_late_aliases(transcripts: DataFrame) -> DataFrame:
+def scan_late_aliases(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Alias statements whose LEFT surface was already mentioned earlier
     in the same conversation — declaration-after-use: every pre-alias
     mention was linked before the SAME_AS edge existed (the reference's
     lazily-declared-identifier smell). Shape: the tiny alias slice joins
     the per-(conv, key) MIN location-mention index; only the two filtered
     slices shuffle. Evidence is the alias TURN id."""
-    from joern_spark.operators.extract import extract_mentions, normalize_surface_col
+    from joern_spark.operators.extract import normalize_surface_col
 
-    alias = RULES_BY_NAME["alias"]
-    aliases = transcripts.where(_match_cond(alias)).select(
-        "conv_id",
-        "turn_idx",
-        normalize_surface_col(
-            F.regexp_extract("text", alias.pattern, 1)
-        ).alias("key"),
-    )
+    s = _slices(transcripts, slices)
+    aliases = s.alias.select("conv_id", "turn_idx", F.col("a").alias("key"))
     # Only keys that ever appear on an alias LEFT side matter (bounded by
     # the alias vocabulary — tiny); broadcast-semi-join them into the
     # mention stream BEFORE the (conv, key) groupBy so the shuffle carries
     # the alias-relevant sliver, not every location mention in the corpus.
     alias_keys = aliases.select("key").distinct()
     first_seen = (
-        extract_mentions(transcripts)
+        s.mentions
         .where((F.col("kind") == "location") & (F.col("rule") != "alias"))
         .select(
             "conv_id",
@@ -543,18 +553,17 @@ def scan_late_aliases(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_default_binding_uses(transcripts: DataFrame) -> DataFrame:
+def scan_default_binding_uses(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Current-database queries in conversations with NO rebind statement
     at all — the use-of-implicit-global smell (the binding silently
     resolves to the session default; nothing in the conversation pins
     it). Complement of stale-binding-use, which needs a rebind to exist.
     Shape: anti-join of the dbcur slice against the rebind conv set."""
-    rebind = RULES_BY_NAME["rebind"]
-    dbcur = RULES_BY_NAME["dbcur"]
-    uses = transcripts.where(_match_cond(dbcur)).select("conv_id", "turn_idx")
-    rebound = (
-        transcripts.where(_match_cond(rebind)).select("conv_id").distinct()
-    )
+    s = _slices(transcripts, slices)
+    uses = s.dbcur.select("conv_id", "turn_idx")
+    rebound = s.rebind.select("conv_id").distinct()
     return uses.join(rebound, "conv_id", "left_anti").select(
         F.lit("default-binding-use").alias("query_name"),
         F.concat(
@@ -568,24 +577,17 @@ TEMP_HIGH = 35  # °C sanity bounds — the dangerous-constant range check
 TEMP_LOW = -5
 
 
-def scan_alias_conflicts(transcripts: DataFrame) -> DataFrame:
+def scan_alias_conflicts(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Surfaces aliased to ≥2 DIFFERENT canonical targets across the
     corpus — conflicting SAME_AS evidence (the ambiguous-type smell): a
     linker following either edge alone silently picks a side. One
     count-distinct over the tiny alias slice."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    alias = RULES_BY_NAME["alias"]
-    pairs = transcripts.where(_match_cond(alias)).select(
-        normalize_surface_col(
-            F.regexp_extract("text", alias.pattern, 1)
-        ).alias("key"),
-        normalize_surface_col(
-            F.regexp_extract("text", alias.pattern, 2)
-        ).alias("target"),
-    )
     return (
-        pairs.groupBy("key")
+        _slices(transcripts, slices).alias
+        .select(F.col("a").alias("key"), F.col("b").alias("target"))
+        .groupBy("key")
         .agg(F.countDistinct("target").alias("n"))
         .where(F.col("n") >= 2)
         .select(
@@ -637,15 +639,16 @@ def scan_result_mismatches(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_extreme_temperatures(transcripts: DataFrame) -> DataFrame:
+def scan_extreme_temperatures(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Tool results reporting temperatures outside the sanity band
     (> TEMP_HIGH or < TEMP_LOW °C) — the value-range-check family from the
     reference's querydb (IntegerTruncations.scala, MissingLengthCheck.scala
     bound checks), over extracted values instead of AST literals. Pure filter on the result slice."""
-    result = RULES_BY_NAME["result"]
-    temp = F.regexp_extract("text", result.pattern, 2).cast("long")
+    temp = F.col("temp").cast("long")
     return (
-        transcripts.where(_match_cond(result))
+        _slices(transcripts, slices).result
         .where((temp > TEMP_HIGH) | (temp < TEMP_LOW))
         .select(
             F.lit("extreme-temperature").alias("query_name"),
@@ -708,7 +711,9 @@ def scan_protocol_violations(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_fact_flips(transcripts: DataFrame) -> DataFrame:
+def scan_fact_flips(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Cross-conversation fact contradiction BY TIME: a location whose
     reported temperature CHANGES when observations are replayed in
     chronological order — distinct from temperature-contradiction (which
@@ -722,17 +727,8 @@ def scan_fact_flips(transcripts: DataFrame) -> DataFrame:
     never funnels raw observations through one task, only one summary
     row per mentioning conversation (extend with a time-bucket level for
     corpora where even that is too many)."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    rule = RULES_BY_NAME["result"]
-    obs = transcripts.where(_match_cond(rule)).select(
-        normalize_surface_col(
-            F.regexp_extract("text", rule.pattern, 1)
-        ).alias("loc"),
-        F.regexp_extract("text", rule.pattern, 2).alias("temp"),
-        "conv_id",
-        "turn_idx",
-        "ts",
+    obs = _slices(transcripts, slices).result.select(
+        "loc", "temp", "conv_id", "turn_idx", "ts"
     )
     w_in = Window.partitionBy("loc", "conv_id").orderBy("turn_idx")
     per_conv = (
@@ -777,14 +773,16 @@ def scan_fact_flips(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_kind_drift(transcripts: DataFrame) -> DataFrame:
+def scan_kind_drift(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Entity kind drift: one normalized surface observed as ≥ 2 mention
     KINDS (location/tool/db) across the corpus — the XTypeRecovery
     conflict signal surfaced as a finding instead of silently re-voted.
     Algebraic per-key distinct over a ≤3-value domain — hub-safe."""
-    from joern_spark.operators.extract import extract_mentions, normalize_surface_col
+    from joern_spark.operators.extract import normalize_surface_col
 
-    m = extract_mentions(transcripts).select(
+    m = _slices(transcripts, slices).mentions.select(
         normalize_surface_col(F.col("surface")).alias("k"), "kind"
     )
     return (
@@ -829,28 +827,21 @@ def scan_conversation_clones(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_replaced_db_uses(transcripts: DataFrame) -> DataFrame:
+def scan_replaced_db_uses(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Cross-conversation stale usage: a db name that some conversation
     REPLACED ("From now on use X instead of OLD") but that is still
     queried directly, strictly later in time, by conversations that never
     themselves rebound it. Two vocabulary-bounded dimension joins (db
     names) against the big side — no windows, no skew surface."""
-    rebind = RULES_BY_NAME["rebind"]
-    db = RULES_BY_NAME["db"]
-    rebinds = transcripts.where(_match_cond(rebind)).select(
-        F.regexp_extract("text", rebind.pattern, 2).alias("old_db"),
-        "conv_id",
-        "ts",
-    )
+    s = _slices(transcripts, slices)
+    rebinds = s.rebind.select(F.col("old_db"), "conv_id", "ts")
     first_replace = rebinds.groupBy("old_db").agg(
         F.min("ts").alias("first_ts")
     )
     aware_convs = rebinds.select("old_db", "conv_id").dropDuplicates()
-    uses = transcripts.where(_match_cond(db)).select(
-        F.regexp_extract("text", db.pattern, 1).alias("old_db"),
-        "conv_id",
-        "ts",
-    )
+    uses = s.db.select(F.col("db_name").alias("old_db"), "conv_id", "ts")
     return (
         uses.join(F.broadcast(first_replace), "old_db")
         .where(F.col("ts") > F.col("first_ts"))
@@ -865,7 +856,9 @@ def scan_replaced_db_uses(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_globally_unanswered_asks(transcripts: DataFrame) -> DataFrame:
+def scan_globally_unanswered_asks(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Corpus-wide completeness under canonical equivalence: locations
     ASKED about that no conversation anywhere answered with a weather
     result — where ask and answer keys are compared through the SAME_AS
@@ -876,33 +869,20 @@ def scan_globally_unanswered_asks(transcripts: DataFrame) -> DataFrame:
         connected_components,
         same_as_pairs,
     )
-    from joern_spark.operators.extract import normalize_surface_col
 
-    ask = RULES_BY_NAME["ask"]
-    result = RULES_BY_NAME["result"]
+    s = _slices(transcripts, slices)
     cmap = F.broadcast(connected_components(same_as_pairs(transcripts)))
 
-    def canon(df, col):
+    def canon(df):
+        # slice `loc` is already blocking-normalized (idempotent norm)
         return (
-            df.select(normalize_surface_col(F.col(col)).alias("entity_key"))
+            df.select(F.col("loc").alias("entity_key"))
             .join(cmap, "entity_key", "left")
-            .select(
-                F.coalesce("canon", "entity_key").alias("kc")
-            )
+            .select(F.coalesce("canon", "entity_key").alias("kc"))
         )
 
-    asked = canon(
-        transcripts.where(_match_cond(ask)).select(
-            F.regexp_extract("text", ask.pattern, 1).alias("loc")
-        ),
-        "loc",
-    )
-    answered = canon(
-        transcripts.where(_match_cond(result)).select(
-            F.regexp_extract("text", result.pattern, 1).alias("loc")
-        ),
-        "loc",
-    ).dropDuplicates()
+    asked = canon(s.ask)
+    answered = canon(s.result).dropDuplicates()
     return (
         asked.join(answered, "kc", "left_anti")
         .groupBy("kc")
@@ -974,35 +954,19 @@ def scan_tool_thrash(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_answered_reasks(transcripts: DataFrame) -> DataFrame:
+def scan_answered_reasks(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """User asks about a location AFTER a result for that location was
     already delivered in the same conversation — a redundant request the
     pipeline should have answered from context (the dataflow redundant-
     load smell). Distinct from repeated-question (same ask text ≥ k
     times regardless of answers). Evidence = the redundant ask's
     conv:turn; score 1."""
-    ask = RULES_BY_NAME["ask"]
-    result = RULES_BY_NAME["result"]
-    from joern_spark.operators.extract import normalize_surface_col
-
-    asks = transcripts.where(_match_cond(ask)).select(
-        "conv_id",
-        "turn_idx",
-        normalize_surface_col(
-            F.regexp_extract("text", ask.pattern, 1)
-        ).alias("loc"),
-    )
-    first_res = (
-        transcripts.where(_match_cond(result))
-        .select(
-            "conv_id",
-            normalize_surface_col(
-                F.regexp_extract("text", result.pattern, 1)
-            ).alias("loc"),
-            "turn_idx",
-        )
-        .groupBy("conv_id", "loc")
-        .agg(F.min("turn_idx").alias("first_res"))
+    s = _slices(transcripts, slices)
+    asks = s.ask.select("conv_id", "turn_idx", "loc")
+    first_res = s.result.groupBy("conv_id", "loc").agg(
+        F.min("turn_idx").alias("first_res")
     )
     return (
         asks.join(first_res, ["conv_id", "loc"])
@@ -1021,7 +985,9 @@ ENTITY_SPREAD_MIN = 3  # distinct conversations, absolute floor
 ENTITY_SPREAD_PCT = 5  # percent of all conversations
 
 
-def scan_entity_spread(transcripts: DataFrame) -> DataFrame:
+def scan_entity_spread(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Entity keys mentioned in ≥ ENTITY_SPREAD_PCT% of ALL conversations
     (and at least ENTITY_SPREAD_MIN absolute) — coverage hubs. Distinct
     from hub-entity, which scores raw mention COUNT: a key mentioned
@@ -1032,11 +998,10 @@ def scan_entity_spread(transcripts: DataFrame) -> DataFrame:
     aggregated keys, and the total-conversation count joins as a 1-row
     broadcast. Integer-arithmetic percent threshold; scored by the
     conversation count."""
-    from joern_spark.operators.extract import extract_mentions
     from joern_spark.operators.link import keyed_mentions
 
     ck = (
-        keyed_mentions(extract_mentions(transcripts))
+        keyed_mentions(_slices(transcripts, slices).mentions)
         .select("conv_id", "entity_key")
         .dropDuplicates()
     )
@@ -1058,22 +1023,16 @@ def scan_entity_spread(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_condition_contradictions(transcripts: DataFrame) -> DataFrame:
+def scan_condition_contradictions(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Locations whose tool results report ≥ 2 distinct weather
     CONDITIONS (sunny vs rain) — the categorical twin of
     temperature-contradiction, closing the fact-consistency pair over
     both extracted measures. Scored by the distinct-condition count."""
-    result = RULES_BY_NAME["result"]
-    from joern_spark.operators.extract import normalize_surface_col
-
-    obs = transcripts.where(_match_cond(result)).select(
-        normalize_surface_col(
-            F.regexp_extract("text", result.pattern, 1)
-        ).alias("loc"),
-        F.regexp_extract("text", result.pattern, 3).alias("cond"),
-    )
     return (
-        obs.groupBy("loc")
+        _slices(transcripts, slices).result
+        .groupBy("loc")
         .agg(F.countDistinct("cond").alias("n"))
         .where(F.col("n") >= 2)
         .select(
@@ -1167,34 +1126,18 @@ def scan_unknown_tool_calls(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_unasked_results(transcripts: DataFrame) -> DataFrame:
+def scan_unasked_results(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Tool results for a location the user never ASKED about in that
     conversation — provenance: data entered the conversation with no
     originating request (distinct from orphan-result, which checks for
     the missing CALL). Fires legitimately on blocks whose ask slot was
     replaced by an alias/rebind statement. Both join sides are filtered
     slices, so only the two small slices shuffle."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    result = RULES_BY_NAME["result"]
-    ask = RULES_BY_NAME["ask"]
-    res = transcripts.where(_match_cond(result)).select(
-        "conv_id",
-        "turn_idx",
-        normalize_surface_col(
-            F.regexp_extract("text", result.pattern, 1)
-        ).alias("loc"),
-    )
-    asked = (
-        transcripts.where(_match_cond(ask))
-        .select(
-            "conv_id",
-            normalize_surface_col(
-                F.regexp_extract("text", ask.pattern, 1)
-            ).alias("loc"),
-        )
-        .distinct()
-    )
+    s = _slices(transcripts, slices)
+    res = s.result.select("conv_id", "turn_idx", "loc")
+    asked = s.ask.select("conv_id", "loc").distinct()
     return res.join(asked, ["conv_id", "loc"], "left_anti").select(
         F.lit("unasked-result").alias("query_name"),
         F.concat(
@@ -1204,24 +1147,17 @@ def scan_unasked_results(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_local_contradictions(transcripts: DataFrame) -> DataFrame:
+def scan_local_contradictions(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Locations reported with ≥ LOCAL_CONTRA_MIN distinct temperatures
     WITHIN one conversation — the conversation-scoped twin of the
     corpus-level temperature-contradiction scanner: a single agent
     contradicting itself is a stronger signal than two agents
     disagreeing. One map-side-combined groupBy on (conv_id, loc)."""
-    from joern_spark.operators.extract import normalize_surface_col
-
-    result = RULES_BY_NAME["result"]
-    obs = transcripts.where(_match_cond(result)).select(
-        "conv_id",
-        normalize_surface_col(
-            F.regexp_extract("text", result.pattern, 1)
-        ).alias("loc"),
-        F.regexp_extract("text", result.pattern, 2).alias("temp"),
-    )
     return (
-        obs.groupBy("conv_id", "loc")
+        _slices(transcripts, slices).result
+        .groupBy("conv_id", "loc")
         .agg(F.countDistinct("temp").alias("n"))
         .where(F.col("n") >= LOCAL_CONTRA_MIN)
         .select(
@@ -1276,15 +1212,34 @@ SCANNERS: dict[str, Callable] = {
 }
 
 
+# Scanners that accept the shared slice set (everything rule-based);
+# computed once at import so run_scan's dispatch is just a set probe.
+_SLICED_SCANNERS = frozenset(
+    name
+    for name, fn in SCANNERS.items()
+    if "slices" in inspect.signature(fn).parameters
+)
+
+
 def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
     """findings(query_name, evidence, score) — the full battery as one
-    unioned plan. The three mention-statistics scanners branch off ONE
-    shared `_mention_counts` plan so the extraction scan + aggregation
-    exchange run once (ReuseExchange) instead of three times."""
-    mc = _mention_counts(transcripts)
+    unioned plan over SHARED rule slices: `build_slices` materializes
+    one filtered extraction pass per rule (lazily checkpointed) and
+    every rule-based scanner reads its slice, so the battery costs ~8
+    corpus text-passes instead of one per scanner (~25). The three
+    mention-statistics scanners additionally branch off ONE shared
+    `_mention_counts` aggregation."""
+    sl = build_slices(transcripts, materialize=True)
+    mc = _mention_counts(transcripts, slices=sl)
     shared = {"hub-entity": _hub_findings(mc), "lone-mention": _lone_findings(mc)}
     parts = [
-        shared[name] if name in shared else fn(transcripts)
+        shared[name]
+        if name in shared
+        else (
+            fn(transcripts, slices=sl)
+            if name in _SLICED_SCANNERS
+            else fn(transcripts)
+        )
         for name, fn in SCANNERS.items()
     ]
     parts.append(_unknown_findings(mc, entities))
