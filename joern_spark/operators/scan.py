@@ -1168,6 +1168,92 @@ def scan_local_contradictions(
     )
 
 
+# --- temporal bundle ---------------------------------------------------
+#
+# Wall-clock integrity over the ts column. The transcript analog of the
+# reference's ordering/metrics checks (querydb Metrics.scala loop-shape
+# bounds) applied to TIME instead of AST shape. ts is TimestampNTZ on
+# both engines, so all three scanners are pure naive-timestamp
+# comparisons/diffs — TZ-invariant by construction.
+
+BURST_MIN_TURNS = 64       # turns — only abnormally long bursts qualify
+BURST_MAX_AVG_GAP_S = 2    # avg inter-turn gap (s) at/below which it's a burst
+HANDOFF_GAP_S = 3600       # adjacent-turn gap (s) above which the convo stalled
+
+
+def scan_clock_skew(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Turns whose ts is EARLIER than the previous turn's (in turn_idx
+    order) — ingest-ordering corruption: the stable (conv_id, turn_idx)
+    ordering invariant and wall-clock disagree. One streaming-frame
+    window per conversation."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select("conv_id", "turn_idx", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")))
+        .select(
+            F.lit("clock-skew").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_burst_conversations(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Conversations of ≥ BURST_MIN_TURNS turns whose average inter-turn
+    gap is under BURST_MAX_AVG_GAP_S seconds — machine-rate dialogue
+    (replayed logs, runaway agent loops). Integer comparison
+    span < gap·(n-1), no division; one aggregation per conversation.
+    Scored by the turn count."""
+    agg = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    span_s = F.expr("timestampdiff(SECOND, mn, mx)")
+    return (
+        agg.where(
+            (F.col("n") >= BURST_MIN_TURNS)
+            & (span_s < BURST_MAX_AVG_GAP_S * (F.col("n") - 1))
+        )
+        .select(
+            F.lit("burst-conversation").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_stale_handoffs(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Adjacent turns more than HANDOFF_GAP_S seconds apart — the
+    conversation stalled mid-flight (abandoned session resumed much
+    later; a session-boundary signal stricter than assemble.session_ids'
+    gap split). Evidence is the resuming turn; scored by the gap in
+    seconds."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap_s = F.expr("timestampdiff(SECOND, prev_ts, ts)")
+    return (
+        transcripts.select("conv_id", "turn_idx", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull() & (gap_s > HANDOFF_GAP_S))
+        .select(
+            F.lit("stale-handoff").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            gap_s.cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -1209,6 +1295,9 @@ SCANNERS: dict[str, Callable] = {
     "unknown-tool-call": scan_unknown_tool_calls,
     "unasked-result": scan_unasked_results,
     "local-contradiction": scan_local_contradictions,
+    "clock-skew": scan_clock_skew,
+    "burst-conversation": scan_burst_conversations,
+    "stale-handoff": scan_stale_handoffs,
 }
 
 

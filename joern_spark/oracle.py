@@ -847,10 +847,13 @@ SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
 
 def findings_sql(sf: float) -> str:
     from joern_spark.operators.scan import (  # shared constants
+        BURST_MAX_AVG_GAP_S,
+        BURST_MIN_TURNS,
         DB_MIX_MIN,
         DEAD_REBIND_SENTINEL,
         ENTITY_SPREAD_MIN,
         ENTITY_SPREAD_PCT,
+        HANDOFF_GAP_S,
         HUB_SHARE,
         KNOWN_TOOLS,
         LEAK_PATTERNS,
@@ -1180,6 +1183,25 @@ SELECT 'local-contradiction', conv_id || ':' || loc,
          regexp_extract(text, '{result.pattern}', 2) AS temp
   FROM t WHERE {_rule_where(result)}
 ) GROUP BY conv_id, loc HAVING count(DISTINCT temp) >= {LOCAL_CONTRA_MIN}
+UNION ALL
+SELECT 'clock-skew', conv_id || ':' || CAST(turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, ts,
+             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+      FROM t)
+WHERE prev_ts IS NOT NULL AND ts < prev_ts
+UNION ALL
+SELECT 'burst-conversation', conv_id, n::BIGINT FROM (
+  SELECT conv_id, count(*) AS n, min(ts) AS mn, max(ts) AS mx
+  FROM t GROUP BY conv_id
+) WHERE n >= {BURST_MIN_TURNS}
+  AND date_diff('second', mn, mx) < {BURST_MAX_AVG_GAP_S} * (n - 1)
+UNION ALL
+SELECT 'stale-handoff', conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       date_diff('second', prev_ts, ts)::BIGINT
+FROM (SELECT conv_id, turn_idx, ts,
+             lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+      FROM t)
+WHERE prev_ts IS NOT NULL AND date_diff('second', prev_ts, ts) > {HANDOFF_GAP_S}
 """
 
 

@@ -1101,6 +1101,90 @@ QUERY_DB.extend(
                 ]
             ],
         ),
+        Query(
+            name="clock-skew",
+            author=_A,
+            title="Turn timestamp earlier than its predecessor",
+            description="Turns whose ts precedes the previous turn's in "
+            "(conv_id, turn_idx) order — the stable-ordering invariant "
+            "and wall-clock disagree (ingest corruption).",
+            score=5.0,
+            scanner=scan.scan_clock_skew,
+            tags=["temporal", "ordering"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "first",
+                     None, _dt.datetime(2024, 1, 1, 0, 0, 10)),
+                    ("c1", 1, "assistant", "second",
+                     None, _dt.datetime(2024, 1, 1, 0, 0, 5)),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user", "first",
+                     None, _dt.datetime(2024, 1, 1, 0, 0, 5)),
+                    ("c2", 1, "assistant", "second",
+                     None, _dt.datetime(2024, 1, 1, 0, 0, 10)),
+                ]
+            ],
+        ),
+        Query(
+            name="burst-conversation",
+            author=_A,
+            title="Machine-rate dialogue burst",
+            description="Conversations of ≥64 turns averaging under 2 "
+            "seconds between turns — replayed logs or runaway agent "
+            "loops, not human dialogue.",
+            score=4.0,
+            scanner=scan.scan_burst_conversations,
+            tags=["temporal", "skew"],
+            positive_examples=[
+                [
+                    ("b1", i, "user", f"pad {i}", None,
+                     _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=i))
+                    for i in range(64)
+                ]
+            ],
+            negative_examples=[
+                [  # same length at a human minute-scale cadence
+                    ("b2", i, "user", f"pad {i}", None,
+                     _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=60 * i))
+                    for i in range(64)
+                ],
+                [  # burst cadence but too short to qualify
+                    ("b3", i, "user", f"pad {i}", None,
+                     _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=i))
+                    for i in range(8)
+                ],
+            ],
+        ),
+        Query(
+            name="stale-handoff",
+            author=_A,
+            title="Conversation stalled for over an hour mid-flight",
+            description="Adjacent turns more than an hour apart — an "
+            "abandoned session resumed much later; the resuming turn is "
+            "the evidence, scored by the gap in seconds.",
+            score=2.0,
+            scanner=scan.scan_stale_handoffs,
+            tags=["temporal"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user", "before",
+                     None, _dt.datetime(2024, 1, 1, 9, 0, 0)),
+                    ("c1", 1, "assistant", "after",
+                     None, _dt.datetime(2024, 1, 1, 11, 30, 0)),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user", "before",
+                     None, _dt.datetime(2024, 1, 1, 9, 0, 0)),
+                    ("c2", 1, "assistant", "after",
+                     None, _dt.datetime(2024, 1, 1, 9, 0, 10)),
+                ]
+            ],
+        ),
     ]
 )
 
@@ -1176,6 +1260,10 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     "security": (
         "pii-email-leak", "pii-phone-leak", "secret-leak",
         "unknown-tool-call",
+    ),
+    # wall-clock integrity over the ts column
+    "temporal": (
+        "clock-skew", "burst-conversation", "stale-handoff",
     ),
     # corpus-level, cross-conversation analyses
     "crossconv": (
