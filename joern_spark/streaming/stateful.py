@@ -207,3 +207,44 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def leak_scan_stream(stream: DataFrame) -> DataFrame:
+    """Streaming security findings — the battery's leak bundle
+    (scan.LEAK_PATTERNS: PII emails/phones, credential drops) applied AT
+    INGEST so leaks surface the moment a turn lands instead of at the
+    next batch battery run.
+
+    Spark-first: each pattern is a pure stateless filter over the
+    micro-batch — no watermark, no state store; exactly-once comes from
+    the file sink's checkpointed manifest alone. The scanner kernels are
+    the SAME functions the batch battery runs (`scan._leak_scan`), so
+    streamed findings are row-identical to a batch scan of the same
+    files (asserted in tests/test_streaming.py)."""
+    from joern_spark.operators.scan import LEAK_PATTERNS, _leak_scan
+
+    out = None
+    for name in LEAK_PATTERNS:
+        part = _leak_scan(stream, name)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def run_leak_scan_stream(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """AvailableNow drain of the landing directory into an append-only
+    streamed findings table (query_name, evidence, score)."""
+    from joern_spark.streaming.ingest import read_transcript_stream
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        leak_scan_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -176,3 +176,44 @@ def test_dedup_stream_exactly_once_across_drains(spark, tmp_path_factory):
     )
     assert out.count() == batch_distinct.count()
     assert out.count() > n1  # batch2 contributed genuinely-new texts
+
+
+def test_leak_scan_stream_exactly_once_and_batch_equal(spark, tmp_path):
+    """The streaming leak scanner drains exactly once and emits
+    row-identical findings to the batch leak kernels over the same
+    files (it IS the same kernel — scan._leak_scan)."""
+    import os
+
+    from joern_spark.operators.scan import LEAK_PATTERNS, _leak_scan
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+    from joern_spark.streaming.stateful import run_leak_scan_stream
+
+    d = {k: str(tmp_path / k) for k in ("landing", "out", "ckpt")}
+    os.makedirs(d["landing"])
+    rows = [
+        ("s1", 0, "user", "Contact me at alice@example.com now.", None, None),
+        ("s1", 1, "assistant", "Use key sk-abcdefghijklmnopqrstuv.", None, None),
+        ("s2", 0, "user", "Call +1-555-123-4567 and bob@x.org.", None, None),
+        ("s2", 1, "assistant", "Nothing sensitive here.", None, None),
+    ]
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d["landing"])
+
+    run_leak_scan_stream(spark, d["landing"], d["out"], d["ckpt"])
+    streamed = spark.read.parquet(d["out"])
+    n1 = streamed.count()
+    assert n1 == 4  # email, secret, phone, second email
+
+    # batch parity: identical rows from the same kernels
+    t = spark.read.parquet(d["landing"])
+    batch = None
+    for name in LEAK_PATTERNS:
+        p = _leak_scan(t, name)
+        batch = p if batch is None else batch.unionByName(p)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # second drain with no new files → nothing re-emitted
+    run_leak_scan_stream(spark, d["landing"], d["out"], d["ckpt"])
+    assert spark.read.parquet(d["out"]).count() == n1
