@@ -61,6 +61,13 @@ class StepSem:
     reverse: bool = False
     crossing: bool = False
     fan_topk: int | None = None
+    # Declares the label's edge layer duplicate-free BY CONSTRUCTION
+    # (NEXT_TURN is a per-conversation window `lead`; SAME_AS a deduped
+    # pair table), so step_edges skips its dedup shuffle. At 10^12
+    # turns, re-deduping the control-flow layer would shuffle the whole
+    # corpus for nothing — this flag is the plan-shape difference
+    # between a walk that scales and one that doesn't.
+    unique: bool = False
 
 
 # Crossing fan bound: how many first-mentioning turns a provenance flow
@@ -74,10 +81,10 @@ CROSS_FAN_K = 8
 # likewise never walks CONTAINS in flow search). SAME_AS appears in both
 # directions because the pair table is directed (alias → target).
 DEFAULT_STEP_SEMANTICS: list[StepSem] = [
-    StepSem("NEXT_TURN"),
+    StepSem("NEXT_TURN", unique=True),
     StepSem("LINKS_TO"),
-    StepSem("SAME_AS"),
-    StepSem("SAME_AS", reverse=True),
+    StepSem("SAME_AS", unique=True),
+    StepSem("SAME_AS", reverse=True, unique=True),
     StepSem("LINKS_TO", reverse=True, crossing=True, fan_topk=CROSS_FAN_K),
 ]
 
@@ -96,24 +103,31 @@ def step_edges(
     k lexicographically-first destinations per source via the skew-safe
     exact top-k.
 
-    Scan accounting: the labeled union is projected to (src, dst, label),
-    deduped ONCE and lazily checkpointed; every direction slice is then a
-    metadata filter over that skinny materialized table. Without this the
-    5 slices each re-scan the union plan — whose LINKS_TO branch embeds
-    the full mention extraction — i.e. 5 extractions for one walk
-    (measured 7.4s → ~3s at sf0.1). A slice of the deduped (src, dst,
-    label) set stays deduped after the reverse swap, so no per-slice
-    re-dedup is needed."""
+    Scan accounting: ONE skinny materialized base per label (the label
+    filter prunes the union plan to that label's branch, so each branch
+    — including the LINKS_TO one that embeds the full mention
+    extraction — is scanned exactly once); every direction slice is a
+    projection of its label base. Only labels NOT declared `unique` pay
+    a dedup shuffle: NEXT_TURN (per-conversation window `lead`) and
+    SAME_AS (deduped pair table) are duplicate-free by construction,
+    and at corpus scale the skipped NEXT_TURN dedup is a
+    10^12-row shuffle that buys nothing. A slice of a deduped (src,
+    dst) set stays deduped after the reverse swap, so forward/reverse
+    steps share their label base."""
     sems = DEFAULT_STEP_SEMANTICS if sems is None else sems
-    base = (
-        edges.select("src", "dst", "label")
-        .where(F.col("label").isin(sorted({s.label for s in sems})))
-        .dropDuplicates()
-        .localCheckpoint(eager=False)
-    )
+    bases: dict[str, DataFrame] = {}
+    for label in sorted({s.label for s in sems}):
+        b = (
+            edges.select("src", "dst", "label")
+            .where(F.col("label") == label)
+            .select("src", "dst")
+        )
+        if not all(s.unique for s in sems if s.label == label):
+            b = b.dropDuplicates()
+        bases[label] = b.localCheckpoint(eager=False)
     outs = []
     for s in sems:
-        e = base.where(F.col("label") == s.label).select(
+        e = bases[s.label].select(
             (F.col("dst") if s.reverse else F.col("src")).alias("src"),
             (F.col("src") if s.reverse else F.col("dst")).alias("dst"),
         )
