@@ -98,9 +98,16 @@ def step_edges(
 ) -> DataFrame:
     """(src, dst, lbl, crossing) — the directed step set the walk joins
     against, derived from the labeled edge union by the semantics table.
-    Each label-direction slice is deduped (multi-mention duplicate edges
-    must not multiply paths) and, when `fan_topk` is set, reduced to the
-    k lexicographically-first destinations per source via the skew-safe
+    Duplicate edges must not multiply paths, so every label slice is
+    duplicate-free when it enters the walk — either deduped here, or
+    declared `unique` in the semantics row because its PRODUCER
+    guarantees it (window `lead`, deduped pair table). `unique` is a
+    contract on the producer, not a hope about the data: a corpus that
+    violates turn-key integrity (duplicate (conv_id, turn_idx) rows —
+    surfaced by the duplicate-turn scanner and cleaned by the streaming
+    dedup) must not be walked with NEXT_TURN flagged unique. When
+    `fan_topk` is set the slice is additionally reduced to the k
+    lexicographically-first destinations per source via the skew-safe
     exact top-k.
 
     Scan accounting: ONE skinny materialized base per label (the label

@@ -871,6 +871,10 @@ def scan_globally_unanswered_asks(
     )
 
     s = _slices(transcripts, slices)
+    # cmap goes through canonicalize's OWN pair plan (not slices.alias):
+    # connected_components memoizes the solve per session on that plan,
+    # so this shares one solve with alias-chain / tpg_canonical_map —
+    # rebuilding from the slice would fork a second solve per battery.
     cmap = F.broadcast(connected_components(same_as_pairs(transcripts)))
 
     def canon(df):
@@ -1177,13 +1181,11 @@ def scan_local_contradictions(
 # comparisons/diffs — TZ-invariant by construction.
 
 BURST_MIN_TURNS = 64       # turns — only abnormally long bursts qualify
-BURST_MAX_AVG_GAP_S = 2    # avg inter-turn gap (s) at/below which it's a burst
+BURST_MAX_AVG_GAP_S = 2    # burst iff avg inter-turn gap STRICTLY below this (s)
 HANDOFF_GAP_S = 3600       # adjacent-turn gap (s) above which the convo stalled
 
 
-def scan_clock_skew(
-    transcripts: DataFrame, slices: TurnSlices | None = None
-) -> DataFrame:
+def scan_clock_skew(transcripts: DataFrame) -> DataFrame:
     """Turns whose ts is EARLIER than the previous turn's (in turn_idx
     order) — ingest-ordering corruption: the stable (conv_id, turn_idx)
     ordering invariant and wall-clock disagree. One streaming-frame
@@ -1203,9 +1205,7 @@ def scan_clock_skew(
     )
 
 
-def scan_burst_conversations(
-    transcripts: DataFrame, slices: TurnSlices | None = None
-) -> DataFrame:
+def scan_burst_conversations(transcripts: DataFrame) -> DataFrame:
     """Conversations of ≥ BURST_MIN_TURNS turns whose average inter-turn
     gap is under BURST_MAX_AVG_GAP_S seconds — machine-rate dialogue
     (replayed logs, runaway agent loops). Integer comparison
@@ -1230,9 +1230,7 @@ def scan_burst_conversations(
     )
 
 
-def scan_stale_handoffs(
-    transcripts: DataFrame, slices: TurnSlices | None = None
-) -> DataFrame:
+def scan_stale_handoffs(transcripts: DataFrame) -> DataFrame:
     """Adjacent turns more than HANDOFF_GAP_S seconds apart — the
     conversation stalled mid-flight (abandoned session resumed much
     later; a session-boundary signal stricter than assemble.session_ids'

@@ -4,6 +4,8 @@ matching the DuckDB oracle in joern_spark.oracle."""
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,27 +129,39 @@ def q_sessions(spark, sf_dir):
     return assemble.session_ids(_t(spark, sf_dir))
 
 
-# Four independent graph-analytics operators (PageRank, triangles,
-# communities, k-core) run over the SAME derived co-mention edge table,
-# which is vocabulary-bounded (≤ |vocab|² rows) but costs a full
-# extraction scan + distinct + self-join to derive (~3-4 s each at
-# sf0.1). Same per-(session, sf_dir) checkpoint discipline as the
-# findings battery: derive once, every consumer reads the materialized
-# tiny table.
+# Session-scoped result memo: expensive derived tables that MULTIPLE
+# registered queries consume (each cached result is tiny — bounded by
+# vocabulary / seeds / scanner hits, never corpus-sized) are built once
+# per (applicationId, sf_dir) and lazily checkpointed; every consumer
+# reads the materialized table. One helper so the caching discipline
+# (key shape, checkpoint mode) lives in one place.
+def _session_memo(
+    cache: dict, spark, sf_dir: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = cache.get(key)
+    if df is None:
+        df = build().localCheckpoint(eager=False)
+        cache[key] = df
+    return df
+
+
+# The co-mention edge table: vocabulary-bounded (≤ |vocab|² rows) but a
+# full extraction scan + distinct + self-join to derive (~3-4 s each at
+# sf0.1); four graph-analytics operators (PageRank, triangles,
+# communities, k-core) read it.
 _COOC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _comention_edges(spark, sf_dir):
     from joern_spark.operators.rank import entity_cooccurrence
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _COOC_CACHE.get(key)
-    if df is None:
-        df = entity_cooccurrence(
-            extract_mentions(_t(spark, sf_dir))
-        ).localCheckpoint(eager=False)
-        _COOC_CACHE[key] = df
-    return df
+    return _session_memo(
+        _COOC_CACHE,
+        spark,
+        sf_dir,
+        lambda: entity_cooccurrence(extract_mentions(_t(spark, sf_dir))),
+    )
 
 
 def q_entity_rank(spark, sf_dir):
@@ -320,9 +334,7 @@ _PATHS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _cross_paths(spark, sf_dir):
     from joern_spark.functions.hetero import expand_paths_hetero
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PATHS_CACHE.get(key)
-    if df is None:
+    def build():
         t = _t(spark, sf_dir)
         seeds = (
             extract_triples_raw(t)
@@ -334,11 +346,11 @@ def _cross_paths(spark, sf_dir):
             )
             .dropDuplicates()
         )
-        df = expand_paths_hetero(
+        return expand_paths_hetero(
             seeds, _hetero_edges(spark, sf_dir), max_depth=4, max_crossings=1
-        ).localCheckpoint(eager=False)
-        _PATHS_CACHE[key] = df
-    return df
+        )
+
+    return _session_memo(_PATHS_CACHE, spark, sf_dir, build)
 
 
 def q_cross_paths(spark, sf_dir):
@@ -432,14 +444,12 @@ _FINDINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _findings(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _FINDINGS_CACHE.get(key)
-    if df is None:
-        df = scan.run_scan(_t(spark, sf_dir), read_entities(spark)).localCheckpoint(
-            eager=False
-        )
-        _FINDINGS_CACHE[key] = df
-    return df
+    return _session_memo(
+        _FINDINGS_CACHE,
+        spark,
+        sf_dir,
+        lambda: scan.run_scan(_t(spark, sf_dir), read_entities(spark)),
+    )
 
 
 def q_findings(spark, sf_dir):
