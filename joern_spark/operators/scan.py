@@ -57,6 +57,10 @@ class TurnSlices:
     dbcur: DataFrame
     db: DataFrame       # + db_name
     mentions: DataFrame  # extract_mentions output (all rules)
+    # Every turn with its predecessor (ONE conv-window pass shared by
+    # all adjacency scanners — echo-turn, clock-skew, stale-handoff,
+    # result-mismatch — instead of one full-corpus window shuffle each).
+    adjacent: DataFrame  # + prev_turn_idx, prev_role, prev_text, prev_ts
 
 
 def build_slices(transcripts: DataFrame, materialize: bool = False) -> TurnSlices:
@@ -82,6 +86,7 @@ def build_slices(transcripts: DataFrame, materialize: bool = False) -> TurnSlice
         )
 
     n = normalize_surface_col
+    w_adj = Window.partitionBy("conv_id").orderBy("turn_idx")
     return TurnSlices(
         ask=sl("ask", n(ex("ask", 1)).alias("loc")),
         call=sl(
@@ -108,6 +113,19 @@ def build_slices(transcripts: DataFrame, materialize: bool = False) -> TurnSlice
         dbcur=sl("dbcur"),
         db=sl("db", ex("db", 1).alias("db_name")),
         mentions=ckpt(extract_mentions(transcripts)),
+        # deliberately NOT checkpointed: the slice is corpus-width (text
+        # + prev_text), so serializing it costs more than it saves; the
+        # four consumers share this one plan object and ReuseExchange
+        # dedupes the single conv-window shuffle across their branches.
+        adjacent=transcripts.select(
+            "conv_id", "turn_idx", "role", "text", "ts"
+        ).select(
+            "*",
+            F.lag("turn_idx").over(w_adj).alias("prev_turn_idx"),
+            F.lag("role").over(w_adj).alias("prev_role"),
+            F.lag("text").over(w_adj).alias("prev_text"),
+            F.lag("ts").over(w_adj).alias("prev_ts"),
+        ),
     )
 
 
@@ -598,41 +616,45 @@ def scan_alias_conflicts(
     )
 
 
-def scan_result_mismatches(transcripts: DataFrame) -> DataFrame:
+def scan_result_mismatches(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """A call whose IMMEDIATELY-following tool result reports a different
     location — the argument/return-type-mismatch analog: the value that
-    came back is not the value that was asked for. Window lead() over the
-    conversation, no self-join."""
-    from pyspark.sql import Window
-
+    came back is not the value that was asked for. Reads the shared
+    adjacency slice in lag form (detect on the result row, anchor the
+    evidence on its predecessor call turn) — the identical row set the
+    former per-scanner lead() window produced."""
     from joern_spark.operators.extract import normalize_surface_col
 
     call = RULES_BY_NAME["call"]
     result = RULES_BY_NAME["result"]
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    ann = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        F.when(
-            _match_cond(call),
-            normalize_surface_col(F.regexp_extract("text", call.pattern, 2)),
-        ).alias("call_loc"),
-        F.when(
-            _match_cond(result),
-            normalize_surface_col(F.regexp_extract("text", result.pattern, 1)),
-        ).alias("res_loc"),
+    adj = _slices(transcripts, slices).adjacent
+    call_loc = F.when(
+        (F.col("prev_role") == call.role)
+        & F.col("prev_text").rlike(call.pattern),
+        normalize_surface_col(F.regexp_extract("prev_text", call.pattern, 2)),
+    )
+    res_loc = F.when(
+        _match_cond(result),
+        normalize_surface_col(F.regexp_extract("text", result.pattern, 1)),
     )
     return (
-        ann.withColumn("next_res", F.lead("res_loc").over(w))
+        adj.select(
+            "conv_id",
+            "prev_turn_idx",
+            call_loc.alias("call_loc"),
+            res_loc.alias("res_loc"),
+        )
         .where(
             F.col("call_loc").isNotNull()
-            & F.col("next_res").isNotNull()
-            & (F.col("call_loc") != F.col("next_res"))
+            & F.col("res_loc").isNotNull()
+            & (F.col("call_loc") != F.col("res_loc"))
         )
         .select(
             F.lit("result-mismatch").alias("query_name"),
             F.concat(
-                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+                "conv_id", F.lit(":"), F.col("prev_turn_idx").cast("string")
             ).alias("evidence"),
             F.lit(1).cast("long").alias("score"),
         )
@@ -1185,15 +1207,16 @@ BURST_MAX_AVG_GAP_S = 2    # burst iff avg inter-turn gap STRICTLY below this (s
 HANDOFF_GAP_S = 3600       # adjacent-turn gap (s) above which the convo stalled
 
 
-def scan_clock_skew(transcripts: DataFrame) -> DataFrame:
+def scan_clock_skew(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Turns whose ts is EARLIER than the previous turn's (in turn_idx
     order) — ingest-ordering corruption: the stable (conv_id, turn_idx)
-    ordering invariant and wall-clock disagree. One streaming-frame
-    window per conversation."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ordering invariant and wall-clock disagree. Reads the shared
+    adjacency slice (one conv-window pass for all adjacency
+    scanners)."""
     return (
-        transcripts.select("conv_id", "turn_idx", "ts")
-        .withColumn("prev_ts", F.lag("ts").over(w))
+        _slices(transcripts, slices).adjacent
         .where(F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")))
         .select(
             F.lit("clock-skew").alias("query_name"),
@@ -1230,17 +1253,17 @@ def scan_burst_conversations(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def scan_stale_handoffs(transcripts: DataFrame) -> DataFrame:
+def scan_stale_handoffs(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
     """Adjacent turns more than HANDOFF_GAP_S seconds apart — the
     conversation stalled mid-flight (abandoned session resumed much
     later; a session-boundary signal stricter than assemble.session_ids'
     gap split). Evidence is the resuming turn; scored by the gap in
-    seconds."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seconds. Reads the shared adjacency slice."""
     gap_s = F.expr("timestampdiff(SECOND, prev_ts, ts)")
     return (
-        transcripts.select("conv_id", "turn_idx", "ts")
-        .withColumn("prev_ts", F.lag("ts").over(w))
+        _slices(transcripts, slices).adjacent
         .where(F.col("prev_ts").isNotNull() & (gap_s > HANDOFF_GAP_S))
         .select(
             F.lit("stale-handoff").alias("query_name"),
@@ -1248,6 +1271,77 @@ def scan_stale_handoffs(transcripts: DataFrame) -> DataFrame:
                 "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
             ).alias("evidence"),
             gap_s.cast("long").alias("score"),
+        )
+    )
+
+
+# --- single-conversation integrity additions ---------------------------
+
+# Roles allowed to carry a tool attribution (assistant issues the call,
+# tool reports the result); a tool value on a user turn is ingest
+# corruption or impersonation.
+TOOL_ROLES = ("assistant", "tool")
+
+
+def scan_cold_start_calls(transcripts: DataFrame) -> DataFrame:
+    """Conversations whose FIRST turn is already a tool call — action
+    with no preceding user request at all (the protocol twin of
+    protocol-violation, which only checks the first ROLE). One min_by
+    aggregation per conversation."""
+    call = RULES_BY_NAME["call"]
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.min_by(F.struct("text", "role"), "turn_idx").alias("first"))
+        .where(
+            (F.col("first.role") == call.role)
+            & F.col("first.text").rlike(call.pattern)
+        )
+        .select(
+            F.lit("cold-start-call").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_tool_role_mismatches(transcripts: DataFrame) -> DataFrame:
+    """Turns whose tool attribution and role disagree: a tool value on a
+    role outside TOOL_ROLES, or a `tool`-role turn with NO tool value —
+    column-level ingest integrity (the type-confusion analog). Pure
+    filter, no shuffle."""
+    bad = (
+        F.col("tool").isNotNull() & ~F.col("role").isin(*TOOL_ROLES)
+    ) | (F.col("tool").isNull() & (F.col("role") == "tool"))
+    return transcripts.where(bad).select(
+        F.lit("tool-role-mismatch").alias("query_name"),
+        F.concat(
+            "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("evidence"),
+        F.lit(1).cast("long").alias("score"),
+    )
+
+
+def scan_echo_turns(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Turns whose text is byte-identical to the IMMEDIATELY preceding
+    turn's from a DIFFERENT role — the agent parroting the user (or
+    vice versa), a turn-level quality smell distinct from duplicate-turn
+    (same key) and conversation-clone (whole-transcript). Reads the
+    shared adjacency slice."""
+    return (
+        _slices(transcripts, slices).adjacent
+        .where(
+            F.col("prev_text").isNotNull()
+            & (F.col("text") == F.col("prev_text"))
+            & (F.col("role") != F.col("prev_role"))
+        )
+        .select(
+            F.lit("echo-turn").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
         )
     )
 
@@ -1296,6 +1390,9 @@ SCANNERS: dict[str, Callable] = {
     "clock-skew": scan_clock_skew,
     "burst-conversation": scan_burst_conversations,
     "stale-handoff": scan_stale_handoffs,
+    "cold-start-call": scan_cold_start_calls,
+    "tool-role-mismatch": scan_tool_role_mismatches,
+    "echo-turn": scan_echo_turns,
 }
 
 

@@ -858,6 +858,7 @@ def findings_sql(sf: float) -> str:
         KNOWN_TOOLS,
         LEAK_PATTERNS,
         LOCAL_CONTRA_MIN,
+        TOOL_ROLES,
         REPEAT_ASK_MIN,
         ROLE_IMBALANCE_MIN_TURNS,
         ROLE_IMBALANCE_PCT,
@@ -868,6 +869,7 @@ def findings_sql(sf: float) -> str:
     )
 
     known_tools = ", ".join(f"'{t}'" for t in KNOWN_TOOLS)
+    tool_roles = ", ".join(f"'{r}'" for r in TOOL_ROLES)
 
     rebind = RULES_BY_NAME["rebind"]
     result = RULES_BY_NAME["result"]
@@ -1202,6 +1204,24 @@ FROM (SELECT conv_id, turn_idx, ts,
              lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
       FROM t)
 WHERE prev_ts IS NOT NULL AND date_diff('second', prev_ts, ts) > {HANDOFF_GAP_S}
+UNION ALL
+SELECT 'cold-start-call', conv_id, 1::BIGINT FROM (
+  SELECT conv_id, arg_min(text, turn_idx) AS first_text,
+         arg_min(role, turn_idx) AS first_role
+  FROM t GROUP BY conv_id
+) WHERE first_role = '{call.role}'
+  AND regexp_matches(first_text, '{call.pattern}')
+UNION ALL
+SELECT 'tool-role-mismatch',
+       conv_id || ':' || CAST(turn_idx AS VARCHAR), 1::BIGINT
+FROM t WHERE (tool IS NOT NULL AND role NOT IN ({tool_roles}))
+          OR (tool IS NULL AND role = 'tool')
+UNION ALL
+SELECT 'echo-turn', conv_id || ':' || CAST(turn_idx AS VARCHAR), 1::BIGINT
+FROM (SELECT conv_id, turn_idx, role, text,
+             lag(text) OVER w AS prev_text, lag(role) OVER w AS prev_role
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+WHERE prev_text IS NOT NULL AND text = prev_text AND role <> prev_role
 """
 
 

@@ -1185,6 +1185,81 @@ QUERY_DB.extend(
                 ]
             ],
         ),
+        Query(
+            name="cold-start-call",
+            author=_A,
+            title="Conversation opens with a tool call",
+            description="Conversations whose first turn is already a "
+            "tool call — action with no preceding user request (the "
+            "protocol twin of protocol-violation, which only checks "
+            "the first role).",
+            score=3.0,
+            scanner=scan.scan_cold_start_calls,
+            tags=["protocol", "callgraph"],
+            positive_examples=[
+                [("c1", 0, "assistant",
+                  "Calling weather_api for Lima.", "weather_api")]
+            ],
+            negative_examples=[
+                [
+                    ("c2", 0, "user",
+                     "Please check the weather in Lima.", None),
+                    ("c2", 1, "assistant",
+                     "Calling weather_api for Lima.", "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="tool-role-mismatch",
+            author=_A,
+            title="Tool attribution disagrees with the turn role",
+            description="Turns carrying a tool value on a role that "
+            "cannot issue or report calls, or tool-role turns with no "
+            "tool value — column-level ingest integrity.",
+            score=5.0,
+            scanner=scan.scan_tool_role_mismatches,
+            tags=["integrity", "ingest"],
+            positive_examples=[
+                [("c1", 0, "user",
+                  "Please check the weather in Lima.", "weather_api")],
+                [("c2", 0, "tool", "Lima: 10C, sunny.", None)],
+            ],
+            negative_examples=[
+                [
+                    ("c3", 0, "user",
+                     "Please check the weather in Lima.", None),
+                    ("c3", 1, "assistant",
+                     "Calling weather_api for Lima.", "weather_api"),
+                    ("c3", 2, "tool", "Lima: 10C, sunny.", "weather_api"),
+                ]
+            ],
+        ),
+        Query(
+            name="echo-turn",
+            author=_A,
+            title="Turn parrots the previous turn verbatim",
+            description="Turns byte-identical to the immediately "
+            "preceding turn from a DIFFERENT role — the agent echoing "
+            "the user; distinct from duplicate-turn (same key) and "
+            "conversation-clone (whole transcript).",
+            score=2.0,
+            scanner=scan.scan_echo_turns,
+            tags=["quality", "dedup"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user",
+                     "Please check the weather in Lima.", None),
+                    ("c1", 1, "assistant",
+                     "Please check the weather in Lima.", None),
+                ]
+            ],
+            negative_examples=[
+                [  # same text, same role — repetition, not an echo
+                    ("c2", 0, "user", "hello", None),
+                    ("c2", 1, "user", "hello", None),
+                ]
+            ],
+        ),
     ]
 )
 
@@ -1231,6 +1306,7 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     "structure": (
         "mega-conversation", "protocol-violation", "duplicate-turn",
         "turn-gap", "tool-fanout", "hub-entity", "role-imbalance",
+        "cold-start-call", "tool-role-mismatch", "echo-turn",
     ),
     # entity-linking / aliasing layer ("unknown-entity" is the battery's
     # one two-input scanner — transcripts ⋈ entities — so it has no
