@@ -427,7 +427,12 @@ def _cell_assignments(
     return embeddings.select(
         "vec_id",
         F.posexplode(ranked).alias("rank", "s"),
-    ).select("vec_id", F.col("s.cell").alias("cell"), "rank")
+    ).select(
+        "vec_id",
+        F.col("s.cell").alias("cell"),
+        "rank",
+        (-F.col("s.negsim")).alias("csim"),
+    )
 
 
 def cosine_topk_ivf(
@@ -520,6 +525,104 @@ def cosine_dup_pairs_matmul(
         q.groupBy("qb", "ib")
         .cogroup(idx.groupBy("qb", "ib"))
         .applyInPandas(tile, "a long, b long, sim double")
+    )
+
+
+SEMDEDUP_THRESHOLD = COSINE_DUP_THRESHOLD
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_cells: int = IVF_CELLS,
+) -> DataFrame:
+    """(vec_id, keep_id, cell): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings, prune
+    near-identical members within each cluster): every vector is
+    assigned to its nearest deterministic IVF cell, within-cell cosine
+    near-dup pairs (sim ≥ threshold) are connected into components, and
+    each component's survivor is the member LEAST similar to its cell
+    centroid (the paper's keep-the-most-marginal rule; ties → lowest
+    vec_id). Vectors in no pair survive as themselves.
+
+    This is the dedup family's survivor election (dedup.dedup_survivors,
+    the MethodStubCreator-style keep/drop product) with the blocking key
+    coming from embedding space instead of MinHash bands — the semantic
+    twin of lexical near-dup removal.
+
+    Scale shape: cell assignment is one fused projection over K literal
+    centroids (no shuffle); pairing shuffles once on cell id and AQE
+    splits hub cells; grow n_cells ~ sqrt(n) to keep cells
+    constant-sized (only the K-row centroid dimension table changes, not
+    the plan). Cross-cell near-dups are deliberately missed — SemDeDup's
+    stated approximation (its k-means plays exactly this blocking role).
+    The component→survivor joins are broadcast-vs-shuffle thresholded
+    like dedup_survivors, so a 50–80%-duplicate corpus cannot OOM the
+    broadcast path."""
+    from joern_spark.operators.canonicalize import connected_components
+    from joern_spark.operators.dedup import (
+        ID_PAD,
+        SURVIVOR_BROADCAST_THRESHOLD,
+    )
+
+    cents = [
+        list(r.centroid)
+        for r in ivf_centroids(embeddings, n_cells).orderBy("cell").collect()
+    ]
+    assign = _cell_assignments(embeddings, cents, probes=1)
+    sides = assign.select("vec_id", "cell").join(_normed(embeddings), "vec_id")
+    x = sides.select(
+        F.col("vec_id").alias("src"),
+        "cell",
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    y = sides.select(
+        F.col("vec_id").alias("dst"),
+        "cell",
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        x.join(y, "cell")
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("src", "dst")
+    )
+
+    pad = lambda c: F.lpad(c.cast("string"), ID_PAD, "0")  # noqa: E731
+    cmap = (
+        connected_components(
+            pairs.select(pad(F.col("src")).alias("a"), pad(F.col("dst")).alias("b"))
+        )
+        .select(F.col("entity_key").alias("_k"), F.col("canon").alias("_comp"))
+        .localCheckpoint(eager=True)
+    )
+    maybe_bc = (
+        F.broadcast
+        if cmap.count() <= SURVIVOR_BROADCAST_THRESHOLD
+        else (lambda df: df)
+    )
+    keyed = assign.withColumn("_k", pad(F.col("vec_id")))
+    members = keyed.join(maybe_bc(cmap), "_k")
+    w = Window.partitionBy("_comp").orderBy(F.asc("csim"), F.asc("vec_id"))
+    winners = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_comp", F.col("vec_id").alias("keep_id"))
+    )
+    comp_keep = maybe_bc(cmap.join(winners, "_comp").select("_k", "keep_id"))
+    return keyed.join(comp_keep, "_k", "left").select(
+        "vec_id",
+        F.coalesce("keep_id", F.col("vec_id")).alias("keep_id"),
+        "cell",
     )
 
 

@@ -314,6 +314,62 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, mean_lp) — order-2 LM quality proxy (the
+    bigram extension of unigram_logprob; CCNet's filter uses a KenLM
+    5-gram, and this is the same score family computed from the corpus's
+    own counts): the mean conditional log-probability ln P(w2 | w1) over
+    a document's bigrams, with P(w2 | w1) = c(w1 w2) / c(w1 ·) where
+    c(w1 ·) is the corpus count of bigrams STARTING with w1. No
+    smoothing is needed — the "model" is the corpus itself, so every
+    document bigram has a nonzero corpus count. Documents with fewer
+    than 2 tokens emit no row (no bigrams exist) on both engines.
+
+    Scale shape mirrors unigram_logprob: per-(doc, bigram) term
+    frequencies aggregate FIRST (map-side combined) so the count joins
+    carry one row per distinct (doc, bigram); the bigram-count and
+    prefix-count sides are vocabulary-bounded; hub bigrams are AQE
+    skew-split on the probe side. Tokens never contain spaces, so the
+    prefix key is an exact split of the bigram string.
+
+    Cross-engine float discipline (see unigram_logprob): identical
+    expression tree tf::double · ln(c2::double / c1::double) folded in
+    ascending sorted order per document — bit-exact oracle hashes."""
+    d = documents.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    tf = (
+        d.select("doc_id", F.explode(_grams_col(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c2 = tf.groupBy("g").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy(F.split(F.col("g"), " ").getItem(0).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    w = F.col("tf").cast("double") * F.ln(
+        F.col("c2").cast("double") / F.col("c1").cast("double")
+    )
+    scored = (
+        tf.join(c2, "g")
+        .join(c1, F.split(F.col("g"), " ").getItem(0) == F.col("w1"))
+        .select("doc_id", "tf", w.alias("w"))
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            sorted_sum.alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("_s") / F.col("n_bigrams").cast("double")).alias("mean_lp"),
+        )
+    )
+
+
 DOC_KEYWORDS_K = 5
 
 

@@ -29,6 +29,7 @@ from joern_spark.operators.similarity import (
     MULTI_PROBE_H,
     MULTI_TABLES,
     NPLANES,
+    SEMDEDUP_THRESHOLD,
     TOP_K,
     hyperplanes,
     probe_masks,
@@ -141,6 +142,36 @@ SELECT doc_id,
          list(tf::DOUBLE * ln(c::DOUBLE / (SELECT total FROM tot)))
        )) / sum(tf)::DOUBLE AS mean_lp
 FROM tf JOIN cnt USING (tok)
+GROUP BY doc_id
+"""
+
+
+def bigram_logprob_sql() -> str:
+    """Mirror of textstats.bigram_logprob: conditional bigram
+    log-probability under the corpus's own counts, identical expression
+    tree (tf::DOUBLE * ln(c2::DOUBLE / c1::DOUBLE)) and ascending-sorted
+    per-document fold. Tokens contain no spaces, so the prefix key
+    string_split(g, ' ')[1] is exact on both engines."""
+    return f"""
+WITH {TOKS},
+b AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+  FROM toks WHERE len(toks) >= 2
+),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM b GROUP BY 1, 2),
+c2 AS (SELECT g, sum(tf) AS c2 FROM tf GROUP BY 1),
+c1 AS (
+  SELECT string_split(g, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_bigrams,
+       list_sum(list_sort(
+         list(tf::DOUBLE * ln(c2::DOUBLE / c1::DOUBLE))
+       )) / sum(tf)::DOUBLE AS mean_lp
+FROM tf
+JOIN c2 USING (g)
+JOIN c1 ON string_split(tf.g, ' ')[1] = c1.w1
 GROUP BY doc_id
 """
 
@@ -720,6 +751,71 @@ sims AS (
   FROM normed x, normed y WHERE x.vec_id < y.vec_id
 )
 SELECT a, b, sim FROM sims WHERE sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def semantic_dedup_sql() -> str:
+    """SemDeDup mirror: identical deterministic centroid choice and
+    nearest-cell assignment as the IVF oracle, within-cell cosine pairs,
+    recursive-closure components, least-centroid-similar winner (ties →
+    lowest vec_id). csim only ORDERS the election (it is not emitted),
+    and all members of a component share one cell's centroid, so the
+    common cnorm factor cannot flip the cross-engine ordering."""
+    h = H.format(x="CAST(vec_id AS VARCHAR)")
+    cdot = (
+        "list_sum([(n.embedding[i]::DOUBLE) * (c.centroid[i]::DOUBLE) "
+        f"FOR i IN range(1, {DIM + 1})])"
+    )
+    return f"""
+WITH RECURSIVE {_NORM},
+cent AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell,
+         embedding AS centroid,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS cnorm
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {IVF_CELLS}
+),
+pairsim AS (
+  SELECT n.vec_id, c.cell, {cdot} / (n.norm * c.cnorm) AS sim
+  FROM normed n CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cell, sim AS csim FROM pairsim
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell ASC) = 1
+),
+sides AS (
+  SELECT a.vec_id, a.cell, n.embedding, n.norm
+  FROM assign a JOIN normed n USING (vec_id)
+),
+pr AS (
+  SELECT lpad(CAST(x.vec_id AS VARCHAR), {ID_PAD}, '0') AS a,
+         lpad(CAST(y.vec_id AS VARCHAR), {ID_PAD}, '0') AS b
+  FROM sides x JOIN sides y USING (cell)
+  WHERE x.vec_id < y.vec_id
+    AND {_DOT_XY} / (x.norm * y.norm) >= {SEMDEDUP_THRESHOLD}
+),
+sym AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+reach(n, m) AS (
+  SELECT DISTINCT a AS n, a AS m FROM sym
+  UNION
+  SELECT r.n, s.b AS m FROM reach r JOIN sym s ON s.a = r.m
+),
+cmap AS (SELECT n AS k, min(m) AS comp FROM reach GROUP BY n),
+keyed AS (
+  SELECT vec_id, cell, csim,
+         lpad(CAST(vec_id AS VARCHAR), {ID_PAD}, '0') AS k
+  FROM assign
+),
+winners AS (
+  SELECT c.comp, m.vec_id AS keep_id
+  FROM keyed m JOIN cmap c ON m.k = c.k
+  QUALIFY row_number() OVER (PARTITION BY c.comp
+                             ORDER BY m.csim ASC, m.vec_id ASC) = 1
+),
+ck AS (SELECT c.k, w.keep_id FROM cmap c JOIN winners w USING (comp))
+SELECT keyed.vec_id, coalesce(ck.keep_id, keyed.vec_id) AS keep_id, keyed.cell
+FROM keyed LEFT JOIN ck ON keyed.k = ck.k
 """
 
 

@@ -642,6 +642,12 @@ def q_doc_lm_buckets(spark, sf_dir):
     return textstats.lm_buckets(read_documents(spark, sf_dir))
 
 
+def q_doc_bigram_lp(spark, sf_dir):
+    """Order-2 LM quality proxy: mean conditional bigram log-prob per
+    document under the corpus's own bigram counts."""
+    return textstats.bigram_logprob(read_documents(spark, sf_dir))
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
@@ -687,6 +693,12 @@ def q_sim_topk_ivf(spark, sf_dir):
 
 def q_dd_embed_cosine(spark, sf_dir):
     return similarity.cosine_dup_pairs_matmul(read_embeddings(spark, sf_dir))
+
+
+def q_dd_semantic(spark, sf_dir):
+    """SemDeDup: IVF-cell-blocked embedding near-dup components with
+    least-centroid-similar survivor election (keep/drop map)."""
+    return similarity.semantic_dedup(read_embeddings(spark, sf_dir))
 
 
 def q_mm_image_meta(spark, sf_dir):
@@ -738,10 +750,12 @@ TPG_QUERIES = {
     "doc_unigram_lp": q_doc_unigram_lp,
     "doc_keywords": q_doc_keywords,
     "doc_lm_buckets": q_doc_lm_buckets,
+    "doc_bigram_lp": q_doc_bigram_lp,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
     "sim_topk_ivf": q_sim_topk_ivf,
     "dd_embed_cosine": q_dd_embed_cosine,
+    "dd_semantic": q_dd_semantic,
     "emb_quantize": q_emb_quantize,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,

@@ -95,6 +95,41 @@ def test_cosine_dup_pairs(embs):
     assert pairs == {(0, 1)}
 
 
+def test_semantic_dedup(embs):
+    """SemDeDup keep/drop map: the near-dup pair (0, 1) collapses to one
+    survivor — the member LEAST similar to its cell centroid (ties →
+    lowest vec_id) — and every unpaired vector keeps itself."""
+    df, _ = embs
+    out = {
+        r.vec_id: (r.keep_id, r.cell)
+        for r in similarity.semantic_dedup(df, threshold=0.99).collect()
+    }
+    assert set(out) == set(range(20))
+    keep0, cell0 = out[0]
+    keep1, cell1 = out[1]
+    assert cell0 == cell1 and keep0 == keep1 and keep0 in (0, 1)
+    for v in range(2, 20):
+        assert out[v][0] == v
+    cents = [
+        list(r.centroid)
+        for r in similarity.ivf_centroids(df).orderBy("cell").collect()
+    ]
+    csim = {
+        r.vec_id: r.csim
+        for r in similarity._cell_assignments(df, cents, probes=1).collect()
+    }
+    loser = 1 - keep0
+    assert (csim[keep0], keep0) <= (csim[loser], loser)
+
+
+def test_semantic_dedup_no_pairs_identity(embs):
+    """An unreachable threshold produces no pairs — every vector must
+    survive as itself (the empty-component degenerate path)."""
+    df, _ = embs
+    out = similarity.semantic_dedup(df, threshold=1.1).collect()
+    assert len(out) == 20 and all(r.keep_id == r.vec_id for r in out)
+
+
 def test_lsh_topk_subset_of_bruteforce(embs):
     df, _ = embs
     brute = {(r.src, r.dst) for r in similarity.cosine_topk_bruteforce(df, k=3).collect()}
@@ -564,6 +599,40 @@ def test_unigram_logprob_empty_doc_absent(spark):
     )
     out = textstats.unigram_logprob(d)
     assert {r.doc_id for r in out.collect()} == {0}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Corpus bigrams: doc0 'a b a' → {'a b':1, 'b a':1}, doc1 'a b' →
+    {'a b':1}. Prefix counts: c('a ·')=2, c('b ·')=1. So
+    P(b|a)=2/2=1 and P(a|b)=1/1=1 → every conditional is certain and
+    both docs score exactly 0. A third doc breaks the certainty."""
+    d = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_lp)
+        for r in textstats.bigram_logprob(d).collect()
+    }
+    # 1-token doc2 has no bigrams → absent
+    assert set(got) == {0, 1}
+    assert got[0] == (2, pytest.approx(0.0, abs=1e-12))
+    assert got[1] == (1, pytest.approx(0.0, abs=1e-12))
+
+    d2 = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a b a b")], "doc_id long, text string"
+    )
+    got2 = {
+        r.doc_id: (r.n_bigrams, r.mean_lp)
+        for r in textstats.bigram_logprob(d2).collect()
+    }
+    # corpus counts: 'a b':3, 'a c':1, 'b a':1 → c('a ·')=4, c('b ·')=1
+    lp_ab, lp_ac, lp_ba = math.log(3 / 4), math.log(1 / 4), math.log(1 / 1)
+    assert got2[0] == (1, pytest.approx(lp_ab, abs=1e-12))
+    assert got2[1] == (1, pytest.approx(lp_ac, abs=1e-12))
+    assert got2[2][0] == 3
+    assert got2[2][1] == pytest.approx((2 * lp_ab + lp_ba) / 3, abs=1e-12)
+    # the formulaic doc (repeated frequent bigram) outscores the rare one
+    assert got2[2][1] > got2[1][1]
 
 
 def test_doc_keywords_tfidf_ranking(spark):
