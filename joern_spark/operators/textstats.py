@@ -164,6 +164,46 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+BPE_MERGE_K = 20
+
+
+def bpe_merges(documents: DataFrame, k: int = BPE_MERGE_K) -> DataFrame:
+    """(rank, pair, count): the top-k merge candidates of ONE byte-pair-
+    encoding round — tokenizer training's hot loop at corpus scale:
+    count adjacent character pairs within words, weighted by word
+    frequency (Sennrich et al. 2016's formulation: BPE statistics live
+    on the word-frequency table, not the raw text). Rank orders by
+    (count desc, pair asc) — a total order, so top-k is deterministic.
+
+    Scale shape: the corpus is scanned ONCE to build the distinct-word
+    count table (map-side combined, vocabulary-bounded); pair explosion
+    runs over that vocabulary — one row per distinct word, never per
+    occurrence — and the final top-k is a TakeOrderedAndProject, no
+    global window. Iterating rounds (real tokenizer training) re-runs
+    only the vocabulary-side explode with merged symbols; the corpus is
+    never re-read."""
+    vocab = (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("tok") - 1),
+        lambda i: F.col("tok").substr(i, F.lit(2)),
+    )
+    counts = (
+        vocab.where(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("count"))
+    )
+    topk = counts.orderBy(F.desc("count"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("count"), F.asc("pair"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"), "pair", "count"
+    )
+
+
 QUANTILE_PROBS = (0.1, 0.5, 0.9, 0.99)
 
 

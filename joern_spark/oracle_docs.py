@@ -176,6 +176,32 @@ GROUP BY doc_id
 """
 
 
+def bpe_merges_sql(k: int | None = None) -> str:
+    """Mirror of textstats.bpe_merges: word-frequency-weighted adjacent
+    character-pair counts over the distinct-word table, total-ordered
+    top-k (count desc, pair asc)."""
+    from joern_spark.operators.textstats import BPE_MERGE_K
+
+    k = BPE_MERGE_K if k is None else k
+    return f"""
+WITH {TOKS},
+wc AS (
+  SELECT tok, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1
+),
+pc AS (
+  SELECT unnest([substr(tok, i, 2) FOR i IN range(1, length(tok))]) AS pair, wc
+  FROM wc WHERE length(tok) >= 2
+),
+agg AS (SELECT pair, sum(wc)::BIGINT AS cnt FROM pc GROUP BY 1)
+SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank, pair,
+       cnt AS count
+FROM agg
+ORDER BY cnt DESC, pair ASC
+LIMIT {k}
+"""
+
+
 def lm_buckets_sql() -> str:
     """Mirror of textstats.lm_buckets over the unigram_logprob CTE;
     quantile_cont == Spark's exact percentile, probabilities written as

@@ -648,6 +648,12 @@ def q_doc_bigram_lp(spark, sf_dir):
     return textstats.bigram_logprob(read_documents(spark, sf_dir))
 
 
+def q_doc_bpe_merges(spark, sf_dir):
+    """One BPE merge round: top-k adjacent character pairs weighted by
+    word frequency — tokenizer training's vocabulary-bounded hot loop."""
+    return textstats.bpe_merges(read_documents(spark, sf_dir))
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
@@ -751,6 +757,7 @@ TPG_QUERIES = {
     "doc_keywords": q_doc_keywords,
     "doc_lm_buckets": q_doc_lm_buckets,
     "doc_bigram_lp": q_doc_bigram_lp,
+    "doc_bpe_merges": q_doc_bpe_merges,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
     "sim_topk_ivf": q_sim_topk_ivf,

@@ -635,6 +635,17 @@ def test_bigram_logprob_hand_computed(spark):
     assert got2[2][1] > got2[1][1]
 
 
+def test_bpe_merges_hand_computed(spark):
+    """Word-frequency weighting: 'aa'×3 contributes pair 'aa'→3; 'abc'×1
+    contributes 'ab'→1 and 'bc'→1 (tie broken pair-ascending); 1-char
+    words contribute nothing."""
+    d = spark.createDataFrame(
+        [(0, "aa abc aa"), (1, "aa x")], "doc_id long, text string"
+    )
+    rows = [(r.rank, r.pair, r["count"]) for r in textstats.bpe_merges(d).collect()]
+    assert rows == [(1, "aa", 3), (2, "ab", 1), (3, "bc", 1)]
+
+
 def test_doc_keywords_tfidf_ranking(spark):
     """'rare' (df=1) outranks 'common' (df=2, idf=ln(1)=0 at n_docs=2);
     ties break token-ascending."""
