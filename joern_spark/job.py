@@ -224,3 +224,72 @@ def run_curation_job(
     verdict = runner.run_stage("c3_verdict", compute_verdict, fps)
     d.unpersist()
     return {"verdict": verdict}
+
+
+def run_index_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    n_buckets: int = 16,
+    fail_after_buckets: int | None = None,
+    runner: StageRunner | None = None,
+) -> dict[str, DataFrame]:
+    """Resumable embedding-index build — the ANN family on the same
+    per-bucket manifest discipline as the KG and curation jobs (third
+    pipeline on the generic StageRunner):
+
+      i1_centroids  global, K rows: deterministic md5-ranked IVF centroids
+      i2_assign     vec-local per bucket: nearest-cell assignment against
+                    the COMMITTED i1 table (a resumed run never re-derives
+                    centroids, so assignments stay consistent across runs)
+      i3_quantized  vec-local per bucket: int8 embedding shard rows
+      i4_keepmap    global: SemDeDup keep/drop map
+
+    Outputs are row-identical to the one-shot operators on the same
+    input (tested); a killed run resumes without recomputing completed
+    buckets."""
+    from joern_spark.operators import similarity
+    from joern_spark.sources.testdata import read_embeddings
+
+    runner = runner or StageRunner(
+        spark, out_root, n_buckets, fail_after_buckets=fail_after_buckets
+    )
+    n_buckets = runner.n_buckets
+    e = with_bucket(
+        read_embeddings(spark, sf_dir), n_buckets, key="vec_id"
+    ).repartition(n_buckets, F.col(BUCKET_COL))
+    e.cache()
+    fps = input_fingerprint(e, ["vec_id", "embedding"])
+    global_fp = "|".join(f"{b}:{fps[b]}" for b in sorted(fps))
+    embs = e.drop(BUCKET_COL)
+
+    cents_df = runner.run_global_stage(
+        "i1_centroids", lambda: similarity.ivf_centroids(embs), global_fp
+    )
+    cents = [list(r.centroid) for r in cents_df.orderBy("cell").collect()]
+
+    def compute_assign(pending):
+        sub = e.where(F.col(BUCKET_COL).isin(pending)).drop(BUCKET_COL)
+        out = similarity.cell_assignments(sub, cents).select("vec_id", "cell")
+        return with_bucket(out, n_buckets, key="vec_id")
+
+    assign = runner.run_stage("i2_assign", compute_assign, fps)
+
+    def compute_quant(pending):
+        sub = e.where(F.col(BUCKET_COL).isin(pending)).drop(BUCKET_COL)
+        return with_bucket(
+            similarity.quantize_int8(sub), n_buckets, key="vec_id"
+        )
+
+    quant = runner.run_stage("i3_quantized", compute_quant, fps)
+
+    keepmap = runner.run_global_stage(
+        "i4_keepmap", lambda: similarity.semantic_dedup(embs), global_fp
+    )
+    e.unpersist()
+    return {
+        "centroids": cents_df,
+        "assign": assign,
+        "quantized": quant,
+        "keepmap": keepmap,
+    }

@@ -435,6 +435,17 @@ def _cell_assignments(
     )
 
 
+def cell_assignments(
+    embeddings: DataFrame, centroids: list, probes: int = 1
+) -> DataFrame:
+    """(vec_id, cell, rank, csim) against an EXPLICIT centroid list —
+    the public entry for consumers that persist the centroid table
+    (e.g. the resumable index job reads stage i1's output and passes it
+    here, so a resumed run assigns against the committed centroids
+    rather than recomputing them)."""
+    return _cell_assignments(embeddings, centroids, probes)
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     k: int = TOP_K,

@@ -178,3 +178,49 @@ def test_curation_job_kill_and_resume(spark, tmp_path_factory):
     expected = curate.curation_verdict(read_documents(spark, sf_dir))
     got = result["verdict"].select(*expected.columns)
     _assert_df_equal(got, expected)
+
+
+def test_index_job_kill_and_resume(spark, tmp_path_factory):
+    """Third pipeline on the generic StageRunner: the embedding-index
+    build kills mid-assignment, resumes without recomputing committed
+    buckets, and every output matches its one-shot operator."""
+    from joern_spark.job import run_index_job
+    from joern_spark.operators import similarity
+    from joern_spark.sources.testdata import read_embeddings
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = str(tmp_path_factory.mktemp("index_out"))
+
+    killed = StageRunner(spark, out, BUCKETS, fail_after_buckets=2)
+    with pytest.raises(SimulatedKill):
+        run_index_job(spark, sf_dir, out, BUCKETS, runner=killed)
+    m = Manifest(f"{out}/_manifest")
+    done1 = m.completed("i2_assign")
+    assert len(done1) == 2
+    # the global centroid stage committed before the kill
+    assert len(m.completed("i1_centroids")) == 1
+
+    resumed = StageRunner(spark, out, BUCKETS)
+    result = run_index_job(spark, sf_dir, out, BUCKETS, runner=resumed)
+    done2 = m.completed("i2_assign")
+    assert len(done2) == BUCKETS
+    survivors = [b for b, r in done2.items() if r["run_id"] == killed.run_id]
+    assert sorted(survivors) == sorted(done1)
+
+    embs = read_embeddings(spark, sf_dir)
+    cents = [
+        list(r.centroid)
+        for r in similarity.ivf_centroids(embs).orderBy("cell").collect()
+    ]
+    _assert_df_equal(
+        result["assign"].select("vec_id", "cell"),
+        similarity.cell_assignments(embs, cents).select("vec_id", "cell"),
+    )
+    _assert_df_equal(
+        result["keepmap"].select("vec_id", "keep_id", "cell"),
+        similarity.semantic_dedup(embs),
+    )
+    _assert_df_equal(
+        result["quantized"].select("vec_id", "i", "q"),
+        similarity.quantize_int8(embs),
+    )
