@@ -15,6 +15,90 @@ from pyspark.sql import functions as F
 from joern_spark.pipeline import GraphResult
 
 
+EDGE_INDEX_BROADCAST_THRESHOLD = 2_000_000
+
+
+def dense_index(keys, key_col: str, n_parts: int = 64):
+    """(key, idx): contiguous dense ids in global key sort order — the
+    indexer a GNN export needs (edge_index tensors address nodes
+    0..n-1). No global window: range-partition by key, per-partition
+    row_number (a PARTITIONED window), and add broadcast partition
+    offsets (n_parts driver rows, a legitimate dimension table). Range
+    partitions are ordered, so idx always equals the global dense rank
+    of the key regardless of where the sampled boundaries fall — the
+    SQL oracle reproduces it with one row_number over the sorted
+    vocabulary."""
+    from pyspark.sql.window import Window
+
+    from joern_spark.functions.localrel import local_df
+
+    d = (
+        keys.select(key_col)
+        .distinct()
+        .repartitionByRange(n_parts, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offs, acc = [], 0
+    for pid, n in counts:
+        offs.append((pid, acc))
+        acc += n
+    off_df = local_df(d.sparkSession, offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .select(
+            key_col,
+            (F.col("_off") + F.row_number().over(w) - 1).alias("idx"),
+        )
+    )
+
+
+def export_edge_index(edges, a: str = "a", b: str = "b", weight: str | None = None):
+    """(src_idx, dst_idx[, weight], src_key, dst_key): the symmetric
+    COO edge-index of an undirected edge table — the PyTorch-Geometric-
+    style training export (each a<b edge emitted in both directions;
+    node ids contiguous 0..n-1 in key sort order via dense_index, keys
+    kept alongside so the tensor is auditable). One vocabulary build +
+    two broadcast-sized joins; the edge table itself never re-shuffles
+    beyond the id attachment."""
+    wcols = [weight] if weight else []
+    sym = edges.select(
+        F.col(a).alias("src_key"), F.col(b).alias("dst_key"), *wcols
+    ).unionByName(
+        edges.select(
+            F.col(b).alias("src_key"), F.col(a).alias("dst_key"), *wcols
+        )
+    )
+    vocab = dense_index(
+        edges.select(F.col(a).alias("k")).unionByName(
+            edges.select(F.col(b).alias("k"))
+        ),
+        "k",
+    ).localCheckpoint(eager=True)
+    # thresholded like dedup_survivors: the entity vocabulary broadcasts;
+    # a corpus-scale node table falls back to plain shuffle hash joins
+    # (the checkpoint above makes the count a cheap materialized read)
+    maybe_bc = (
+        F.broadcast if vocab.count() <= EDGE_INDEX_BROADCAST_THRESHOLD
+        else (lambda df: df)
+    )
+    return (
+        sym.join(
+            maybe_bc(vocab.select(F.col("k").alias("src_key"), F.col("idx").alias("src_idx"))),
+            "src_key",
+        )
+        .join(
+            maybe_bc(vocab.select(F.col("k").alias("dst_key"), F.col("idx").alias("dst_idx"))),
+            "dst_key",
+        )
+        .select("src_idx", "dst_idx", *wcols, "src_key", "dst_key")
+    )
+
+
 def export_neo4j_csv(g: GraphResult, out_dir: str) -> dict[str, int]:
     """Write neo4j-admin bulk-import CSVs; returns row counts per file set.
 

@@ -845,6 +845,37 @@ SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
 """
 
 
+def edge_index_sql(sf: float) -> str:
+    """GNN COO export mirror: dense node ids = row_number over the
+    sorted endpoint vocabulary (operators/export.dense_index produces
+    exactly the global sorted rank by construction), symmetric edges
+    with their co-mention weights and keys alongside."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+e AS (
+  SELECT x.k AS a, y.k AS b, count(*)::BIGINT AS n_convs
+  FROM pc x JOIN pc y ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT k, row_number() OVER (ORDER BY k) - 1 AS idx
+  FROM (SELECT a AS k FROM e UNION SELECT b FROM e)
+),
+sym AS (
+  SELECT a AS src_key, b AS dst_key, n_convs FROM e
+  UNION ALL
+  SELECT b AS src_key, a AS dst_key, n_convs FROM e
+)
+SELECT va.idx AS src_idx, vb.idx AS dst_idx, s.n_convs,
+       s.src_key, s.dst_key
+FROM sym s
+JOIN vocab va ON s.src_key = va.k
+JOIN vocab vb ON s.dst_key = vb.k
+"""
+
+
 def findings_sql(sf: float) -> str:
     from joern_spark.operators.scan import (  # shared constants
         BURST_MAX_AVG_GAP_S,

@@ -189,6 +189,18 @@ def q_entity_kcore(spark, sf_dir):
     return entity_kcore(_comention_edges(spark, sf_dir))
 
 
+def q_edge_index(spark, sf_dir):
+    """GNN training export: symmetric COO edge-index of the entity
+    co-mention graph with contiguous 0..n-1 node ids in key sort order
+    (dense_index — partitioned-window + broadcast offsets, no global
+    window), keys kept alongside for auditability."""
+    from joern_spark.operators.export import export_edge_index
+
+    return export_edge_index(
+        _comention_edges(spark, sf_dir), weight="n_convs"
+    )
+
+
 def q_conv_metrics(spark, sf_dir):
     """Per-conversation complexity metrics — the querydb Metrics family
     (Metrics.scala:11-180 tooManyParameters/tooHighComplexity/tooLong/
@@ -787,6 +799,7 @@ TPG_QUERIES = {
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
     "tpg_entity_communities": q_entity_communities,
+    "tpg_edge_index": q_edge_index,
     "tpg_entity_kcore": q_entity_kcore,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,

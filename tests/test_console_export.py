@@ -148,3 +148,41 @@ def test_run_script(spark, make_transcripts, entities, tmp_path):
     out = console.run_script(spark, g, str(script))
     row = out.collect()[0]
     assert (row.n, row.tag) == (2, "ok")
+
+
+def test_dense_index_and_edge_index(spark):
+    """dense_index assigns contiguous 0..n-1 ids in key sort order (the
+    partitioned-window + offset path must equal the global dense rank);
+    export_edge_index emits each undirected edge in both directions with
+    consistent ids and keys."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.export import dense_index, export_edge_index
+
+    edges = local_df(
+        spark,
+        [("b", "c", 2), ("a", "c", 1), ("c", "d", 3)],
+        "a string, b string, n_convs long",
+    )
+    vocab = {r.k: r.idx for r in dense_index(edges.selectExpr("a as k").union(edges.selectExpr("b as k")), "k").collect()}
+    assert vocab == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    rows = export_edge_index(edges, weight="n_convs").collect()
+    assert len(rows) == 6
+    got = {(r.src_key, r.dst_key): (r.src_idx, r.dst_idx, r.n_convs) for r in rows}
+    assert got[("a", "c")] == (0, 2, 1) and got[("c", "a")] == (2, 0, 1)
+    assert got[("b", "c")] == (1, 2, 2) and got[("d", "c")] == (3, 2, 3)
+    # id map is a bijection onto 0..n-1
+    ids = {r.src_idx for r in rows} | {r.dst_idx for r in rows}
+    assert ids == {0, 1, 2, 3}
+
+
+def test_dense_index_many_partitions(spark):
+    """The offset arithmetic survives keys spread across many range
+    partitions: 300 keys → ids are exactly the sorted rank."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.export import dense_index
+
+    keys = [(f"k{i:04d}",) for i in range(300)]
+    df = local_df(spark, keys, "k string").repartition(13)
+    got = {r.k: r.idx for r in dense_index(df, "k", n_parts=7).collect()}
+    assert got == {f"k{i:04d}": i for i in range(300)}
