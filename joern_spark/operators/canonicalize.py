@@ -249,3 +249,78 @@ def canonicalize_triples(triples_raw: DataFrame, canonical_map: DataFrame) -> Da
         )
     )
     return t
+
+
+MERGE_BROADCAST_THRESHOLD = 2_000_000
+
+
+def merge_canonical_map(existing: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Incremental union-find: fold a DELTA of SAME_AS pairs into an
+    existing canonical map WITHOUT re-solving the historical pair set —
+    the entity-resolution analog of materialize.merge_triples (the
+    streaming / Iceberg-MERGE maintenance path). Tested equal to the
+    one-shot `connected_components` over the unioned pair set.
+
+    Only components TOUCHED by the delta are re-solved: each delta
+    endpoint resolves through the current map to its representative
+    (unseen endpoints stand for themselves), the delta collapses to a
+    pair set over representatives — ≤ 2·|delta| nodes, independent of
+    corpus size — components run on that reduced graph, and the full map
+    is rewritten through the resulting representative→representative
+    relabeling. min-label canon is preserved: the old canon is the min
+    of its old component, so the reduced solve's min over (old canons ∪
+    unseen keys) is the global min of the merged component.
+
+    Scale shape: the existing map never shuffles when the relabeling is
+    small (broadcast below MERGE_BROADCAST_THRESHOLD rows; plain shuffle
+    join above — same thresholding as dedup_survivors); the reduced
+    component solve is delta-bounded."""
+    ex = existing.select("entity_key", "canon")
+    resolved = (
+        new_pairs.select("a", "b")
+        .join(
+            ex.select(F.col("entity_key").alias("a"), F.col("canon").alias("_ca")),
+            "a",
+            "left",
+        )
+        .join(
+            ex.select(F.col("entity_key").alias("b"), F.col("canon").alias("_cb")),
+            "b",
+            "left",
+        )
+        .select(
+            F.coalesce("_ca", F.col("a")).alias("a"),
+            F.coalesce("_cb", F.col("b")).alias("b"),
+        )
+    )
+    relabel = (
+        connected_components(resolved)
+        .select(F.col("entity_key").alias("_old"), F.col("canon").alias("_new"))
+        .localCheckpoint(eager=True)
+    )
+    maybe_bc = (
+        F.broadcast
+        if relabel.count() <= MERGE_BROADCAST_THRESHOLD
+        else (lambda df: df)
+    )
+    updated = (
+        ex.join(maybe_bc(relabel), ex.canon == F.col("_old"), "left")
+        .select("entity_key", F.coalesce("_new", "canon").alias("canon"))
+    )
+    endpoints = (
+        new_pairs.select(F.col("a").alias("entity_key"))
+        .unionByName(new_pairs.select(F.col("b").alias("entity_key")))
+        .distinct()
+    )
+    unseen = (
+        endpoints.join(ex, "entity_key", "left_anti")
+        .join(
+            maybe_bc(relabel),
+            F.col("entity_key") == F.col("_old"),
+            "left",
+        )
+        .select(
+            "entity_key", F.coalesce("_new", "entity_key").alias("canon")
+        )
+    )
+    return updated.unionByName(unseen)

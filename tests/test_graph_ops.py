@@ -343,3 +343,45 @@ def test_tag_readback_traversal(spark, make_transcripts, entities):
     all_tags = tagged_nodes(edges, turn_nodes(t))
     assert set(all_tags.columns) >= {"id", "tag", "score", "role"}
     assert all_tags.where(F.col("tag") == "unanswered-ask").count() == 1
+
+
+def test_merge_canonical_map_equals_oneshot(spark):
+    """Incremental merge theorem: merge(CC(batch1), batch2) equals
+    CC(batch1 ∪ batch2) — covering a delta that bridges two existing
+    components, extends a component with a new key, creates a brand-new
+    component, and leaves an untouched component alone."""
+    from joern_spark.operators.canonicalize import merge_canonical_map
+
+    b1 = [("b", "c"), ("a", "b"), ("u", "v"), ("x", "y")]
+    # ("a", "c") is redundant — both endpoints already share a component
+    # (the reduced graph gets a self-loop, which must be a no-op)
+    b2 = [("c", "u"), ("v", "w"), ("p", "q"), ("a", "c")]
+    base = connected_components(pairs_df(spark, b1))
+    merged = {
+        r["entity_key"]: r["canon"]
+        for r in merge_canonical_map(base, pairs_df(spark, b2)).collect()
+    }
+    oneshot = cmap(spark, b1 + b2)
+    assert merged == oneshot
+    # sanity on the interesting cases: a..w all merged under 'a';
+    # x/y untouched; p/q a fresh component
+    assert merged["w"] == "a" and merged["u"] == "a"
+    assert merged["x"] == "x" and merged["y"] == "x"
+    assert merged["p"] == "p" and merged["q"] == "p"
+
+
+def test_merge_canonical_map_chain_across_batches(spark):
+    """A long alias chain split across batches still converges to the
+    global min, and a second merge composes (merge is associative with
+    respect to one-shot solving)."""
+    from joern_spark.operators.canonicalize import merge_canonical_map
+
+    keys = [f"k{i:03d}" for i in range(12)]
+    all_pairs = [(keys[i], keys[i + 1]) for i in range(11)]
+    b1, b2, b3 = all_pairs[0:4], all_pairs[4:8], all_pairs[8:]
+    m1 = connected_components(pairs_df(spark, b1))
+    m2 = merge_canonical_map(m1, pairs_df(spark, b2))
+    m3 = merge_canonical_map(m2, pairs_df(spark, b3))
+    got = {r["entity_key"]: r["canon"] for r in m3.collect()}
+    assert got == cmap(spark, all_pairs)
+    assert set(got.values()) == {"k000"}
