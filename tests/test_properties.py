@@ -266,3 +266,47 @@ def test_union_find_component_min(pairs):
                     stack.append(y)
         assert canon[node] == min(seen)
     assert set(canon) == set(adj)
+
+
+# --- incremental canonicalization: merge == one-shot --------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+            lambda t: (f"k{t[0]}", f"k{t[1]}")
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=0, max_value=16),
+)
+def test_merge_canonical_map_matches_oneshot(spark, pairs, split):
+    """merge(CC(prefix), suffix) == CC(all) for every random pair list
+    and split point (the incremental-maintenance theorem, randomized)."""
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        merge_canonical_map,
+    )
+
+    pairs = [(a, b) for a, b in pairs if a != b] or [("k0", "k1")]
+    split = min(split, len(pairs) - 1)
+    b1, b2 = pairs[: split or 1], pairs[split or 1 :]
+    base = connected_components(
+        spark.createDataFrame(b1, "a string, b string")
+    )
+    if b2:
+        merged_df = merge_canonical_map(
+            base, spark.createDataFrame(b2, "a string, b string")
+        )
+    else:
+        merged_df = base
+    merged = {r["entity_key"]: r["canon"] for r in merged_df.collect()}
+    oneshot = {
+        r["entity_key"]: r["canon"]
+        for r in connected_components(
+            spark.createDataFrame(pairs, "a string, b string")
+        ).collect()
+    }
+    assert merged == oneshot, (b1, b2)
