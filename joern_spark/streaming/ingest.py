@@ -63,3 +63,83 @@ def streamed_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(
         "subj string, pred string, obj string, conv_id string, turn_idx int"
     ).parquet(out_dir)
+
+
+# --- incremental entity resolution (canonical-map maintenance) ----------------
+
+_POINTER = "CURRENT"
+
+
+def _commit_pointer(state_dir: str, snapshot_dir: str) -> None:
+    """Atomically repoint the map to a new snapshot (write-tmp + rename —
+    the Iceberg metadata-pointer pattern at file-system scale)."""
+    import uuid
+
+    p = os.path.join(state_dir, _POINTER)
+    tmp = p + f".tmp{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(snapshot_dir))
+    os.replace(tmp, p)
+
+
+def read_canonical_map(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The current canonical-map snapshot, or None before the first fold."""
+    p = os.path.join(state_dir, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        name = f.read().strip()
+    return spark.read.schema("entity_key string, canon string").parquet(
+        os.path.join(state_dir, name)
+    )
+
+
+def run_alias_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental entity resolution: drain newly-landed transcript files
+    and fold their SAME_AS pairs into the persisted canonical map via
+    `canonicalize.merge_canonical_map` — only components touched by the
+    delta are re-solved, the historical pair set is never replayed.
+    Snapshots are immutable directories behind an atomically-replaced
+    pointer file (readers never observe a partial map).
+
+    Exactly-once note: foreachBatch side effects are at-least-once under
+    crash-rerun (the offset commit is separate), but the fold is
+    IDEMPOTENT — merging pairs already present in the map is a no-op by
+    the merge==one-shot theorem (tested) — so at-least-once delivery
+    still converges to the exact batch answer."""
+    import uuid
+
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        merge_canonical_map,
+        same_as_pairs,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = same_as_pairs(batch_df).localCheckpoint(eager=True)
+        if pairs.isEmpty():
+            return
+        cur = read_canonical_map(spark, state_dir)
+        merged = (
+            merge_canonical_map(cur, pairs)
+            if cur is not None
+            else connected_components(pairs)
+        )
+        snap = os.path.join(
+            state_dir, f"cmap-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        _commit_pointer(state_dir, snap)
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -217,3 +217,60 @@ def test_leak_scan_stream_exactly_once_and_batch_equal(spark, tmp_path):
     # second drain with no new files → nothing re-emitted
     run_leak_scan_stream(spark, d["landing"], d["out"], d["ckpt"])
     assert spark.read.parquet(d["out"]).count() == n1
+
+
+def test_alias_increment_matches_batch(spark, tmp_path_factory):
+    """Incremental entity resolution over the landing stream: after each
+    drain the persisted canonical map equals the one-shot component
+    solve over ALL landed data; a no-new-files drain leaves the map
+    unchanged; and re-folding already-merged pairs is a no-op (the
+    idempotence that makes at-least-once foreachBatch delivery safe)."""
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        merge_canonical_map,
+        same_as_pairs,
+    )
+
+    import os
+
+    root = tmp_path_factory.mktemp("alias_stream")
+    landing, state, ckpt = (str(root / k) for k in ("landing", "state", "ckpt"))
+    os.makedirs(landing)
+    d = {"landing": landing}
+
+    def batch_map():
+        return {
+            r["entity_key"]: r["canon"]
+            for r in connected_components(
+                same_as_pairs(spark.read.parquet(landing))
+            ).collect()
+        }
+
+    _land(spark, d, 0, 80, "a1")
+    ingest.run_alias_increment(spark, landing, state, ckpt)
+    got1 = {
+        r["entity_key"]: r["canon"]
+        for r in ingest.read_canonical_map(spark, state).collect()
+    }
+    assert got1 == batch_map() and got1
+
+    # no new files → pointer still valid, map unchanged
+    ingest.run_alias_increment(spark, landing, state, ckpt)
+    got1b = {
+        r["entity_key"]: r["canon"]
+        for r in ingest.read_canonical_map(spark, state).collect()
+    }
+    assert got1b == got1
+
+    _land(spark, d, 80, 200, "a2")
+    ingest.run_alias_increment(spark, landing, state, ckpt)
+    cur = ingest.read_canonical_map(spark, state)
+    got2 = {r["entity_key"]: r["canon"] for r in cur.collect()}
+    assert got2 == batch_map()
+
+    # idempotence: re-merging pairs already folded changes nothing
+    refold = merge_canonical_map(
+        cur, same_as_pairs(spark.read.parquet(landing))
+    )
+    got3 = {r["entity_key"]: r["canon"] for r in refold.collect()}
+    assert got3 == got2
