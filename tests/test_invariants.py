@@ -85,3 +85,56 @@ def test_incremental_merge_equals_one_shot(spark):
     exp = full.triples_final
     assert merged.exceptAll(exp).count() == 0
     assert exp.exceptAll(merged).count() == 0
+
+
+def test_mega_conversation_and_hub_skew(spark):
+    """Adversarial skew: one 20k-turn conversation whose every block
+    mentions the SAME hub city, unioned with a normal corpus slice. The
+    conv-local stages window per conversation and the linking joins
+    broadcast the vocabulary, so the run must complete with the
+    invariants intact, a partition-shuffled rerun must be bit-identical,
+    and the skew scanner must flag exactly the mega conversation."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from joern_spark import generator as G
+    from joern_spark.operators.scan import scan_mega_conversations
+
+    n_blocks = 5000
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(n_blocks):
+        b, temp = i * 4, (i % 40) - 9
+        rows += [
+            ("zmega", b, "user", "Please check the weather in Paris.", None),
+            ("zmega", b + 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+            ("zmega", b + 2, "tool", f"Paris: {temp}C, sunny.", "weather_api"),
+            ("zmega", b + 3, "assistant", f"It is {temp}C and sunny in Paris.", None),
+        ]
+    mega = pd.DataFrame(
+        [(c, i, r, x, tl, t0 + dt.timedelta(seconds=i)) for c, i, r, x, tl in rows],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    normal = G.generate_transcripts(2000)
+    t = spark.createDataFrame(pd.concat([normal, mega], ignore_index=True))
+
+    g = build_graph(t, read_entities(spark))
+    n_in = t.count()
+    assert g.turns.count() == n_in
+    assert (
+        t.select("conv_id", "turn_idx", "text")
+        .exceptAll(g.turns.select("conv_id", "turn_idx", "text"))
+        .count()
+        == 0
+    )
+    assert g.next_turn.count() == g.turns.count() - g.conversations.count()
+
+    alt = build_graph(t.orderBy(F.rand(seed=11)).repartition(11), read_entities(spark))
+    assert g.triples_final.exceptAll(alt.triples_final).count() == 0
+    assert alt.triples_final.exceptAll(g.triples_final).count() == 0
+
+    # the generator's heavy-tail slice may legitimately flag its own
+    # big conversations; the adversarial one must be among them
+    flagged = {r.evidence for r in scan_mega_conversations(t).collect()}
+    assert "zmega" in flagged
