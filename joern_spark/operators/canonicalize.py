@@ -125,7 +125,13 @@ def _cc_memo_key(pairs: DataFrame):
     try:
         h = pairs._jdf.queryExecution().analyzed().semanticHash()
         app = pairs.sparkSession.sparkContext.applicationId
-        return (app, h)
+        # The semantic hash covers the LOGICAL plan only — re-reading a
+        # directory that has since gained files produces the same hash,
+        # so a session watching a growing landing dir would get stale
+        # components. Fold the resolved file listing into the key (one
+        # driver-side listing, negligible next to the eager solve).
+        files = hash(tuple(sorted(pairs.inputFiles())))
+        return (app, h, files)
     except Exception:  # Connect / future API drift — just skip the memo
         return None
 

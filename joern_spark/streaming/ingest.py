@@ -82,16 +82,60 @@ def _commit_pointer(state_dir: str, snapshot_dir: str) -> None:
     os.replace(tmp, p)
 
 
-def read_canonical_map(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """The current canonical-map snapshot, or None before the first fold."""
-    p = os.path.join(state_dir, _POINTER)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        name = f.read().strip()
+def _snapshots(state_dir: str) -> list[str]:
+    """Snapshot directory names, oldest first (names embed the zero-padded
+    batch id, so lexicographic order IS fold order)."""
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(n for n in os.listdir(state_dir) if n.startswith("cmap-"))
+
+
+def read_canonical_map(
+    spark: SparkSession, state_dir: str, as_of_batch: int | None = None
+) -> DataFrame | None:
+    """The current canonical-map snapshot, or None before the first fold.
+
+    `as_of_batch` reads the LAST snapshot whose fold batch id is ≤ the
+    given id — time travel over the immutable snapshot history, the
+    Iceberg snapshot-read analog (each fold is a commit; the pointer
+    file is the metadata pointer)."""
+    if as_of_batch is not None:
+        cands = [
+            n for n in _snapshots(state_dir)
+            if int(n.split("-")[1]) <= as_of_batch
+        ]
+        if not cands:
+            return None
+        name = cands[-1]
+    else:
+        p = os.path.join(state_dir, _POINTER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            name = f.read().strip()
     return spark.read.schema("entity_key string, canon string").parquet(
         os.path.join(state_dir, name)
     )
+
+
+def expire_snapshots(state_dir: str, keep_last: int = 3) -> list[str]:
+    """Retention GC: delete all but the newest `keep_last` snapshots,
+    never the one the pointer references (the Iceberg expire_snapshots
+    analog). Returns the deleted directory names."""
+    import shutil
+
+    p = os.path.join(state_dir, _POINTER)
+    current = None
+    if os.path.exists(p):
+        with open(p) as f:
+            current = f.read().strip()
+    snaps = _snapshots(state_dir)
+    doomed = [n for n in snaps[:-keep_last] if n != current] if keep_last else [
+        n for n in snaps if n != current
+    ]
+    for n in doomed:
+        shutil.rmtree(os.path.join(state_dir, n), ignore_errors=True)
+    return doomed
 
 
 def run_alias_increment(

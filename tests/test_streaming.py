@@ -253,6 +253,7 @@ def test_alias_increment_matches_batch(spark, tmp_path_factory):
         for r in ingest.read_canonical_map(spark, state).collect()
     }
     assert got1 == batch_map() and got1
+    b1 = int(ingest._snapshots(state)[-1].split("-")[1])
 
     # no new files → pointer still valid, map unchanged
     ingest.run_alias_increment(spark, landing, state, ckpt)
@@ -262,7 +263,26 @@ def test_alias_increment_matches_batch(spark, tmp_path_factory):
     }
     assert got1b == got1
 
+    # drain 2 lands a NOVEL alias (the generator slice may repeat known
+    # pairs, which must not be the only delta or the merge is a no-op)
+    import datetime as dt
+
     _land(spark, d, 80, 200, "a2")
+    _land_rows(
+        spark,
+        landing,
+        [
+            (
+                "zz_custom",
+                0,
+                "user",
+                "Note that Paris is also known as Lutetia Prime.",
+                None,
+                dt.datetime(2024, 6, 1),
+            )
+        ],
+        "a3",
+    )
     ingest.run_alias_increment(spark, landing, state, ckpt)
     cur = ingest.read_canonical_map(spark, state)
     got2 = {r["entity_key"]: r["canon"] for r in cur.collect()}
@@ -274,3 +294,21 @@ def test_alias_increment_matches_batch(spark, tmp_path_factory):
     )
     got3 = {r["entity_key"]: r["canon"] for r in refold.collect()}
     assert got3 == got2
+
+    # time travel: reading as-of the last drain-1 batch returns drain-1's
+    # map, not the merged one
+    asof = {
+        r["entity_key"]: r["canon"]
+        for r in ingest.read_canonical_map(spark, state, as_of_batch=b1).collect()
+    }
+    assert asof == got1 and asof != got2
+
+    # retention: expiring to the single newest snapshot keeps the pointer
+    # readable and the current map intact
+    doomed = ingest.expire_snapshots(state, keep_last=1)
+    assert doomed and all(n.startswith("cmap-") for n in doomed)
+    still = {
+        r["entity_key"]: r["canon"]
+        for r in ingest.read_canonical_map(spark, state).collect()
+    }
+    assert still == got2
