@@ -138,6 +138,11 @@ def q_sessions(spark, sf_dir):
 def _session_memo(
     cache: dict, spark, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
+    # Contract: sf_dir is an IMMUTABLE corpus directory (the generated
+    # per-sf snapshots) — this key deliberately does not watch the file
+    # listing. A source that grows mid-session (a streaming landing dir)
+    # must NOT go through this memo; see canonicalize._cc_memo_key for
+    # the listing-aware variant that guards the component solve.
     key = (spark.sparkContext.applicationId, sf_dir)
     df = cache.get(key)
     if df is None:
