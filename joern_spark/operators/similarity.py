@@ -402,9 +402,16 @@ def ivf_centroids(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
 def _cell_assignments(
     embeddings: DataFrame, centroids: list, probes: int
 ) -> DataFrame:
-    """(vec_id, cell, rank) for each vector's `probes` nearest centroid
-    cells by cosine — computed as one fused projection over literal
-    centroid arrays (the centroid table is tiny and ships in the plan)."""
+    """(vec_id, cell, rank, csim) for each vector's `probes` nearest
+    centroid cells by cosine — computed as one fused projection over
+    literal centroid arrays (the centroid table is tiny and ships in the
+    plan). An empty centroid list (empty embeddings table) returns an
+    empty typed result — `F.array()` of zero structs would otherwise be
+    VOID-typed and fail analysis."""
+    if not centroids:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cell int, rank int, csim double"
+        )
     # first struct field = NEGATIVE sim so array_sort's ascending
     # field-order compare yields (sim desc, cell asc) — an explicit,
     # total ordering the SQL oracle replicates exactly

@@ -515,6 +515,20 @@ def test_new_ops_degenerate_inputs(spark):
     e_edges = spark.createDataFrame([], "a string, b string")
     assert entity_triangles(e_edges).count() == 0
 
+    # round-3 late ops: empty embeddings must not break the IVF family
+    # (zero literal centroids were VOID-typed before the guard) or the
+    # text/LM/export additions
+    from joern_spark.operators.export import export_edge_index
+
+    e_embs = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert similarity.semantic_dedup(e_embs).count() == 0
+    assert similarity.cosine_topk_ivf(e_embs).count() == 0
+    assert ts.bpe_merges(empty).count() == 0
+    assert ts.bigram_logprob(empty).count() == 0
+    assert ts.bigram_logprob(one).count() == 1
+    w_edges = spark.createDataFrame([], "a string, b string, n_convs long")
+    assert export_edge_index(w_edges, weight="n_convs").count() == 0
+
 
 def test_scrub_pii_redacts_and_counts(spark):
     """Emails and URLs are replaced with placeholders; audit counts match
