@@ -1,0 +1,32 @@
+"""Join-strategy helpers shared by the map-consuming operators.
+
+The reference hand-picks probe structures per pass (LinkingUtil's full-name
+map, DynamicCallLinker's subclass cache); here the single recurring choice
+is broadcast-vs-shuffle for a derived map table whose cardinality is only
+known at runtime. One helper so the cutoff lives in one place.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# One shared cutoff for "can this derived map be broadcast?": comfortably
+# inside executor memory as a hashed relation, far below corpus scale.
+# Consumers: dedup_survivors, semantic_dedup, merge_canonical_map,
+# export_edge_index.
+MAP_BROADCAST_THRESHOLD = 2_000_000
+
+
+def broadcast_below(
+    df: DataFrame, threshold: int = MAP_BROADCAST_THRESHOLD
+) -> Callable[[DataFrame], DataFrame]:
+    """Pick ONE join strategy for every frame derived from `df`: returns
+    `F.broadcast` when df has ≤ threshold rows, identity otherwise (the
+    joins then fall back to plain shuffle hash joins — OOM-safe at any
+    duplicate/alias ratio). `df` must already be materialized
+    (checkpointed/collected) so the count is a cheap metadata-ish job,
+    not a recompute."""
+    return F.broadcast if df.count() <= threshold else (lambda d: d)

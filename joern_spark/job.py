@@ -273,7 +273,12 @@ def run_index_job(
         out = similarity.cell_assignments(sub, cents).select("vec_id", "cell")
         return with_bucket(out, n_buckets, key="vec_id")
 
-    assign = runner.run_stage("i2_assign", compute_assign, fps)
+    # assignments depend on the CENTROID SET, not only the bucket's own
+    # rows: fold the global fingerprint in, so a partial-input change
+    # (which can move the md5-ranked centroid choice) re-assigns EVERY
+    # bucket instead of mixing two centroid sets across buckets
+    fps_assign = {b: f"{fp}|{global_fp}" for b, fp in fps.items()}
+    assign = runner.run_stage("i2_assign", compute_assign, fps_assign)
 
     def compute_quant(pending):
         sub = e.where(F.col(BUCKET_COL).isin(pending)).drop(BUCKET_COL)
@@ -283,8 +288,12 @@ def run_index_job(
 
     quant = runner.run_stage("i3_quantized", compute_quant, fps)
 
+    # pass the COMMITTED centroids: the keep map provably shares i2's
+    # centroid set and skips a second full-scan centroid derivation
     keepmap = runner.run_global_stage(
-        "i4_keepmap", lambda: similarity.semantic_dedup(embs), global_fp
+        "i4_keepmap",
+        lambda: similarity.semantic_dedup(embs, centroids=cents),
+        global_fp,
     )
     e.unpersist()
     return {

@@ -257,9 +257,6 @@ def canonicalize_triples(triples_raw: DataFrame, canonical_map: DataFrame) -> Da
     return t
 
 
-MERGE_BROADCAST_THRESHOLD = 2_000_000
-
-
 def merge_canonical_map(existing: DataFrame, new_pairs: DataFrame) -> DataFrame:
     """Incremental union-find: fold a DELTA of SAME_AS pairs into an
     existing canonical map WITHOUT re-solving the historical pair set —
@@ -278,9 +275,10 @@ def merge_canonical_map(existing: DataFrame, new_pairs: DataFrame) -> DataFrame:
     unseen keys) is the global min of the merged component.
 
     Scale shape: the existing map never shuffles when the relabeling is
-    small (broadcast below MERGE_BROADCAST_THRESHOLD rows; plain shuffle
-    join above — same thresholding as dedup_survivors); the reduced
-    component solve is delta-bounded."""
+    small (broadcast below functions/joins.MAP_BROADCAST_THRESHOLD rows;
+    plain shuffle join above — same thresholding as dedup_survivors);
+    the reduced component solve is delta-bounded."""
+    from joern_spark.functions.joins import broadcast_below
     ex = existing.select("entity_key", "canon")
     resolved = (
         new_pairs.select("a", "b")
@@ -304,11 +302,7 @@ def merge_canonical_map(existing: DataFrame, new_pairs: DataFrame) -> DataFrame:
         .select(F.col("entity_key").alias("_old"), F.col("canon").alias("_new"))
         .localCheckpoint(eager=True)
     )
-    maybe_bc = (
-        F.broadcast
-        if relabel.count() <= MERGE_BROADCAST_THRESHOLD
-        else (lambda df: df)
-    )
+    maybe_bc = broadcast_below(relabel)
     updated = (
         ex.join(maybe_bc(relabel), ex.canon == F.col("_old"), "left")
         .select("entity_key", F.coalesce("_new", "canon").alias("canon"))

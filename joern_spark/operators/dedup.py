@@ -52,8 +52,12 @@ ID_PAD = 20
 # duplicates, so the map has corpus-order cardinality and a broadcast is
 # a guaranteed OOM. Mirrors canonicalize.SMALL_COMPONENT_THRESHOLD's
 # broadcast-below / shuffle-above discipline. ~8M rows × ~40 B ≈ 300 MB
-# is already past safe broadcast size; 2M keeps headroom.
-SURVIVOR_BROADCAST_THRESHOLD = 2_000_000
+# is already past safe broadcast size; 2M keeps headroom. The shared
+# cutoff (and the strategy picker) lives in functions/joins.py; this
+# alias keeps the historical parameter name importable.
+from joern_spark.functions.joins import MAP_BROADCAST_THRESHOLD
+
+SURVIVOR_BROADCAST_THRESHOLD = MAP_BROADCAST_THRESHOLD
 # Hub-shingle guard for the exact-Jaccard self-join: a shingle shared by
 # f documents contributes f² join rows, so one stop-word-ish shingle is
 # quadratic at corpus scale. Shingles with document frequency above the
@@ -256,7 +260,9 @@ def dedup_survivors(
     ).localCheckpoint(eager=True)
     # the map is already materialized (connected_components ends on a
     # collect or checkpoint), so this count is a cheap metadata-ish job
-    maybe_bc = F.broadcast if cmap.count() <= broadcast_threshold else (lambda df: df)
+    from joern_spark.functions.joins import broadcast_below
+
+    maybe_bc = broadcast_below(cmap, broadcast_threshold)
     q = doc_stats(documents).select("doc_id", "quality").withColumn(
         "_k", pad(F.col("doc_id"))
     )

@@ -15,9 +15,6 @@ from pyspark.sql import functions as F
 from joern_spark.pipeline import GraphResult
 
 
-EDGE_INDEX_BROADCAST_THRESHOLD = 2_000_000
-
-
 def dense_index(keys, key_col: str, n_parts: int = 64):
     """(key, idx): contiguous dense ids in global key sort order — the
     indexer a GNN export needs (edge_index tensors address nodes
@@ -32,11 +29,17 @@ def dense_index(keys, key_col: str, n_parts: int = 64):
 
     from joern_spark.functions.localrel import local_df
 
+    # localCheckpoint pins ONE physical partitioning: repartitionByRange
+    # resamples boundaries per execution of an uncached plan, so running
+    # it once for the offset collect and again for the returned join
+    # could place boundary-adjacent keys in different partitions and
+    # corrupt the id space (duplicated/skipped ids).
     d = (
         keys.select(key_col)
         .distinct()
         .repartitionByRange(n_parts, F.col(key_col))
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["n"])
@@ -82,10 +85,9 @@ def export_edge_index(edges, a: str = "a", b: str = "b", weight: str | None = No
     # thresholded like dedup_survivors: the entity vocabulary broadcasts;
     # a corpus-scale node table falls back to plain shuffle hash joins
     # (the checkpoint above makes the count a cheap materialized read)
-    maybe_bc = (
-        F.broadcast if vocab.count() <= EDGE_INDEX_BROADCAST_THRESHOLD
-        else (lambda df: df)
-    )
+    from joern_spark.functions.joins import broadcast_below
+
+    maybe_bc = broadcast_below(vocab)
     return (
         sym.join(
             maybe_bc(vocab.select(F.col("k").alias("src_key"), F.col("idx").alias("src_idx"))),

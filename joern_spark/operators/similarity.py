@@ -553,6 +553,7 @@ def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
     n_cells: int = IVF_CELLS,
+    centroids: list | None = None,
 ) -> DataFrame:
     """(vec_id, keep_id, cell): SemDeDup-style semantic deduplication
     (Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings, prune
@@ -576,17 +577,24 @@ def semantic_dedup(
     stated approximation (its k-means plays exactly this blocking role).
     The component→survivor joins are broadcast-vs-shuffle thresholded
     like dedup_survivors, so a 50–80%-duplicate corpus cannot OOM the
-    broadcast path."""
-    from joern_spark.operators.canonicalize import connected_components
-    from joern_spark.operators.dedup import (
-        ID_PAD,
-        SURVIVOR_BROADCAST_THRESHOLD,
-    )
+    broadcast path.
 
-    cents = [
-        list(r.centroid)
-        for r in ivf_centroids(embeddings, n_cells).orderBy("cell").collect()
-    ]
+    `centroids` lets a caller that already persisted the centroid table
+    (the resumable index job's i1 stage) skip the internal derivation —
+    guaranteeing the keep map and the committed assignments share one
+    centroid set and saving a full embeddings scan + collect."""
+    from joern_spark.functions.joins import broadcast_below
+    from joern_spark.operators.canonicalize import connected_components
+    from joern_spark.operators.dedup import ID_PAD
+
+    cents = (
+        centroids
+        if centroids is not None
+        else [
+            list(r.centroid)
+            for r in ivf_centroids(embeddings, n_cells).orderBy("cell").collect()
+        ]
+    )
     assign = _cell_assignments(embeddings, cents, probes=1)
     sides = assign.select("vec_id", "cell").join(_normed(embeddings), "vec_id")
     x = sides.select(
@@ -623,11 +631,7 @@ def semantic_dedup(
         .select(F.col("entity_key").alias("_k"), F.col("canon").alias("_comp"))
         .localCheckpoint(eager=True)
     )
-    maybe_bc = (
-        F.broadcast
-        if cmap.count() <= SURVIVOR_BROADCAST_THRESHOLD
-        else (lambda df: df)
-    )
+    maybe_bc = broadcast_below(cmap)
     keyed = assign.withColumn("_k", pad(F.col("vec_id")))
     members = keyed.join(maybe_bc(cmap), "_k")
     w = Window.partitionBy("_comp").orderBy(F.asc("csim"), F.asc("vec_id"))

@@ -83,11 +83,21 @@ def _commit_pointer(state_dir: str, snapshot_dir: str) -> None:
 
 
 def _snapshots(state_dir: str) -> list[str]:
-    """Snapshot directory names, oldest first (names embed the zero-padded
-    batch id, so lexicographic order IS fold order)."""
+    """COMMITTED snapshot directory names, oldest first (names embed the
+    zero-padded batch id, so lexicographic order IS fold order). Only
+    dirs carrying Spark's _SUCCESS marker count — a crash mid-write
+    leaves a torn dir that time travel and retention must not see. Two
+    committed dirs for the same batch id (crash between write and
+    pointer commit, then replay) hold identical content by the fold's
+    idempotence; the lexicographically last wins deterministically."""
     if not os.path.isdir(state_dir):
         return []
-    return sorted(n for n in os.listdir(state_dir) if n.startswith("cmap-"))
+    return sorted(
+        n
+        for n in os.listdir(state_dir)
+        if n.startswith("cmap-")
+        and os.path.exists(os.path.join(state_dir, n, "_SUCCESS"))
+    )
 
 
 def read_canonical_map(
@@ -119,9 +129,11 @@ def read_canonical_map(
 
 
 def expire_snapshots(state_dir: str, keep_last: int = 3) -> list[str]:
-    """Retention GC: delete all but the newest `keep_last` snapshots,
-    never the one the pointer references (the Iceberg expire_snapshots
-    analog). Returns the deleted directory names."""
+    """Retention GC: delete all but the newest `keep_last` committed
+    snapshots, never the one the pointer references (the Iceberg
+    expire_snapshots analog). Torn snapshot dirs (no _SUCCESS marker —
+    a crash mid-write) are always garbage-collected and never count
+    toward keep_last. Returns the deleted directory names."""
     import shutil
 
     p = os.path.join(state_dir, _POINTER)
@@ -129,10 +141,20 @@ def expire_snapshots(state_dir: str, keep_last: int = 3) -> list[str]:
     if os.path.exists(p):
         with open(p) as f:
             current = f.read().strip()
-    snaps = _snapshots(state_dir)
-    doomed = [n for n in snaps[:-keep_last] if n != current] if keep_last else [
-        n for n in snaps if n != current
-    ]
+    committed = _snapshots(state_dir)
+    torn = [
+        n
+        for n in os.listdir(state_dir)
+        if os.path.isdir(os.path.join(state_dir, n))
+        and n.startswith("cmap-")
+        and n not in committed
+        and n != current
+    ] if os.path.isdir(state_dir) else []
+    doomed = torn + (
+        [n for n in committed[:-keep_last] if n != current]
+        if keep_last
+        else [n for n in committed if n != current]
+    )
     for n in doomed:
         shutil.rmtree(os.path.join(state_dir, n), ignore_errors=True)
     return doomed

@@ -303,10 +303,20 @@ def test_alias_increment_matches_batch(spark, tmp_path_factory):
     }
     assert asof == got1 and asof != got2
 
+    # torn snapshots (crash mid-write: no _SUCCESS marker) are invisible
+    # to time travel and swept by retention
+    torn = os.path.join(state, "cmap-999999-deadbeef")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as f:
+        f.write("partial garbage")
+    assert "cmap-999999-deadbeef" not in ingest._snapshots(state)
+    assert ingest.read_canonical_map(spark, state, as_of_batch=999999) is not None
+
     # retention: expiring to the single newest snapshot keeps the pointer
-    # readable and the current map intact
+    # readable and the current map intact, and sweeps the torn dir
     doomed = ingest.expire_snapshots(state, keep_last=1)
-    assert doomed and all(n.startswith("cmap-") for n in doomed)
+    assert doomed and "cmap-999999-deadbeef" in doomed
+    assert not os.path.exists(torn)
     still = {
         r["entity_key"]: r["canon"]
         for r in ingest.read_canonical_map(spark, state).collect()
