@@ -351,3 +351,41 @@ def mixture_sample(
         .where(h.cast("double") < F.col("rate") * F.lit(H_SPACE))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    documents: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text): fixed-token
+    windows with overlap (stride < window) — the pretraining chunking
+    step that turns variable-length documents into model-context-sized
+    examples while the overlap preserves cross-boundary context. Chunk
+    starts are 1, 1+stride, 1+2·stride, …; the final window is allowed
+    to be short; zero-token documents emit nothing.
+
+    Pure JVM: one tokenization per row, `sequence(1, n, stride)` start
+    positions, `slice` + `array_join` per chunk — a narrow explode at
+    scan speed, no shuffle, no Python."""
+    from joern_spark.functions.hashing import tokens_col
+
+    d = documents.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda i: F.slice(F.col("_toks"), i, window)
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("_c").cast("long").alias("n_chunk_tokens"),
+        F.array_join("_c", " ").alias("chunk_text"),
+    )

@@ -1,0 +1,74 @@
+"""Training-example assembly — the export a transcripts→training-data
+pipeline exists to feed.
+
+The reference materializes analysis results as findings/slices for a
+downstream consumer (ScanPass findings, JoernSlice/JoernVectors exports);
+here the downstream consumer is LLM training, so the materialized
+products are supervised pairs and rendered dialogues:
+
+  * `sft_pairs` — (prompt, response) pairs from adjacent user→assistant
+    turns, the instruction-tuning unit.
+  * `sft_dialogues` — whole conversations rendered to one role-tagged
+    training text, the multi-turn-context unit.
+
+Both are pure window/aggregation plans (one conv-keyed shuffle each, no
+Python), deterministic under any partitioning, and oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, prompt, response): every assistant turn whose
+    IMMEDIATE predecessor in the conversation is a user turn — the
+    adjacent-pair SFT extraction. turn_idx is the response turn's index
+    (the pair's stable key). One conversation-keyed window, no Python;
+    at 10^12 turns this is one shuffle and a streaming lag frame."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lag("role").over(w).alias("_prev_role"),
+            F.lag("text").over(w).alias("_prev_text"),
+        )
+        .where((F.col("role") == "assistant") & (F.col("_prev_role") == "user"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("_prev_text").alias("prompt"),
+            F.col("text").alias("response"),
+        )
+    )
+
+
+def sft_dialogues(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, dialogue): the whole conversation rendered to
+    one role-tagged training text ('role: text' lines joined by
+    newlines, in turn order) — the multi-turn context-assembly export.
+    sort_array over the collected (turn_idx, …) structs gives a
+    deterministic rendering under any partitioning; one map-side-
+    combined aggregation per conversation."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "role", "text"))
+            ).alias("_turns"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.array_join(
+                F.transform(F.col("_turns"), lambda s: F.concat_ws(": ", s.role, s.text)),
+                "\n",
+            ).alias("dialogue"),
+        )
+    )

@@ -845,6 +845,32 @@ SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
 """
 
 
+def sft_pairs_sql(sf: float) -> str:
+    """Adjacent user→assistant pairs — lag window mirror of sft.sft_pairs."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+x AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+FROM x WHERE role = 'assistant' AND prev_role = 'user'
+"""
+
+
+def sft_dialogues_sql(sf: float) -> str:
+    """Role-tagged whole-conversation rendering — ordered string_agg
+    mirror of sft.sft_dialogues."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)})
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS dialogue
+FROM t GROUP BY conv_id
+"""
+
+
 def edge_index_sql(sf: float) -> str:
     """GNN COO export mirror: dense node ids = row_number over the
     sorted endpoint vocabulary (operators/export.dense_index produces

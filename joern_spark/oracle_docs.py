@@ -845,6 +845,31 @@ FROM keyed LEFT JOIN ck ON keyed.k = ck.k
 """
 
 
+def chunk_documents_sql(window: int | None = None, stride: int | None = None) -> str:
+    """Mirror of curate.chunk_documents: fixed-token windows with
+    overlap; chunk_idx recovered arithmetically from the start position
+    (starts are exactly 1 + k·stride); DuckDB's 1-based inclusive list
+    slice toks[st : st+window-1] equals Spark's slice(toks, st, window)."""
+    from joern_spark.operators.curate import CHUNK_STRIDE, CHUNK_WINDOW
+
+    window = CHUNK_WINDOW if window is None else window
+    stride = CHUNK_STRIDE if stride is None else stride
+    return f"""
+WITH {TOKS},
+d AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(1, len(toks) + 1, {stride})) AS st
+  FROM d
+)
+SELECT doc_id,
+       CAST((st - 1) / {stride} AS INT) AS chunk_idx,
+       len(toks[st : st + {window} - 1])::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[st : st + {window} - 1], ' ') AS chunk_text
+FROM c
+"""
+
+
 # --- multimodal ---------------------------------------------------------------
 
 def image_meta_sql() -> str:

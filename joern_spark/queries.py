@@ -194,6 +194,30 @@ def q_entity_kcore(spark, sf_dir):
     return entity_kcore(_comention_edges(spark, sf_dir))
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT training pairs: adjacent user→assistant (prompt, response)
+    extraction — one conv-keyed window."""
+    from joern_spark.operators.sft import sft_pairs
+
+    return sft_pairs(_t(spark, sf_dir))
+
+
+def q_sft_dialogues(spark, sf_dir):
+    """Multi-turn context assembly: whole conversations rendered to one
+    role-tagged training text, deterministic under any partitioning."""
+    from joern_spark.operators.sft import sft_dialogues
+
+    return sft_dialogues(_t(spark, sf_dir))
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Pretraining chunking: fixed-token overlapping windows per
+    document — scan-speed explode, no shuffle."""
+    from joern_spark.operators import curate
+
+    return curate.chunk_documents(read_documents(spark, sf_dir))
+
+
 def q_edge_index(spark, sf_dir):
     """GNN training export: symmetric COO edge-index of the entity
     co-mention graph with contiguous 0..n-1 node ids in key sort order
@@ -805,6 +829,9 @@ TPG_QUERIES = {
     "tpg_entity_triangles": q_entity_triangles,
     "tpg_entity_communities": q_entity_communities,
     "tpg_edge_index": q_edge_index,
+    "tpg_sft_pairs": q_sft_pairs,
+    "tpg_sft_dialogues": q_sft_dialogues,
+    "doc_chunks": q_doc_chunks,
     "tpg_entity_kcore": q_entity_kcore,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,

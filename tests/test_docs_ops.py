@@ -691,3 +691,25 @@ def test_lm_buckets_partition_and_order(spark):
     assert set(by_bucket) <= {"head", "middle", "tail"}
     if "head" in by_bucket and "tail" in by_bucket:
         assert min(by_bucket["head"]) >= max(by_bucket["tail"])
+
+
+def test_chunk_documents_windows(spark):
+    """Fixed-window chunking: starts at 1, 1+stride, …, short final
+    window allowed, overlap preserved, empty docs absent."""
+    from joern_spark.operators.curate import chunk_documents
+
+    toks = " ".join(f"t{i:02d}" for i in range(10))
+    d = spark.createDataFrame(
+        [(0, toks), (1, "only two"), (2, "   ")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(d, window=4, stride=3).collect()
+    }
+    assert {k[0] for k in rows} == {0, 1}
+    # doc 0: starts 1,4,7,10 → windows [0..3],[3..6],[6..9],[9]
+    assert rows[(0, 0)] == (4, "t00 t01 t02 t03")
+    assert rows[(0, 1)] == (4, "t03 t04 t05 t06")
+    assert rows[(0, 2)] == (4, "t06 t07 t08 t09")
+    assert rows[(0, 3)] == (1, "t09")
+    assert rows[(1, 0)] == (2, "only two")

@@ -168,3 +168,35 @@ def test_coverage_doc_oracle_names_exist():
     }
     missing = cited - registered
     assert not missing, f"COVERAGE.md cites unknown oracles: {sorted(missing)}"
+
+
+def test_sft_pairs_and_dialogues(spark, make_transcripts):
+    """Adjacent user→assistant pairs only (tool interruptions break the
+    pair); dialogues render in turn order regardless of input order."""
+    from joern_spark.operators.sft import sft_dialogues, sft_pairs
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Ask one.", None),
+            ("c1", 1, "assistant", "Answer one.", None),
+            ("c1", 2, "tool", "Result.", "weather_api"),
+            ("c1", 3, "assistant", "Summary.", None),
+            ("c2", 0, "assistant", "Cold open.", None),
+            ("c2", 1, "user", "Ask two.", None),
+            ("c2", 2, "assistant", "Answer two.", None),
+        ]
+    ).orderBy("text")  # scramble input order
+    pairs = {
+        (r.conv_id, r.turn_idx): (r.prompt, r.response)
+        for r in sft_pairs(t).collect()
+    }
+    assert pairs == {
+        ("c1", 1): ("Ask one.", "Answer one."),
+        ("c2", 2): ("Ask two.", "Answer two."),
+    }
+    d = {r.conv_id: (r.n_turns, r.dialogue) for r in sft_dialogues(t).collect()}
+    assert d["c1"] == (
+        4,
+        "user: Ask one.\nassistant: Answer one.\ntool: Result.\nassistant: Summary.",
+    )
+    assert d["c2"][0] == 3 and d["c2"][1].startswith("assistant: Cold open.")
