@@ -804,6 +804,10 @@ TPG_QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "dd_embed_cosine": q_dd_embed_cosine,
     "dd_semantic": q_dd_semantic,
+    "tpg_edge_index": q_edge_index,
+    "tpg_sft_pairs": q_sft_pairs,
+    "tpg_sft_dialogues": q_sft_dialogues,
+    "doc_chunks": q_doc_chunks,
     "emb_quantize": q_emb_quantize,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
@@ -828,10 +832,6 @@ TPG_QUERIES = {
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
     "tpg_entity_communities": q_entity_communities,
-    "tpg_edge_index": q_edge_index,
-    "tpg_sft_pairs": q_sft_pairs,
-    "tpg_sft_dialogues": q_sft_dialogues,
-    "doc_chunks": q_doc_chunks,
     "tpg_entity_kcore": q_entity_kcore,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
