@@ -23,11 +23,16 @@ from pyspark.sql.window import Window
 
 
 def sft_pairs(transcripts: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, prompt, response): every assistant turn whose
-    IMMEDIATE predecessor in the conversation is a user turn — the
-    adjacent-pair SFT extraction. turn_idx is the response turn's index
-    (the pair's stable key). One conversation-keyed window, no Python;
-    at 10^12 turns this is one shuffle and a streaming lag frame."""
+    """(conv_id, turn_idx, prompt, response, n_prompt_tokens,
+    n_response_tokens): every assistant turn whose IMMEDIATE predecessor
+    in the conversation is a user turn — the adjacent-pair SFT
+    extraction, with per-side token counts so the packing/budgeting step
+    (and loss masking, which needs the prompt length) reads them
+    directly. turn_idx is the response turn's index (the pair's stable
+    key). One conversation-keyed window, no Python; at 10^12 turns this
+    is one shuffle and a streaming lag frame."""
+    from joern_spark.functions.hashing import tokens_col
+
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
         transcripts.select(
@@ -44,6 +49,12 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
             "turn_idx",
             F.col("_prev_text").alias("prompt"),
             F.col("text").alias("response"),
+            F.size(tokens_col(F.col("_prev_text"))).cast("long").alias(
+                "n_prompt_tokens"
+            ),
+            F.size(tokens_col(F.col("text"))).cast("long").alias(
+                "n_response_tokens"
+            ),
         )
     )
 

@@ -846,7 +846,13 @@ SELECT {key} AS entity_key, count(*) AS n FROM m GROUP BY 1
 
 
 def sft_pairs_sql(sf: float) -> str:
-    """Adjacent user→assistant pairs — lag window mirror of sft.sft_pairs."""
+    """Adjacent user→assistant pairs — lag window mirror of sft.sft_pairs;
+    token counts use the shared tokenizer definition (lowercase,
+    non-alphanumeric split, empties dropped)."""
+    ntok = (
+        "len(list_filter(string_split_regex(lower({x}), '[^a-z0-9]+'),"
+        " t -> t <> ''))::BIGINT"
+    )
     return f"""
 WITH t AS (SELECT * FROM {t_src(sf)}),
 x AS (
@@ -855,7 +861,9 @@ x AS (
          lag(text) OVER w AS prev_text
   FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 )
-SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+SELECT conv_id, turn_idx, prev_text AS prompt, text AS response,
+       {ntok.format(x="prev_text")} AS n_prompt_tokens,
+       {ntok.format(x="text")} AS n_response_tokens
 FROM x WHERE role = 'assistant' AND prev_role = 'user'
 """
 

@@ -187,12 +187,14 @@ def test_sft_pairs_and_dialogues(spark, make_transcripts):
         ]
     ).orderBy("text")  # scramble input order
     pairs = {
-        (r.conv_id, r.turn_idx): (r.prompt, r.response)
+        (r.conv_id, r.turn_idx): (
+            r.prompt, r.response, r.n_prompt_tokens, r.n_response_tokens
+        )
         for r in sft_pairs(t).collect()
     }
     assert pairs == {
-        ("c1", 1): ("Ask one.", "Answer one."),
-        ("c2", 2): ("Ask two.", "Answer two."),
+        ("c1", 1): ("Ask one.", "Answer one.", 2, 2),
+        ("c2", 2): ("Ask two.", "Answer two.", 2, 2),
     }
     d = {r.conv_id: (r.n_turns, r.dialogue) for r in sft_dialogues(t).collect()}
     assert d["c1"] == (
