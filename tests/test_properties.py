@@ -310,3 +310,57 @@ def test_merge_canonical_map_matches_oneshot(spark, pairs, split):
         ).collect()
     }
     assert merged == oneshot, (b1, b2)
+
+
+# --- chunking: slicing arithmetic matches a brute-force reference -------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=25),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+def test_chunk_documents_matches_bruteforce(spark, n_tokens, window, stride):
+    from joern_spark.operators.curate import chunk_documents
+
+    toks = [f"w{i}" for i in range(n_tokens)]
+    d = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    got = {
+        r.chunk_idx: (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(d, window=window, stride=stride).collect()
+    }
+    expected = {
+        k: (len(toks[s : s + window]), " ".join(toks[s : s + window]))
+        for k, s in enumerate(range(0, n_tokens, stride))
+    }
+    assert got == expected
+
+
+# --- SFT pairs: window extraction matches a brute-force scan ------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["user", "assistant", "tool"]), min_size=1, max_size=10
+    )
+)
+def test_sft_pairs_match_bruteforce(spark, roles):
+    from joern_spark.operators.sft import sft_pairs
+
+    rows = [("c", i, r, f"text {i}", None, None) for i, r in enumerate(roles)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.turn_idx, r.prompt, r.response) for r in sft_pairs(t).collect()
+    }
+    expected = {
+        (i, f"text {i - 1}", f"text {i}")
+        for i, r in enumerate(roles)
+        if r == "assistant" and i > 0 and roles[i - 1] == "user"
+    }
+    assert got == expected
