@@ -1346,6 +1346,32 @@ def scan_echo_turns(
     )
 
 
+REBIND_CHURN_MIN = 2  # rebinds to the SAME target per conversation
+
+
+def scan_rebind_churn(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Conversations rebinding to the SAME target database more than
+    once — redundant configuration churn, the binding twin of
+    tool-thrash (which counts capability switches; this counts repeated
+    writes of one value). Distinct from dead-rebind: the repeated
+    rebind may well be read in between — the smell is the repetition
+    itself. Reads the shared rebind slice; one map-side-combined
+    aggregation, scored by the repeat count."""
+    return (
+        _slices(transcripts, slices).rebind
+        .groupBy("conv_id", "new_db")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= REBIND_CHURN_MIN)
+        .select(
+            F.lit("rebind-churn").alias("query_name"),
+            F.concat("conv_id", F.lit(":"), "new_db").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -1378,6 +1404,7 @@ SCANNERS: dict[str, Callable] = {
     "globally-unanswered-ask": scan_globally_unanswered_asks,
     "role-imbalance": scan_role_imbalance,
     "tool-thrash": scan_tool_thrash,
+    "rebind-churn": scan_rebind_churn,
     "answered-reask": scan_answered_reasks,
     "entity-spread": scan_entity_spread,
     "condition-contradiction": scan_condition_contradictions,

@@ -930,6 +930,7 @@ def findings_sql(sf: float) -> str:
         TEMP_HIGH,
         TEMP_LOW,
         TOOL_FANOUT_MIN,
+        REBIND_CHURN_MIN,
         TOOL_THRASH_MIN,
     )
 
@@ -1198,6 +1199,11 @@ SELECT 'tool-thrash', conv_id, count(*)::BIGINT FROM (
   FROM t WHERE tool IS NOT NULL
 ) WHERE prev IS NOT NULL AND prev <> tool
 GROUP BY conv_id HAVING count(*) >= {TOOL_THRASH_MIN}
+UNION ALL
+SELECT 'rebind-churn', conv_id || ':' || new_db, count(*)::BIGINT
+FROM (SELECT conv_id, regexp_extract(text, '{rebind.pattern}', 1) AS new_db
+      FROM t WHERE {_rule_where(rebind)})
+GROUP BY conv_id, new_db HAVING count(*) >= {REBIND_CHURN_MIN}
 UNION ALL
 SELECT 'answered-reask',
        a.conv_id || ':' || CAST(a.turn_idx AS VARCHAR), 1::BIGINT

@@ -386,6 +386,35 @@ QUERY_DB.extend(
             ],
         ),
         Query(
+            name="rebind-churn",
+            author=_A,
+            title="Binding rebound to the same target repeatedly",
+            description="A conversation that rebinds to the SAME target "
+            "database more than once — redundant configuration churn, the "
+            "binding twin of tool-thrash (repeated writes of one value "
+            "rather than capability switches).",
+            score=2.0,
+            scanner=scan.scan_rebind_churn,
+            tags=["dataflow"],
+            positive_examples=[
+                [
+                    ("c1", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None),
+                    ("c1", 1, "user",
+                     "From now on use staging_db instead of replica_db.", None),
+                ],
+            ],
+            negative_examples=[
+                [
+                    # two rebinds, but to DIFFERENT targets
+                    ("c2", 0, "user",
+                     "From now on use staging_db instead of prod_db.", None),
+                    ("c2", 1, "user",
+                     "From now on use replica_db instead of staging_db.", None),
+                ],
+            ],
+        ),
+        Query(
             name="self-alias",
             author=_A,
             title="Alias maps a surface to itself",
@@ -1318,7 +1347,7 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     # intra-conversation dataflow / binding lifecycle
     "dataflow": (
         "rebind-conversation", "stale-binding-use", "dead-rebind",
-        "default-binding-use", "mixed-db-query",
+        "default-binding-use", "mixed-db-query", "rebind-churn",
     ),
     # request/response completeness and call hygiene
     "callgraph": (
