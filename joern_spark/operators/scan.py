@@ -56,6 +56,7 @@ class TurnSlices:
     rebind: DataFrame   # + new_db, old_db
     dbcur: DataFrame
     db: DataFrame       # + db_name
+    summary: DataFrame  # + loc, temp, cond (assistant recap turns)
     mentions: DataFrame  # extract_mentions output (all rules)
     # Every turn with its predecessor (ONE conv-window pass shared by
     # all adjacency scanners — echo-turn, clock-skew, stale-handoff,
@@ -112,6 +113,12 @@ def build_slices(transcripts: DataFrame, materialize: bool = False) -> TurnSlice
         ),
         dbcur=sl("dbcur"),
         db=sl("db", ex("db", 1).alias("db_name")),
+        summary=sl(
+            "summary",
+            n(ex("summary", 3)).alias("loc"),
+            ex("summary", 1).alias("temp"),
+            ex("summary", 2).alias("cond"),
+        ),
         mentions=ckpt(extract_mentions(transcripts)),
         # deliberately NOT checkpointed: the slice is corpus-width (text
         # + prev_text), so serializing it costs more than it saves; the
@@ -1372,6 +1379,114 @@ def scan_rebind_churn(
     )
 
 
+def _summary_result_pairs(sl: TurnSlices) -> DataFrame:
+    """(conv_id, s_idx, temp, cond, r_idx, r_temp, r_cond) — every summary
+    turn joined to every EARLIER tool result for the same location in the
+    same conversation. Shared by the faithfulness scanners; the join keys
+    on (conv_id, loc) so fan-out is bounded by results-per-location within
+    one conversation (blocks, not corpus)."""
+    s = sl.summary.select(
+        "conv_id",
+        F.col("turn_idx").alias("s_idx"),
+        "loc",
+        "temp",
+        "cond",
+    )
+    r = sl.result.select(
+        "conv_id",
+        F.col("turn_idx").alias("r_idx"),
+        "loc",
+        F.col("temp").alias("r_temp"),
+        F.col("cond").alias("r_cond"),
+    )
+    return s.join(r, ["conv_id", "loc"]).where(F.col("r_idx") < F.col("s_idx"))
+
+
+def scan_unfaithful_summaries(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Assistant summary that disagrees with the MOST RECENT tool result
+    for the same location in the conversation — the final answer is wrong
+    against the freshest evidence (the RAG/agent-faithfulness check; the
+    reference's querydb checks derived facts against their declarations
+    the same way, e.g. querydb retRefs/size checks). One slice join plus
+    a per-summary argmax window over the joined (small) pair set."""
+    sl = _slices(transcripts, slices)
+    w = Window.partitionBy("conv_id", "s_idx").orderBy(F.desc("r_idx"))
+    return (
+        _summary_result_pairs(sl)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            (F.col("_rn") == 1)
+            & (
+                (F.col("temp") != F.col("r_temp"))
+                | (F.col("cond") != F.col("r_cond"))
+            )
+        )
+        .select(
+            F.lit("unfaithful-summary").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("s_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
+def scan_contradicted_summaries(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Summary contradicted by ANY earlier tool result for the same
+    location in the conversation (it may still match the latest one) —
+    the evidence trail behind the recap is internally inconsistent.
+    Scored by the number of contradicting earlier results."""
+    sl = _slices(transcripts, slices)
+    return (
+        _summary_result_pairs(sl)
+        .where(
+            (F.col("temp") != F.col("r_temp"))
+            | (F.col("cond") != F.col("r_cond"))
+        )
+        .groupBy("conv_id", "s_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("contradicted-summary").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("s_idx").cast("string")
+            ).alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_unsupported_summaries(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """Summary with NO earlier tool result for its location in the
+    conversation — a recap asserting facts nothing in the transcript
+    evidences (the use-before-definition analog for facts). Anti-join of
+    the summary slice against per-(conv, loc) earliest result indices."""
+    sl = _slices(transcripts, slices)
+    first_res = (
+        sl.result.groupBy("conv_id", "loc")
+        .agg(F.min("turn_idx").alias("first_r_idx"))
+    )
+    return (
+        sl.summary.join(first_res, ["conv_id", "loc"], "left")
+        .where(
+            F.col("first_r_idx").isNull()
+            | (F.col("first_r_idx") >= F.col("turn_idx"))
+        )
+        .select(
+            F.lit("unsupported-summary").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("evidence"),
+            F.lit(1).cast("long").alias("score"),
+        )
+    )
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -1420,6 +1535,9 @@ SCANNERS: dict[str, Callable] = {
     "cold-start-call": scan_cold_start_calls,
     "tool-role-mismatch": scan_tool_role_mismatches,
     "echo-turn": scan_echo_turns,
+    "unfaithful-summary": scan_unfaithful_summaries,
+    "contradicted-summary": scan_contradicted_summaries,
+    "unsupported-summary": scan_unsupported_summaries,
 }
 
 

@@ -910,6 +910,69 @@ JOIN vocab vb ON s.dst_key = vb.k
 """
 
 
+def _summary_sel() -> str:
+    """Summary-turn extraction (conv_id, s_idx, loc, temp, cond) — the
+    SQL twin of the scan.py `summary` slice."""
+    summ = RULES_BY_NAME["summary"]
+    loc = NORM.format(x=f"regexp_extract(text, '{summ.pattern}', 3)")
+    return (
+        f"SELECT conv_id, turn_idx AS s_idx, {loc} AS loc, "
+        f"regexp_extract(text, '{summ.pattern}', 1) AS temp, "
+        f"regexp_extract(text, '{summ.pattern}', 2) AS cond "
+        f"FROM t WHERE {_rule_where(summ)}"
+    )
+
+
+def _result_sel() -> str:
+    """Tool-result extraction (conv_id, r_idx, loc, r_temp, r_cond) — the
+    SQL twin of the scan.py `result` slice."""
+    result = RULES_BY_NAME["result"]
+    loc = NORM.format(x=f"regexp_extract(text, '{result.pattern}', 1)")
+    return (
+        f"SELECT conv_id, turn_idx AS r_idx, {loc} AS loc, "
+        f"regexp_extract(text, '{result.pattern}', 2) AS r_temp, "
+        f"regexp_extract(text, '{result.pattern}', 3) AS r_cond "
+        f"FROM t WHERE {_rule_where(result)}"
+    )
+
+
+def faithfulness_findings_sql() -> str:
+    """The faithfulness-bundle branches of the findings battery, over a
+    `t` transcript view — standalone so tests/test_parity_probes.py can
+    replay them on handcrafted POSITIVE probes (two of the three
+    scanners match zero corpus rows, so corpus-oracle equality alone
+    would not exercise the SQL)."""
+    return f"""\
+SELECT 'unfaithful-summary' AS query_name,
+       conv_id || ':' || CAST(s_idx AS VARCHAR) AS evidence,
+       1::BIGINT AS score
+FROM (
+  SELECT s.conv_id, s.s_idx, s.temp, s.cond, r.r_temp, r.r_cond,
+         row_number() OVER (PARTITION BY s.conv_id, s.s_idx
+                            ORDER BY r.r_idx DESC) AS rn
+  FROM ({_summary_sel()}) s
+  JOIN ({_result_sel()}) r
+    ON s.conv_id = r.conv_id AND s.loc = r.loc AND r.r_idx < s.s_idx
+)
+WHERE rn = 1 AND (temp <> r_temp OR cond <> r_cond)
+UNION ALL
+SELECT 'contradicted-summary',
+       s.conv_id || ':' || CAST(s.s_idx AS VARCHAR), count(*)::BIGINT
+FROM ({_summary_sel()}) s
+JOIN ({_result_sel()}) r
+  ON s.conv_id = r.conv_id AND s.loc = r.loc AND r.r_idx < s.s_idx
+WHERE s.temp <> r.r_temp OR s.cond <> r.r_cond
+GROUP BY s.conv_id, s.s_idx
+UNION ALL
+SELECT 'unsupported-summary',
+       s.conv_id || ':' || CAST(s.s_idx AS VARCHAR), 1::BIGINT
+FROM ({_summary_sel()}) s
+LEFT JOIN (SELECT conv_id, loc, min(r_idx) AS first_r_idx
+           FROM ({_result_sel()}) GROUP BY 1, 2) r0
+  ON s.conv_id = r0.conv_id AND s.loc = r0.loc
+WHERE r0.first_r_idx IS NULL OR r0.first_r_idx >= s.s_idx"""
+
+
 def findings_sql(sf: float) -> str:
     from joern_spark.operators.scan import (  # shared constants
         BURST_MAX_AVG_GAP_S,
@@ -1293,6 +1356,8 @@ FROM (SELECT conv_id, turn_idx, role, text,
              lag(text) OVER w AS prev_text, lag(role) OVER w AS prev_role
       FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
 WHERE prev_text IS NOT NULL AND text = prev_text AND role <> prev_role
+UNION ALL
+{faithfulness_findings_sql()}
 """
 
 

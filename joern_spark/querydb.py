@@ -1289,6 +1289,98 @@ QUERY_DB.extend(
                 ]
             ],
         ),
+        Query(
+            name="unfaithful-summary",
+            author=_A,
+            title="Summary disagrees with the freshest tool evidence",
+            description="An assistant recap whose temperature or "
+            "condition differs from the MOST RECENT tool result for the "
+            "same location in the conversation — the final answer is "
+            "wrong against the evidence it should summarize (the "
+            "faithfulness check for agent transcripts).",
+            score=8.0,
+            scanner=scan.scan_unfaithful_summaries,
+            tags=["correctness", "consistency"],
+            positive_examples=[
+                [
+                    ("c1", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c1", 1, "assistant",
+                     "It is 12C and sunny in Paris.", None),
+                ]
+            ],
+            negative_examples=[
+                [  # summary matches the latest result
+                    ("c2", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c2", 1, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                ],
+                [  # stale earlier result differs, but the LATEST matches
+                    ("c3", 0, "tool", "Paris: 5C, rainy.", "weather_api"),
+                    ("c3", 1, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c3", 2, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                ],
+            ],
+        ),
+        Query(
+            name="contradicted-summary",
+            author=_A,
+            title="Summary contradicted by earlier evidence in-thread",
+            description="An assistant recap that disagrees with SOME "
+            "earlier tool result for the same location in the "
+            "conversation, even if it matches the freshest one — the "
+            "evidence trail behind the recap is internally inconsistent. "
+            "Scored by the number of contradicting results.",
+            score=4.0,
+            scanner=scan.scan_contradicted_summaries,
+            tags=["consistency"],
+            positive_examples=[
+                [  # matches latest but contradicts the first result
+                    ("c1", 0, "tool", "Paris: 5C, rainy.", "weather_api"),
+                    ("c1", 1, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c1", 2, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                ]
+            ],
+            negative_examples=[
+                [  # every result agrees with the recap
+                    ("c2", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c2", 1, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c2", 2, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="unsupported-summary",
+            author=_A,
+            title="Summary asserts facts with no evidence in-thread",
+            description="An assistant recap for a location that has NO "
+            "earlier tool result in the conversation — facts appear from "
+            "nowhere (the use-before-definition analog for facts; "
+            "hallucination surfacing for agent transcripts).",
+            score=6.0,
+            scanner=scan.scan_unsupported_summaries,
+            tags=["provenance", "completeness"],
+            positive_examples=[
+                [
+                    ("c1", 0, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                ],
+                [  # evidence exists but only AFTER the recap
+                    ("c2", 0, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                    ("c2", 1, "tool", "Paris: 10C, sunny.", "weather_api"),
+                ],
+            ],
+            negative_examples=[
+                [
+                    ("c3", 0, "tool", "Paris: 10C, sunny.", "weather_api"),
+                    ("c3", 1, "assistant",
+                     "It is 10C and sunny in Paris.", None),
+                ]
+            ],
+        ),
     ]
 )
 
@@ -1374,6 +1466,13 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     "crossconv": (
         "fact-flip", "conversation-clone", "replaced-db-use",
         "globally-unanswered-ask", "entity-spread",
+    ),
+    # recap faithfulness — summaries checked against the tool evidence
+    # they claim to summarize (the derived-fact-vs-declaration checks of
+    # the reference's querydb, recast for agent transcripts)
+    "faithfulness": (
+        "unfaithful-summary", "contradicted-summary",
+        "unsupported-summary",
     ),
 }
 

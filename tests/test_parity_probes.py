@@ -96,3 +96,68 @@ def test_second_diff_parity_spark_vs_duckdb(spark):
         con.sql("SELECT i, date_diff('second', a, b) FROM p").fetchall()
     )
     assert got_spark == got_duck
+
+
+FAITHFULNESS_PROBES = [
+    # (conv_id, turn_idx, role, text, tool) — covers: clean recap,
+    # unfaithful-vs-latest, contradicted-by-earlier-only, unsupported
+    # (no evidence / evidence only after), condition-only mismatch, and
+    # multi-word location normalization.
+    ("p1", 0, "tool", "Paris: 5C, rainy.", "weather_api"),
+    ("p1", 1, "tool", "Paris: 10C, sunny.", "weather_api"),
+    ("p1", 2, "assistant", "It is 10C and sunny in Paris.", None),
+    ("p2", 0, "tool", "Lima: 20C, cloudy.", "weather_api"),
+    ("p2", 1, "assistant", "It is 21C and cloudy in Lima.", None),
+    ("p3", 0, "assistant", "It is 3C and foggy in Oslo.", None),
+    ("p3", 1, "tool", "Oslo: 3C, foggy.", "weather_api"),
+    ("p4", 0, "tool", "New York City: 7C, windy.", "weather_api"),
+    ("p4", 1, "assistant", "It is 7C and windy in New York City.", None),
+    ("p5", 0, "tool", "Berlin: 1C, snowy.", "weather_api"),
+    ("p5", 1, "assistant", "It is 1C and sunny in Berlin.", None),
+]
+
+
+def test_faithfulness_scanner_parity_spark_vs_duckdb(spark):
+    """The faithfulness bundle on POSITIVE probes: the Spark scanners and
+    the findings-oracle SQL branches must emit the identical finding set
+    (unfaithful-summary and unsupported-summary match zero corpus rows,
+    so the corpus gate alone cannot catch an engine divergence here)."""
+    from joern_spark.operators import scan
+    from joern_spark.oracle import faithfulness_findings_sql
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+
+    sdf = spark.createDataFrame(
+        [r + (None,) for r in FAITHFULNESS_PROBES], TRANSCRIPT_SCHEMA
+    )
+    got_spark = set()
+    for fn in (
+        scan.scan_unfaithful_summaries,
+        scan.scan_contradicted_summaries,
+        scan.scan_unsupported_summaries,
+    ):
+        got_spark |= {
+            (r["query_name"], r["evidence"], r["score"])
+            for r in fn(sdf).collect()
+        }
+
+    con = duckdb.connect()
+    con.register(
+        "probe_t",
+        __import__("pandas").DataFrame(
+            FAITHFULNESS_PROBES,
+            columns=["conv_id", "turn_idx", "role", "text", "tool"],
+        ),
+    )
+    con.sql("CREATE VIEW t AS SELECT * FROM probe_t")
+    got_duck = set(con.sql(faithfulness_findings_sql()).fetchall())
+
+    assert got_spark == got_duck, got_spark ^ got_duck
+    expected = {
+        ("contradicted-summary", "p1:2", 1),
+        ("unfaithful-summary", "p2:1", 1),
+        ("contradicted-summary", "p2:1", 1),
+        ("unsupported-summary", "p3:0", 1),
+        ("unfaithful-summary", "p5:1", 1),
+        ("contradicted-summary", "p5:1", 1),
+    }
+    assert got_spark == expected, got_spark ^ expected
