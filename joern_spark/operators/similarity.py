@@ -674,3 +674,97 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         .cast("int")
         .alias("q"),
     )
+
+
+# Lloyd refinement: rounds of assign→update over a deterministic sample.
+KMEANS_ROUNDS = 2
+KMEANS_SAMPLE = 512
+
+
+def kmeans_sample(embeddings: DataFrame, n: int = KMEANS_SAMPLE) -> DataFrame:
+    """The n vectors with the lowest md5(vec_id) — the same seeded-sample
+    trick as `ivf_centroids`, widened from k rows to the refinement set.
+    orderBy().limit() compiles to a distributed TakeOrderedAndProject, so
+    the sample is a bounded dimension-table-scale object at any corpus
+    size (Lloyd refinement over the FULL corpus would need a
+    corpus-width collect_list per cell — the exact shape this module
+    bans)."""
+    from joern_spark.functions.hashing import md5_long
+
+    return (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            md5_long(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n)
+        .drop("_h")
+    )
+
+
+def _updated_centroids(sample: DataFrame, centroids: list) -> list:
+    """One Lloyd update: assign the sample to its nearest centroid, then
+    per-cell per-dimension mean with a SEQUENTIAL fold over vec_id-sorted
+    members — the same IEEE-order discipline as PageRank, so the DuckDB
+    oracle reproduces every component bit-for-bit. Cells that lose all
+    members disappear; survivors are renumbered 0..m-1 by old cell id.
+    Returns the new centroids as a plain Python list (a k-row dimension
+    table, the legitimate collect)."""
+    assign = _cell_assignments(sample, centroids, probes=1).select("vec_id", "cell")
+    members = assign.join(sample, "vec_id")
+    dim = len(centroids[0])  # dim follows the data via the seed centroids
+    zero = F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.lit(0.0))
+    agg = (
+        members.groupBy("cell")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                zero,
+                lambda acc, m: F.zip_with(
+                    acc, m["embedding"], lambda a, b: a + b.cast("double")
+                ),
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("cell", F.transform("s", lambda x: x / F.col("n")).alias("centroid"))
+        .orderBy("cell")
+    )
+    return [list(r["centroid"]) for r in agg.collect()]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = IVF_CELLS,
+    rounds: int = KMEANS_ROUNDS,
+    sample_n: int = KMEANS_SAMPLE,
+) -> list:
+    """Hash-seeded centroids refined by `rounds` Lloyd iterations over
+    the deterministic sample — the production IVF index build
+    (`ivf_centroids` names this refinement as the scale path; this is
+    it). Pure function of the table contents."""
+    cents = [
+        list(r["centroid"])
+        for r in ivf_centroids(embeddings, k).orderBy("cell").collect()
+    ]
+    if not cents:
+        return []
+    sample = kmeans_sample(embeddings, sample_n).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        cents = _updated_centroids(sample, cents)
+    return cents
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = IVF_CELLS,
+    rounds: int = KMEANS_ROUNDS,
+    sample_n: int = KMEANS_SAMPLE,
+) -> DataFrame:
+    """(vec_id, cell) for EVERY vector against the Lloyd-refined
+    centroids — sample-bounded refinement, then one fused
+    projection scan over the full corpus (no shuffle, no corpus-width
+    state; the assignment plan is identical to `cosine_topk_ivf`'s
+    index side)."""
+    cents = kmeans_centroids(embeddings, k, rounds, sample_n)
+    return _cell_assignments(embeddings, cents, probes=1).select("vec_id", "cell")

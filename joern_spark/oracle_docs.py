@@ -25,6 +25,8 @@ from joern_spark.operators.similarity import (
     DIM,
     IVF_CELLS,
     IVF_PROBES,
+    KMEANS_ROUNDS,
+    KMEANS_SAMPLE,
     MULTI_NPLANES,
     MULTI_PROBE_H,
     MULTI_TABLES,
@@ -922,6 +924,79 @@ SELECT doc_id, width, height,
             ELSE greatest(floor(height * {RESIZE_MAX} / greatest(width, height)), 1)
        END::INT AS out_h
 FROM m
+"""
+
+
+def kmeans_sql(
+    k: int = IVF_CELLS,
+    rounds: int = KMEANS_ROUNDS,
+    sample_n: int = KMEANS_SAMPLE,
+) -> str:
+    """Lloyd-refined k-means mirror: identical hash-seeded centroids,
+    `rounds` unrolled assign→update iterations over the identical
+    md5-sampled refinement set (per-cell per-dim means as SEQUENTIAL
+    list_sum folds over vec_id-sorted members — the same IEEE order the
+    Spark side folds in), then the full-table final assignment."""
+    h = H.format(x="CAST(vec_id AS VARCHAR)")
+    mean_list = (
+        f"[list_sum([(e[i]::DOUBLE) FOR e IN embs]) / n "
+        f"FOR i IN range(1, {DIM + 1})]"
+    )
+    ctes = [
+        _NORM.strip(),
+        f"""samp AS (
+  SELECT vec_id, embedding, norm FROM normed
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {sample_n}
+)""",
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell,
+         embedding AS centroid,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS cnorm
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k}
+)""",
+    ]
+    for r in range(rounds):
+        dot = (
+            "list_sum([(s.embedding[i]::DOUBLE) * (c.centroid[i]::DOUBLE) "
+            f"FOR i IN range(1, {DIM + 1})])"
+        )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell, {dot} / (s.norm * c.cnorm) AS sim
+    FROM samp s CROSS JOIN cent{r} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell ASC) = 1
+)""",
+        )
+        ctes.append(
+            f"""m{r} AS (
+  SELECT a.cell, list(s.embedding ORDER BY s.vec_id) AS embs, count(*) AS n
+  FROM a{r} a JOIN samp s USING (vec_id) GROUP BY a.cell
+)""",
+        )
+        ctes.append(
+            f"""cent{r + 1} AS (
+  SELECT row_number() OVER (ORDER BY cell) - 1 AS cell, centroid,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN centroid])) AS cnorm
+  FROM (SELECT cell, {mean_list} AS centroid FROM m{r})
+)""",
+        )
+    fdot = (
+        "list_sum([(v.embedding[i]::DOUBLE) * (c.centroid[i]::DOUBLE) "
+        f"FOR i IN range(1, {DIM + 1})])"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT vec_id, cell FROM (
+  SELECT v.vec_id, c.cell, {fdot} / (v.norm * c.cnorm) AS sim
+  FROM normed v CROSS JOIN cent{rounds} c
+)
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell ASC) = 1
 """
 
 

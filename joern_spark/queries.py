@@ -775,6 +775,13 @@ def q_emb_quantize(spark, sf_dir):
     return similarity.quantize_int8(read_embeddings(spark, sf_dir))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Lloyd-refined k-means cell assignment for every vector: sample-
+    bounded refinement (no corpus-width state), one fused projection
+    scan for the final assignment."""
+    return similarity.kmeans_assignments(read_embeddings(spark, sf_dir))
+
+
 # Registry order is deliberate: the driver's correctness gate walks this
 # dict in order under a bounded budget (round 2 recorded rows for exactly
 # the FIRST 50 of 58 entries). So: (1) the five fundamental extraction
@@ -809,6 +816,7 @@ TPG_QUERIES = {
     "tpg_sft_dialogues": q_sft_dialogues,
     "doc_chunks": q_doc_chunks,
     "emb_quantize": q_emb_quantize,
+    "emb_kmeans": q_emb_kmeans,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_resize_dims": q_mm_resize_dims,

@@ -713,3 +713,36 @@ def test_chunk_documents_windows(spark):
     assert rows[(0, 2)] == (4, "t06 t07 t08 t09")
     assert rows[(0, 3)] == (1, "t09")
     assert rows[(1, 0)] == (2, "only two")
+
+
+def test_kmeans_assignments_deterministic_and_total(embs):
+    """Lloyd-refined assignment covers every vector exactly once, is
+    invariant to input partitioning/order, and strictly improves (or
+    ties) the mean vector-to-centroid cosine of the hash-seeded cells —
+    k-means must not make the index worse than its seed."""
+    df, vecs = embs
+    a1 = {(r.vec_id, r.cell) for r in similarity.kmeans_assignments(df).collect()}
+    assert len(a1) == 20 and len({v for v, _ in a1}) == 20
+    shuffled = df.orderBy(F.rand(42)).repartition(7)
+    a2 = {
+        (r.vec_id, r.cell)
+        for r in similarity.kmeans_assignments(shuffled).collect()
+    }
+    assert a1 == a2
+
+    def mean_csim(cents):
+        asn = similarity._cell_assignments(df, cents, probes=1)
+        return asn.agg(F.avg("csim")).collect()[0][0]
+
+    seed = [
+        list(r["centroid"])
+        for r in similarity.ivf_centroids(df).orderBy("cell").collect()
+    ]
+    refined = similarity.kmeans_centroids(df)
+    assert mean_csim(refined) >= mean_csim(seed) - 1e-12
+
+
+def test_kmeans_empty_embeddings(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.kmeans_centroids(empty) == []
+    assert similarity.kmeans_assignments(empty).count() == 0
