@@ -200,6 +200,48 @@ def stratified_topn(
     )
 
 
+DIVERSE_TOPN = 25  # docs kept per embedding cluster
+
+
+def diverse_topn(
+    documents: DataFrame, embeddings: DataFrame, n: int = DIVERSE_TOPN
+) -> DataFrame:
+    """(doc_id, cell, quality, rank) — the n highest-quality documents
+    per Lloyd-refined k-means cell: cluster-balanced selection, the
+    semantic-diversity complement of per-language `stratified_topn`
+    (picking the best N per embedding cluster keeps the selected corpus
+    covering every semantic region instead of letting one dominant topic
+    eat the whole budget). Cells are few, so a plain per-cell window
+    would funnel the corpus through k tasks — the two-stage salted
+    top-n (per-(cell, salt) then global, `salted.salted_min_k`'s
+    exactness argument) bounds every reducer to ~1/n_salts of a cell."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.functions.salted import N_SALTS
+    from joern_spark.operators.similarity import kmeans_assignments
+    from joern_spark.operators.textstats import quality_col
+
+    cells = kmeans_assignments(embeddings).withColumnRenamed("vec_id", "doc_id")
+    scored = documents.select(
+        "doc_id", quality_col(tokens_col(F.col("text"))).alias("quality")
+    ).join(cells, "doc_id")
+    w1 = Window.partitionBy("cell", "_salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("cell").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(N_SALTS)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= n)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= n)
+        .select("doc_id", "cell", "quality", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 SHARD_TOKEN_BUDGET = 2048  # tokens per output shard
 SHARD_GROUPS = 16  # parallel packing groups (the shuffle width at scale)
 

@@ -1000,6 +1000,30 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 """
 
 
+def diverse_topn_sql() -> str:
+    """Cluster-balanced selection mirror: the k-means oracle as a
+    subquery (CTEs nest fine in DuckDB), quality joined on the 1:1
+    doc_id↔vec_id mapping, per-cell dense selection with the identical
+    (quality DESC, doc_id ASC) total order."""
+    from joern_spark.operators.curate import DIVERSE_TOPN
+
+    quality = _quality_sql()
+    return f"""
+WITH {TOKS},
+scored AS (
+  SELECT d.doc_id, {quality} AS quality
+  FROM documents d JOIN toks USING (doc_id)
+),
+km AS (SELECT vec_id AS doc_id, cell FROM ({kmeans_sql()}))
+SELECT doc_id, cell, quality, rank FROM (
+  SELECT s.doc_id, km.cell, s.quality,
+         row_number() OVER (PARTITION BY km.cell
+                            ORDER BY s.quality DESC, s.doc_id ASC)::BIGINT AS rank
+  FROM scored s JOIN km USING (doc_id)
+) WHERE rank <= {DIVERSE_TOPN}
+"""
+
+
 def quantize_sql() -> str:
     return f"""
 WITH mx AS (

@@ -775,6 +775,15 @@ def q_emb_quantize(spark, sf_dir):
     return similarity.quantize_int8(read_embeddings(spark, sf_dir))
 
 
+def q_doc_diverse_topn(spark, sf_dir):
+    """Cluster-balanced selection: best-N documents per k-means cell."""
+    from joern_spark.operators import curate
+
+    return curate.diverse_topn(
+        read_documents(spark, sf_dir), read_embeddings(spark, sf_dir)
+    )
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Lloyd-refined k-means cell assignment for every vector: sample-
     bounded refinement (no corpus-width state), one fused projection
@@ -817,6 +826,7 @@ TPG_QUERIES = {
     "doc_chunks": q_doc_chunks,
     "emb_quantize": q_emb_quantize,
     "emb_kmeans": q_emb_kmeans,
+    "doc_diverse_topn": q_doc_diverse_topn,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_resize_dims": q_mm_resize_dims,

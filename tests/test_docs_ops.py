@@ -746,3 +746,27 @@ def test_kmeans_empty_embeddings(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.kmeans_centroids(empty) == []
     assert similarity.kmeans_assignments(empty).count() == 0
+
+
+def test_diverse_topn_covers_every_cell(spark):
+    """Cluster-balanced selection keeps min(n, |cell|) docs per k-means
+    cell — no cell is starved by a dominant cluster — and the salted
+    two-stage pick equals the plain per-cell window (exactness of the
+    salted top-n)."""
+    from joern_spark.operators import curate
+    from joern_spark.operators.similarity import kmeans_assignments
+    from joern_spark.sources.testdata import read_documents, read_embeddings
+
+    docs = read_documents(spark, "/root/testdata/sf0.01")
+    embv = read_embeddings(spark, "/root/testdata/sf0.01")
+    sel = curate.diverse_topn(docs, embv, n=5)
+    cells = kmeans_assignments(embv)
+    sizes = {r["cell"]: r["n"] for r in
+             cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["cell"]: r["n"] for r in
+           sel.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {c: min(5, s) for c, s in sizes.items()}
+    # ranks within a cell are dense 1..n
+    ranks = {(r["cell"], r["rank"]) for r in sel.collect()}
+    assert ranks == {(c, i + 1) for c, s in sizes.items()
+                     for i in range(min(5, s))}
