@@ -169,18 +169,23 @@ def _n_blocks(embeddings: DataFrame, block_rows: int) -> int:
     return max(1, math.ceil(embeddings.count() / block_rows))
 
 
-def _block_pair_grids(embeddings: DataFrame, nb: int, triangular: bool):
+def _block_pair_grids(
+    embeddings: DataFrame, nb: int, triangular: bool, extra_cols: tuple = ()
+):
     """(query_side, index_side) DataFrames keyed by (qb, ib) block-pair ids
     for the block-cogrouped exact kernels. Each vector lands in block
     hash(vec_id) % nb; the query side replicates each row across its
     (qb, *) row of the grid and the index side across its (*, ib) column,
     so cogroup (qb, ib) holds exactly block qb's queries and block ib's
     index vectors. `triangular` keeps only qb ≤ ib (symmetric-output
-    kernels score each unordered block pair once — half the FLOPs)."""
+    kernels score each unordered block pair once — half the FLOPs).
+    `extra_cols` ride along for kernels that filter on more than the
+    vectors (e.g. the hard-negative label mask)."""
     blocks = F.array(*[F.lit(i) for i in range(nb)])
     e = embeddings.select(
         "vec_id",
         "embedding",
+        *extra_cols,
         F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nb)).cast("int").alias("own"),
     )
     if triangular:
@@ -189,12 +194,14 @@ def _block_pair_grids(embeddings: DataFrame, nb: int, triangular: bool):
             F.explode(F.filter(blocks, lambda b: b >= F.col("own"))).alias("ib"),
             "vec_id",
             "embedding",
+            *extra_cols,
         )
         idx = e.select(
             F.explode(F.filter(blocks, lambda b: b <= F.col("own"))).alias("qb"),
             F.col("own").alias("ib"),
             "vec_id",
             "embedding",
+            *extra_cols,
         )
     else:
         q = e.select(
@@ -202,12 +209,14 @@ def _block_pair_grids(embeddings: DataFrame, nb: int, triangular: bool):
             F.explode(blocks).alias("ib"),
             "vec_id",
             "embedding",
+            *extra_cols,
         )
         idx = e.select(
             F.explode(blocks).alias("qb"),
             F.col("own").alias("ib"),
             "vec_id",
             "embedding",
+            *extra_cols,
         )
     return q, idx
 
@@ -241,6 +250,57 @@ def cosine_topk_matmul(
         yn = y / np.linalg.norm(y, axis=1, keepdims=True)
         sims = xn @ yn.T
         sims[qi[:, None] == ii[None, :]] = -np.inf  # exclude self
+        out = []
+        kk = min(k, ii.size)
+        for row_i in range(qi.size):
+            s = sims[row_i]
+            cand = np.argpartition(-s, kk - 1)[:kk] if kk < s.size else range(s.size)
+            cand = sorted(cand, key=lambda j: (-s[j], ii[j]))[:kk]
+            for j in cand:
+                if np.isfinite(s[j]):
+                    out.append((int(qi[row_i]), int(ii[j]), float(s[j])))
+        return pd.DataFrame(out, columns=["src", "dst", "sim"])
+
+    partial = (
+        q.groupBy("qb", "ib")
+        .cogroup(idx.groupBy("qb", "ib"))
+        .applyInPandas(tile, "src long, dst long, sim double")
+    )
+    return _topk(partial, k)
+
+
+def hard_negatives(
+    embeddings: DataFrame, k: int = TOP_K, block_rows: int = BLOCK_ROWS
+) -> DataFrame:
+    """(src, dst, rank, sim) — for every anchor the k most
+    cosine-similar vectors with a DIFFERENT label: contrastive
+    hard-negative mining, the training-pair complement of top-k
+    retrieval (a random negative teaches an embedding model nothing;
+    the near-miss with the wrong label is the gradient signal). Same
+    block-cogrouped BLAS tiling as `cosine_topk_matmul` — the label
+    rides the grid and the tile masks same-label pairs before its
+    per-src top-k, so no candidate is wasted on pairs the filter would
+    drop; O(block_rows²) executor memory at any table size."""
+    import numpy as np  # noqa: PLC0415
+
+    nb = _n_blocks(embeddings, block_rows)
+    q, idx = _block_pair_grids(embeddings, nb, triangular=False, extra_cols=("label",))
+
+    def tile(left, right):
+        import pandas as pd  # noqa: PLC0415
+
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["src", "dst", "sim"])
+        qi = np.asarray(left["vec_id"], dtype=np.int64)
+        ii = np.asarray(right["vec_id"], dtype=np.int64)
+        ql = np.asarray(left["label"], dtype=np.int64)
+        il = np.asarray(right["label"], dtype=np.int64)
+        x = np.array(list(left["embedding"]), dtype=np.float64)
+        y = np.array(list(right["embedding"]), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        yn = y / np.linalg.norm(y, axis=1, keepdims=True)
+        sims = xn @ yn.T
+        sims[ql[:, None] == il[None, :]] = -np.inf  # same label (incl. self)
         out = []
         kk = min(k, ii.size)
         for row_i in range(qi.size):

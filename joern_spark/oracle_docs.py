@@ -1000,6 +1000,30 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 """
 
 
+def hard_negatives_sql(k: int = TOP_K) -> str:
+    """Brute-force mirror of the hard-negative kernel: full cross of the
+    normed table restricted to label-mismatched pairs, identical
+    (sim DESC, dst ASC) ranking."""
+    return f"""
+WITH nl AS (
+  SELECT vec_id, embedding, label,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS norm
+  FROM embeddings
+),
+sims AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         {_DOT_XY} / (x.norm * y.norm) AS sim
+  FROM nl x, nl y WHERE x.label <> y.label
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+  FROM sims
+)
+SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
 def diverse_topn_sql() -> str:
     """Cluster-balanced selection mirror: the k-means oracle as a
     subquery (CTEs nest fine in DuckDB), quality joined on the 1:1

@@ -775,6 +775,12 @@ def q_emb_quantize(spark, sf_dir):
     return similarity.quantize_int8(read_embeddings(spark, sf_dir))
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor the k most-similar
+    vectors with a different label (block-tiled BLAS, label-masked)."""
+    return similarity.hard_negatives(read_embeddings(spark, sf_dir))
+
+
 def q_doc_diverse_topn(spark, sf_dir):
     """Cluster-balanced selection: best-N documents per k-means cell."""
     from joern_spark.operators import curate
@@ -827,6 +833,7 @@ TPG_QUERIES = {
     "emb_quantize": q_emb_quantize,
     "emb_kmeans": q_emb_kmeans,
     "doc_diverse_topn": q_doc_diverse_topn,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_resize_dims": q_mm_resize_dims,

@@ -770,3 +770,27 @@ def test_diverse_topn_covers_every_cell(spark):
     ranks = {(r["cell"], r["rank"]) for r in sel.collect()}
     assert ranks == {(c, i + 1) for c, s in sizes.items()
                      for i in range(min(5, s))}
+
+
+def test_hard_negatives_label_mask_and_numpy(embs):
+    """Hard negatives never share the anchor's label, are exactly k per
+    anchor (labels are balanced in the fixture), and agree with a numpy
+    brute force under the same (sim desc, dst asc) order."""
+    df, vecs = embs
+    labels = {r.vec_id: r.label for r in df.collect()}
+    got = similarity.hard_negatives(df, k=3).collect()
+    by_src = {}
+    for r in got:
+        assert labels[r.src] != labels[r.dst]
+        by_src.setdefault(r.src, []).append((r.rank, r.dst))
+    assert set(by_src) == set(range(20))
+    assert all(len(v) == 3 for v in by_src.values())
+
+    xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for src, pairs in by_src.items():
+        cands = [
+            (-sims[src, j], j) for j in range(20) if labels[j] != labels[src]
+        ]
+        want = [j for _, j in sorted(cands)[:3]]
+        assert [d for _, d in sorted(pairs)] == want, src
