@@ -269,18 +269,16 @@ def cosine_topk_matmul(
     return _topk(partial, k)
 
 
-def hard_negatives(
-    embeddings: DataFrame, k: int = TOP_K, block_rows: int = BLOCK_ROWS
+def _label_masked_topk(
+    embeddings: DataFrame, k: int, block_rows: int, same_label: bool
 ) -> DataFrame:
-    """(src, dst, rank, sim) — for every anchor the k most
-    cosine-similar vectors with a DIFFERENT label: contrastive
-    hard-negative mining, the training-pair complement of top-k
-    retrieval (a random negative teaches an embedding model nothing;
-    the near-miss with the wrong label is the gradient signal). Same
-    block-cogrouped BLAS tiling as `cosine_topk_matmul` — the label
-    rides the grid and the tile masks same-label pairs before its
-    per-src top-k, so no candidate is wasted on pairs the filter would
-    drop; O(block_rows²) executor memory at any table size."""
+    """Shared kernel for label-aware mining: per-src top-k over the
+    block-cogrouped BLAS tiles with pairs masked by label relation
+    (same_label=False keeps only label-mismatched pairs; True keeps
+    label-matched pairs excluding self). The label rides the grid and
+    the tile masks BEFORE its per-src top-k, so no candidate budget is
+    wasted on pairs the filter would drop; O(block_rows²) executor
+    memory at any table size."""
     import numpy as np  # noqa: PLC0415
 
     nb = _n_blocks(embeddings, block_rows)
@@ -300,7 +298,11 @@ def hard_negatives(
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
         yn = y / np.linalg.norm(y, axis=1, keepdims=True)
         sims = xn @ yn.T
-        sims[ql[:, None] == il[None, :]] = -np.inf  # same label (incl. self)
+        if same_label:
+            sims[ql[:, None] != il[None, :]] = -np.inf
+            sims[qi[:, None] == ii[None, :]] = -np.inf  # exclude self
+        else:
+            sims[ql[:, None] == il[None, :]] = -np.inf  # incl. self
         out = []
         kk = min(k, ii.size)
         for row_i in range(qi.size):
@@ -318,6 +320,42 @@ def hard_negatives(
         .applyInPandas(tile, "src long, dst long, sim double")
     )
     return _topk(partial, k)
+
+
+def hard_negatives(
+    embeddings: DataFrame, k: int = TOP_K, block_rows: int = BLOCK_ROWS
+) -> DataFrame:
+    """(src, dst, rank, sim) — for every anchor the k most
+    cosine-similar vectors with a DIFFERENT label: contrastive
+    hard-negative mining, the training-pair complement of top-k
+    retrieval (a random negative teaches an embedding model nothing;
+    the near-miss with the wrong label is the gradient signal)."""
+    return _label_masked_topk(embeddings, k, block_rows, same_label=False)
+
+
+def triplet_mining(
+    embeddings: DataFrame, block_rows: int = BLOCK_ROWS
+) -> DataFrame:
+    """(anchor, pos, neg, pos_sim, neg_sim) — per anchor the hardest
+    positive (LEAST-similar same-label vector would be hardest for the
+    pull term, but batch-hard mining conventionally pairs the MOST
+    similar positive with the most similar negative; we emit the
+    most-similar of each, the semi-hard recipe) joined with the hardest
+    negative. Anchors lacking either side (singleton labels) drop out —
+    an inner join, exactly what a triplet-loss batch builder needs."""
+    pos = _label_masked_topk(embeddings, 1, block_rows, same_label=True).select(
+        F.col("src").alias("anchor"),
+        F.col("dst").alias("pos"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = _label_masked_topk(embeddings, 1, block_rows, same_label=False).select(
+        F.col("src").alias("anchor"),
+        F.col("dst").alias("neg"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor", "pos", "neg", "pos_sim", "neg_sim"
+    )
 
 
 def lsh_buckets(

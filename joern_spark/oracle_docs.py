@@ -1024,6 +1024,34 @@ SELECT src, dst, rank, sim FROM ranked WHERE rank <= {k}
 """
 
 
+def triplet_mining_sql() -> str:
+    """Triplet mirror: two label-partitioned rank-1 picks over the same
+    normed cross, inner-joined on the anchor."""
+    return f"""
+WITH nl AS (
+  SELECT vec_id, embedding, label,
+         sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) FOR x IN embedding])) AS norm
+  FROM embeddings
+),
+sims AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst, x.label AS sl, y.label AS dl,
+         {_DOT_XY} / (x.norm * y.norm) AS sim
+  FROM nl x, nl y WHERE x.vec_id <> y.vec_id
+),
+pos AS (
+  SELECT src AS anchor, dst AS pos, sim AS pos_sim FROM sims
+  WHERE sl = dl
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) = 1
+),
+neg AS (
+  SELECT src AS anchor, dst AS neg, sim AS neg_sim FROM sims
+  WHERE sl <> dl
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) = 1
+)
+SELECT anchor, pos, neg, pos_sim, neg_sim FROM pos JOIN neg USING (anchor)
+"""
+
+
 def diverse_topn_sql() -> str:
     """Cluster-balanced selection mirror: the k-means oracle as a
     subquery (CTEs nest fine in DuckDB), quality joined on the 1:1

@@ -781,6 +781,11 @@ def q_emb_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(read_embeddings(spark, sf_dir))
 
 
+def q_emb_triplets(spark, sf_dir):
+    """Triplet mining: (anchor, hardest positive, hardest negative)."""
+    return similarity.triplet_mining(read_embeddings(spark, sf_dir))
+
+
 def q_doc_diverse_topn(spark, sf_dir):
     """Cluster-balanced selection: best-N documents per k-means cell."""
     from joern_spark.operators import curate
@@ -834,6 +839,7 @@ TPG_QUERIES = {
     "emb_kmeans": q_emb_kmeans,
     "doc_diverse_topn": q_doc_diverse_topn,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_triplets": q_emb_triplets,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_resize_dims": q_mm_resize_dims,

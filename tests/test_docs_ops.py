@@ -794,3 +794,27 @@ def test_hard_negatives_label_mask_and_numpy(embs):
         ]
         want = [j for _, j in sorted(cands)[:3]]
         assert [d for _, d in sorted(pairs)] == want, src
+
+
+def test_triplet_mining_semantics(embs):
+    """Every anchor with a same-label peer and a different-label peer
+    gets exactly one triplet; pos shares the anchor's label, neg does
+    not, and each side is the most-similar qualifying vector."""
+    df, vecs = embs
+    labels = {r.vec_id: r.label for r in df.collect()}
+    rows = similarity.triplet_mining(df).collect()
+    assert len(rows) == 20  # all 3 labels have ≥2 members in the fixture
+    xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for r in rows:
+        assert labels[r.anchor] == labels[r.pos] and r.anchor != r.pos
+        assert labels[r.anchor] != labels[r.neg]
+        want_pos = min(
+            ((-sims[r.anchor, j], j) for j in range(20)
+             if j != r.anchor and labels[j] == labels[r.anchor])
+        )[1]
+        want_neg = min(
+            ((-sims[r.anchor, j], j) for j in range(20)
+             if labels[j] != labels[r.anchor])
+        )[1]
+        assert (r.pos, r.neg) == (want_pos, want_neg), r.anchor
