@@ -248,3 +248,113 @@ def run_leak_scan_stream(
         .start()
     )
     q.awaitTermination()
+
+
+FAITH_STATE_SCHEMA = "locs array<string>, temps array<string>, conds array<string>"
+FAITH_OUT_SCHEMA = "conv_id string, turn_idx int, kind string"
+
+
+def _faithfulness_state_fn(key, pdfs, state: GroupState):
+    """Per-conversation faithfulness check with cross-batch evidence
+    state: the latest tool-result (temp, cond) per location carries
+    across drains, so a summary ingested in increment 2 is judged
+    against the result ingested in increment 1. Per-group logic is
+    pandas groupby/ffill over the (tiny) rule-matched rows of one
+    conversation — no per-row Python over the corpus."""
+    import pandas as pd  # noqa: PLC0415 — executor-side
+
+    (conv_id,) = key
+    if state.exists:
+        locs, temps, conds = state.get
+        seen = {lo: (t, c) for lo, t, c in zip(locs, temps, conds)}
+    else:
+        seen = {}
+    outs = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        for loc, g in pdf.groupby("loc", sort=False):
+            is_res = g["r_temp"].notna()
+            # most recent result at-or-before each row, then shift so a
+            # result row never supports itself; seed from carried state
+            carried = seen.get(loc, (None, None))
+            last_t = g["r_temp"].where(is_res).ffill().shift()
+            last_c = g["r_cond"].where(is_res).ffill().shift()
+            if carried[0] is not None:
+                last_t = last_t.fillna(carried[0])
+                last_c = last_c.fillna(carried[1])
+            is_sum = g["s_temp"].notna()
+            unsupported = is_sum & last_t.isna()
+            unfaithful = (
+                is_sum
+                & last_t.notna()
+                & ((g["s_temp"] != last_t) | (g["s_cond"] != last_c))
+            )
+            for mask, kind in ((unfaithful, "unfaithful"), (unsupported, "unsupported")):
+                if mask.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "conv_id": conv_id,
+                                "turn_idx": g.loc[mask, "turn_idx"],
+                                "kind": kind,
+                            }
+                        )
+                    )
+            res = g[is_res]
+            if not res.empty:
+                seen[loc] = (res["r_temp"].iloc[-1], res["r_cond"].iloc[-1])
+    if seen:
+        ks = sorted(seen)
+        state.update((ks, [seen[x][0] for x in ks], [seen[x][1] for x in ks]))
+    if outs:
+        yield pd.concat(outs, ignore_index=True)
+
+
+def faithfulness_stream(stream: DataFrame) -> DataFrame:
+    """Summary turns judged against cross-batch tool evidence — the
+    streaming twin of scan_unfaithful_summaries / scan_unsupported_
+    summaries (kind column tells them apart). State per conversation is
+    the latest (temp, cond) per mentioned location — bounded by the
+    conversation's location vocabulary, not its length."""
+    from joern_spark.operators.extract import normalize_surface_col
+
+    result = RULES_BY_NAME["result"]
+    summ = RULES_BY_NAME["summary"]
+    is_res = (F.col("role") == result.role) & F.col("text").rlike(result.pattern)
+    is_sum = (F.col("role") == summ.role) & F.col("text").rlike(summ.pattern)
+    ann = stream.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            is_res, normalize_surface_col(F.regexp_extract("text", result.pattern, 1))
+        ).otherwise(
+            normalize_surface_col(F.regexp_extract("text", summ.pattern, 3))
+        ).alias("loc"),
+        F.when(is_res, F.regexp_extract("text", result.pattern, 2)).alias("r_temp"),
+        F.when(is_res, F.regexp_extract("text", result.pattern, 3)).alias("r_cond"),
+        F.when(is_sum, F.regexp_extract("text", summ.pattern, 1)).alias("s_temp"),
+        F.when(is_sum, F.regexp_extract("text", summ.pattern, 2)).alias("s_cond"),
+    ).where(is_res | is_sum)
+    return ann.groupBy("conv_id").applyInPandasWithState(
+        _faithfulness_state_fn,
+        FAITH_OUT_SCHEMA,
+        FAITH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_faithfulness_stream(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        faithfulness_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

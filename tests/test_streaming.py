@@ -322,3 +322,50 @@ def test_alias_increment_matches_batch(spark, tmp_path_factory):
         for r in ingest.read_canonical_map(spark, state).collect()
     }
     assert still == got2
+
+
+def test_faithfulness_stream_across_drains_and_batch_parity(
+    spark, tmp_path_factory
+):
+    """Evidence state carries across drains (a result ingested in
+    increment 1 convicts a summary ingested in increment 2) and the
+    drained verdicts equal the batch faithfulness scanners on the same
+    rows."""
+    import os
+
+    from joern_spark.operators import scan
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+    from joern_spark.streaming import stateful
+
+    root = tmp_path_factory.mktemp("fstream")
+    landing, out, ckpt = (str(root / k) for k in ("landing", "out", "ckpt"))
+    os.makedirs(landing)
+    b1 = [
+        ("f1", 0, "tool", "Paris: 10C, sunny.", "weather_api", None),
+        ("f2", 0, "tool", "Lima: 20C, cloudy.", "weather_api", None),
+        ("f2", 1, "assistant", "It is 20C and cloudy in Lima.", None, None),
+    ]
+    b2 = [
+        ("f1", 1, "assistant", "It is 12C and sunny in Paris.", None, None),
+        ("f1", 2, "assistant", "It is 3C and foggy in Oslo.", None, None),
+    ]
+    _land_rows(spark, landing, b1, "b1")
+    stateful.run_faithfulness_stream(spark, landing, out, ckpt)
+    read = lambda: spark.read.schema(stateful.FAITH_OUT_SCHEMA).parquet(out)  # noqa: E731
+    assert read().count() == 0  # f2's recap is faithful
+
+    _land_rows(spark, landing, b2, "b2")
+    stateful.run_faithfulness_stream(spark, landing, out, ckpt)
+    got = {(r.conv_id, r.turn_idx, r.kind) for r in read().collect()}
+    assert got == {("f1", 1, "unfaithful"), ("f1", 2, "unsupported")}
+
+    batch = spark.createDataFrame(b1 + b2, TRANSCRIPT_SCHEMA)
+    want = {
+        (r.evidence, kind)
+        for fn, kind in (
+            (scan.scan_unfaithful_summaries, "unfaithful"),
+            (scan.scan_unsupported_summaries, "unsupported"),
+        )
+        for r in fn(batch).collect()
+    }
+    assert {(f"{c}:{t}", k) for c, t, k in got} == want
