@@ -361,3 +361,103 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# Duplicated-span removal (exact substring dedup at k-token granularity).
+# Spans this wide shared verbatim by two documents are boilerplate or
+# copies, not coincidence; removing every occurrence (not keep-first) is
+# the published semantics for training-data substring dedup. 8 tokens is
+# deliberately coarser than the 3-token near-dup shingle: near-dup asks
+# "are these documents alike", span removal asks "is this exact passage
+# repeated".
+SPAN_K = 8
+SPAN_MIN_DOCS = 2
+
+
+def span_dedup(
+    documents: DataFrame, k: int = SPAN_K, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """Remove every k-token span that appears verbatim in >= `min_docs`
+    distinct documents; return per-doc cleaned text + audit counts
+    (doc_id, n_tokens, n_removed, text_clean).
+
+    The distributed shape — why this survives 100 TB:
+      * span table = one row per token position (corpus width, never
+        wider); duplicated spans found by ONE map-side-combined groupBy
+        on the span text. No suffix array, no global sort.
+      * the dup-span set joins back by plain shuffle equi-join on the
+        span — on a heavily duplicated web corpus that set is
+        corpus-proportional, so it is never broadcast (AQE may still
+        choose to when it measures small).
+      * covered token positions explode at most k rows per duplicated
+        span occurrence (bounded fan-out), then one anti-join on
+        (doc_id, pos) and one groupBy(doc_id) rebuild the text; a
+        mega-document is one group — the same width the raw `text`
+        column already has.
+
+    Analog of the reference's content-key merge discipline
+    (x2cpg NamespaceCreator.scala:19-32 exact-key groupBy) applied at
+    sub-document granularity.
+    """
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", toks.alias("toks"))
+
+    span_structs = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - k + 1),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice("toks", i, k)).alias("span")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+    spans = base.select("doc_id", F.explode(span_structs).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span")
+    )
+
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("span")
+    )
+
+    covered = (
+        spans.join(dup, "span")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+
+    tok_pos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    kept_text = (
+        tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean")
+        )
+    )
+    removed = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(removed, "doc_id", "left")
+        .join(kept_text, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -270,6 +270,52 @@ FROM documents GROUP BY 1
 """
 
 
+def span_dedup_sql() -> str:
+    """Duplicated k-token span removal (mirror of dedup.span_dedup)."""
+    from joern_spark.operators.dedup import SPAN_K, SPAN_MIN_DOCS
+
+    k = SPAN_K
+    span_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+WITH {TOKS},
+spans AS (
+  SELECT doc_id, s.pos AS pos, s.span AS span FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'span': {span_expr}}}
+                   FOR i IN range(1, len(toks) - {k - 2})]) AS s
+    FROM toks)
+),
+dup AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY 1)
+  WHERE nd >= {SPAN_MIN_DOCS}
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS pos
+  FROM spans JOIN dup USING (span)
+),
+tokpos AS (
+  SELECT doc_id, t.pos AS pos, t.tok AS tok FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'tok': toks[i]}} FOR i IN range(1, len(toks) + 1)]) AS t
+    FROM toks)
+),
+kept AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM tokpos ANTI JOIN cov USING (doc_id, pos)
+  GROUP BY 1
+),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(kept.text_clean, '') AS text_clean
+FROM toks t
+LEFT JOIN rem USING (doc_id)
+LEFT JOIN kept USING (doc_id)
+"""
+
+
 _VERIFY = f"""
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (

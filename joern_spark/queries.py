@@ -699,6 +699,12 @@ def q_dd_exact(spark, sf_dir):
     return dedup.exact_dedup(read_documents(spark, sf_dir))
 
 
+def q_dd_span_dedup(spark, sf_dir):
+    """Exact duplicated-span removal: every 8-token span appearing
+    verbatim in >=2 distinct documents is scrubbed from all of them."""
+    return dedup.span_dedup(read_documents(spark, sf_dir))
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
@@ -819,6 +825,7 @@ TPG_QUERIES = {
     "tpg_mentions": q_mentions,
     "tpg_triples_raw": q_triples_raw,
     # (2) never driver-covered (r2 gate clipped these) + battery trio
+    "dd_span_dedup": q_dd_span_dedup,
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,

@@ -818,3 +818,45 @@ def test_triplet_mining_semantics(embs):
              if labels[j] != labels[r.anchor])
         )[1]
         assert (r.pos, r.neg) == (want_pos, want_neg), r.anchor
+
+
+def test_span_dedup_semantics(spark):
+    # docs 10/11 share the 8-token prefix "a b c d e f g h"; doc 12 is
+    # unique; doc 13 is too short for any span; doc 14 IS the shared span
+    # verbatim (fully covered -> empty text_clean).
+    shared = "a b c d e f g h"
+    rows = [
+        (10, shared + " tail one extra words here", "en", "s", 1),
+        (11, shared + " different ending entirely now", "en", "s", 1),
+        (12, "nothing in common with anything else at all", "en", "s", 1),
+        (13, "too short", "en", "s", 1),
+        (14, shared, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in dedup.span_dedup(docs).collect()}
+    assert set(out) == {10, 11, 12, 13, 14}
+    # the shared span is scrubbed from EVERY occurrence, suffixes survive
+    assert out[10].text_clean == "tail one extra words here"
+    assert out[11].text_clean == "different ending entirely now"
+    assert out[10].n_removed == 8 and out[11].n_removed == 8
+    # unique and sub-span docs untouched
+    assert out[12].text_clean == rows[2][1] and out[12].n_removed == 0
+    assert out[13].text_clean == "too short" and out[13].n_removed == 0
+    # fully duplicated doc collapses to empty
+    assert out[14].text_clean == "" and out[14].n_removed == 8
+    assert out[14].n_tokens == 8
+
+
+def test_span_dedup_within_doc_repeat_not_flagged(spark):
+    # a span repeated only WITHIN one doc is not cross-doc duplication
+    span = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [(20, span + " gap " + span, "en", "s", 1),
+         (21, "unrelated filler text with no overlap whatsoever", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in dedup.span_dedup(docs).collect()}
+    assert out[20].n_removed == 0
+    assert out[20].text_clean == span + " gap " + span
