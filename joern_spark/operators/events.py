@@ -1,0 +1,182 @@
+"""Time-series join operators over the `events` table — as-of join and
+range join, the two canonical temporal operators Spark's join syntax
+lacks (the brief's "custom operators" exemplars).
+
+Both are compositions of existing DataFrame ops chosen for their 100 TB
+shape, not mapInPandas kernels:
+
+  * as-of join: ZERO joins. Probe and build rows are unioned with a
+    side tag and the match is a `last(..., ignorenulls=True)` running
+    window per key — one shuffle on the key, O(1) state per row, no
+    per-probe build scan. This is the classic distributed as-of shape
+    (a sort-merge as-of without the merge join); a hub key degrades to
+    one sorted partition-local pass, never a quadratic join.
+  * range join: time-BUCKET blocking. Naive `a.ts BETWEEN b.ts AND
+    b.ts + W` forces a join on the equi-key alone with the range as a
+    residual filter — per-key row pairs are quadratic in key
+    frequency. Bucketing both sides to width-W epochs and probing
+    (bucket, bucket-1) bounds every join group to two W-wide slices,
+    so worst-case fan-out is (events per key per W)², independent of
+    total key frequency. The exact predicate is re-applied after the
+    bucket join, so bucketing is a pure candidate generator (the same
+    blocking discipline as dedup's LSH bands).
+
+The DuckDB oracles cross-check against a genuinely different execution
+strategy — DuckDB's native ASOF JOIN and its IEJoin inequality join —
+so a semantics bug in either implementation cannot hide.
+
+Reference analog: the closest reference machinery is the ordered
+`cfgNext`/dominator walks (window-over-ordering, SURVEY.md §2.B) applied
+to wall-clock order; the operators here are the training-data-pipeline
+generalization (sessionized user activity at web scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Probe/build split for the registered queries: "what did the user last
+# do before each error" (as-of) and "which purchases preceded each error
+# within the window" (range).
+PROBE_TYPE = "error"
+BUILD_TYPES = ("signup", "purchase")
+RANGE_BUILD_TYPE = "purchase"
+RANGE_W_S = 21600  # 6 h lookback window
+
+EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _us(col: str) -> F.Column:
+    """Micros since the naive epoch — pure NTZ arithmetic, bit-identical
+    to DuckDB's epoch_us() and invariant under the session timezone
+    (same discipline as queries.q_conversations)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {col})")
+
+
+def as_of_join(
+    probes: DataFrame,
+    builds: DataFrame,
+    key: str,
+    ts: str,
+    build_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: every probe row gains the build row with the
+    greatest `ts` at-or-before the probe's `ts` for the same `key`
+    (nulls when no build precedes it).
+
+    `builds` MUST be unique per (key, ts) — ties at the exact same
+    timestamp have no well-defined "most recent" row, so the caller
+    picks the representative (see `q_ev_asof`: arg-min by event_id).
+
+    Shape: union + one running window per key. The window's running
+    `last(ignorenulls)` carries the latest-so-far build attributes into
+    every probe row; build rows sort BEFORE probe rows at equal ts
+    (side 0 < 1), giving standard at-or-before (>=) semantics.
+    """
+    tagged_b = builds.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_b_{c}") for c in build_cols],
+    )
+    tagged_p = probes.withColumn("_side", F.lit(1))
+    u = tagged_p.unionByName(tagged_b, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in build_cols:
+        u = u.withColumn(c, F.last(f"_b_{c}", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).drop(
+        "_side", *[f"_b_{c}" for c in build_cols]
+    )
+
+
+def last_action_before_errors(events: DataFrame) -> DataFrame:
+    """Registered as-of query: for every `error` event, the most recent
+    at-or-before `signup`/`purchase` by the same user.
+
+    Output (event_id, user_id, prior_event_id, prior_type, gap_us);
+    gap_us is NULL for errors with no prior action.
+    """
+    probes = events.where(F.col("event_type") == PROBE_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    # one deterministic representative per (user, ts): arg-min event_id
+    builds = (
+        events.where(F.col("event_type").isin(*BUILD_TYPES))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("prior_event_id"),
+            F.min_by("event_type", "event_id").alias("prior_type"),
+        )
+        .withColumn("prior_us", _us("ts"))
+    )
+    out = as_of_join(
+        probes, builds, key="user_id", ts="ts",
+        build_cols=["prior_event_id", "prior_type", "prior_us"],
+    )
+    matched = F.col("prior_event_id").isNotNull()
+    return out.select(
+        "event_id",
+        "user_id",
+        "prior_event_id",
+        "prior_type",
+        F.when(matched, _us("ts") - F.col("prior_us")).alias("gap_us"),
+    )
+
+
+def bucketed_range_join(
+    probes: DataFrame,
+    builds: DataFrame,
+    key: str,
+    window_s: int,
+) -> DataFrame:
+    """All (probe, build) pairs with the same `key` and
+    `probe.ts - window <= build.ts <= probe.ts`, via time-bucket
+    blocking: both sides bucket to width-`window_s` epochs, probes join
+    buckets b and b-1, and the exact range predicate filters the
+    candidates. Inputs carry (key, id, us) with `us` = NTZ epoch micros.
+
+    Output: (a = probe id, b = build id, gap_us >= 0).
+    """
+    w_us = window_s * 1_000_000
+    b_side = builds.select(
+        F.col(key), F.col("id").alias("b"), F.col("us").alias("b_us"),
+        (F.col("us") / w_us).cast("long").alias("bucket"),
+    )
+    p_bkt = (F.col("us") / w_us).cast("long")
+    p_side = probes.select(
+        F.col(key), F.col("id").alias("a"), F.col("us").alias("a_us"),
+        F.explode(F.array(p_bkt, p_bkt - 1)).alias("bucket"),
+    )
+    return (
+        p_side.join(b_side, [key, "bucket"])
+        .where(
+            (F.col("b_us") <= F.col("a_us"))
+            & (F.col("b_us") >= F.col("a_us") - w_us)
+        )
+        .select("a", "b", (F.col("a_us") - F.col("b_us")).alias("gap_us"))
+    )
+
+
+def purchases_before_errors(
+    events: DataFrame, window_s: int = RANGE_W_S
+) -> DataFrame:
+    """Registered range query: every (error, purchase) pair for the same
+    user with the purchase inside the `window_s` lookback before (or at)
+    the error. Output (a = error event_id, b = purchase event_id,
+    gap_us)."""
+    us = _us("ts")
+    probes = events.where(F.col("event_type") == PROBE_TYPE).select(
+        "user_id", F.col("event_id").alias("id"), us.alias("us")
+    )
+    builds = events.where(F.col("event_type") == RANGE_BUILD_TYPE).select(
+        "user_id", F.col("event_id").alias("id"), us.alias("us")
+    )
+    return bucketed_range_join(probes, builds, key="user_id", window_s=window_s)

@@ -1198,3 +1198,45 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN rates r USING (source)
 WHERE {h}::DOUBLE < r.rate * {H_SPACE!r}
 """
+
+
+def ev_asof_sql() -> str:
+    """Native ASOF JOIN mirror of events.last_action_before_errors —
+    a genuinely different execution strategy than the Spark windowed
+    union, so semantics bugs cannot hide."""
+    from joern_spark.operators.events import BUILD_TYPES, PROBE_TYPE
+
+    builds = ", ".join(f"'{t}'" for t in BUILD_TYPES)
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{PROBE_TYPE}'
+),
+b AS (
+  SELECT user_id, ts, min(event_id) AS prior_event_id,
+         arg_min(event_type, event_id) AS prior_type
+  FROM events WHERE event_type IN ({builds}) GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, b.prior_event_id, b.prior_type,
+       CAST(date_diff('microsecond', b.ts, p.ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+"""
+
+
+def ev_range_sql() -> str:
+    """Inequality-join mirror of events.purchases_before_errors (DuckDB
+    plans this as an IEJoin; the Spark twin uses time-bucket blocking)."""
+    from joern_spark.operators.events import (
+        PROBE_TYPE,
+        RANGE_BUILD_TYPE,
+        RANGE_W_S,
+    )
+
+    return f"""
+SELECT a.event_id AS a, b.event_id AS b,
+       CAST(date_diff('microsecond', b.ts, a.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts <= a.ts
+ AND b.ts >= a.ts - INTERVAL {RANGE_W_S} SECOND
+WHERE a.event_type = '{PROBE_TYPE}' AND b.event_type = '{RANGE_BUILD_TYPE}'
+"""

@@ -18,8 +18,8 @@ from joern_spark.operators.extract import (
     extract_triples_raw,
 )
 from joern_spark.functions.salted import salted_count
-from joern_spark.operators import cfg, dedup, multimodal, scan, similarity, textstats
-from joern_spark.sources.testdata import read_documents, read_embeddings
+from joern_spark.operators import cfg, dedup, events, multimodal, scan, similarity, textstats
+from joern_spark.sources.testdata import read_documents, read_embeddings, read_events
 from joern_spark.sources.transcripts import read_entities, read_transcripts
 
 
@@ -705,6 +705,20 @@ def q_dd_span_dedup(spark, sf_dir):
     return dedup.span_dedup(read_documents(spark, sf_dir))
 
 
+def q_ev_asof(spark, sf_dir):
+    """As-of join (zero-join windowed union, operators/events.py): every
+    error event gains the user's most recent at-or-before signup or
+    purchase. Oracle = DuckDB's native ASOF JOIN."""
+    return events.last_action_before_errors(read_events(spark, sf_dir))
+
+
+def q_ev_range(spark, sf_dir):
+    """Range join via time-bucket blocking (operators/events.py): all
+    (error, purchase) pairs per user inside the 6 h lookback window.
+    Oracle = DuckDB's IEJoin inequality join."""
+    return events.purchases_before_errors(read_events(spark, sf_dir))
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
@@ -826,6 +840,8 @@ TPG_QUERIES = {
     "tpg_triples_raw": q_triples_raw,
     # (2) never driver-covered (r2 gate clipped these) + battery trio
     "dd_span_dedup": q_dd_span_dedup,
+    "ev_asof": q_ev_asof,
+    "ev_range": q_ev_range,
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,

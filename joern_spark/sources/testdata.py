@@ -28,3 +28,14 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) — ts cast
+    to TIMESTAMP_NTZ on read (naive wall-clock, same discipline as
+    sources/interchange.py) so downstream epoch arithmetic is invariant
+    under the session timezone."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _spread(
+        df.withColumn("ts", df["ts"].cast("timestamp_ntz"))
+    )

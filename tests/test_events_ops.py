@@ -1,0 +1,95 @@
+"""Unit tests for the temporal join operators (as-of join, bucketed
+range join) on handcrafted fixtures — boundary inclusivity, cross-bucket
+candidates, per-key isolation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from joern_spark.operators import events
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+
+def test_asof_semantics(spark):
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    evs = _ev(
+        spark,
+        [
+            # user 1: purchase at 10:00, signup at 10:30, errors around them
+            (1, t("2024-01-01 09:00:00"), 1, "error"),      # before any build → null
+            (2, t("2024-01-01 10:00:00"), 1, "purchase"),
+            (3, t("2024-01-01 10:00:00"), 1, "error"),      # equal ts → at-or-before matches
+            (4, t("2024-01-01 10:30:00"), 1, "signup"),
+            (5, t("2024-01-01 11:00:00"), 1, "error"),      # latest build wins (signup)
+            # user 2: build only — must not leak into user 1
+            (6, t("2024-01-01 08:00:00"), 2, "purchase"),
+            (7, t("2024-01-01 12:00:00"), 2, "error"),
+        ],
+    )
+    out = {r.event_id: r for r in events.last_action_before_errors(evs).collect()}
+    assert out[1].prior_event_id is None and out[1].gap_us is None
+    assert out[3].prior_event_id == 2 and out[3].gap_us == 0
+    assert out[5].prior_event_id == 4 and out[5].prior_type == "signup"
+    assert out[5].gap_us == 30 * 60 * 1_000_000
+    assert out[7].prior_event_id == 6  # user 2 matches its own build
+
+
+def test_asof_tie_at_same_ts_deterministic(spark):
+    t = datetime.fromisoformat("2024-01-01 10:00:00")
+    evs = _ev(
+        spark,
+        [
+            (11, t, 1, "purchase"),
+            (10, t, 1, "signup"),  # same (user, ts): min event_id = 10 wins
+            (12, datetime.fromisoformat("2024-01-01 10:01:00"), 1, "error"),
+        ],
+    )
+    row = events.last_action_before_errors(evs).collect()[0]
+    assert row.prior_event_id == 10 and row.prior_type == "signup"
+
+
+def test_range_join_boundaries_and_buckets(spark):
+    w = events.RANGE_W_S
+    t0 = datetime.fromisoformat("2024-01-03 00:00:00")
+    us = lambda s: int(s.timestamp() * 1_000_000)  # noqa: E731 (naive == UTC in tests)
+    mk = lambda eid, dt_s, typ, uid=1: (  # noqa: E731
+        eid,
+        datetime.fromtimestamp(t0.timestamp() + dt_s),
+        uid,
+        typ,
+    )
+    evs = _ev(
+        spark,
+        [
+            mk(1, 3 * w, "error"),
+            mk(2, 3 * w, "purchase"),           # gap 0 — included
+            mk(3, 2 * w, "purchase"),           # gap == W exactly — included
+            mk(4, 2 * w - 1, "purchase"),       # just beyond W — excluded
+            mk(5, 3 * w - 10, "purchase"),      # same bucket — included
+            mk(6, int(2.5 * w), "purchase"),    # previous bucket — included
+            mk(7, 3 * w + 1, "purchase"),       # after the error — excluded
+            mk(8, 3 * w - 5, "purchase", uid=2),  # other user — excluded
+        ],
+    )
+    pairs = {
+        (r.a, r.b): r.gap_us for r in events.purchases_before_errors(evs).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (1, 5), (1, 6)}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == w * 1_000_000
+    del us
+
+
+def test_range_join_empty_sides(spark):
+    evs = _ev(spark, [(1, datetime.fromisoformat("2024-01-01 00:00:00"), 1, "view")])
+    assert events.purchases_before_errors(evs).count() == 0
+    out = events.last_action_before_errors(evs)
+    assert out.count() == 0
+    assert out.columns == ["event_id", "user_id", "prior_event_id", "prior_type", "gap_us"]
