@@ -46,7 +46,7 @@ N_TRIALS = 2
 # session and shared with their projections): a second trial would
 # measure the checkpoint read, not the query — report the honest single
 # compute time instead.
-NO_RETRY = {"tpg_findings", "tpg_cross_paths"}
+NO_RETRY = {"tpg_findings", "tpg_cross_paths", "tpg_mentions", "tpg_linked_mentions"}
 
 
 def main() -> None:

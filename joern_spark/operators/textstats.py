@@ -481,3 +481,151 @@ def lm_buckets(documents: DataFrame) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# ---- BPE tokenizer: train (vocabulary-bounded driver loop) + encode ----
+
+BPE_TRAIN_MERGES = 32
+# Ceiling on the distinct-word table collected for training. The
+# vocabulary is a dimension table (it grows ~log with the corpus, not
+# linearly), but the collect must still be guarded — a corpus whose
+# vocab exceeds the cap needs the sampled-vocab variant, not a silent
+# driver OOM.
+BPE_VOCAB_CAP = 500_000
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` ranked BPE merges (Sennrich et al. 2016) from the
+    corpus. The corpus is scanned ONCE for the distinct-word frequency
+    table (map-side combined groupBy — the same vocabulary-bounded shape
+    as bpe_merges); the merge loop then runs on the driver over that
+    table, exactly like the reference's vocabulary-side passes collect
+    dimension tables (and like this repo's PageRank/union-find driver
+    fast paths). Raises on a vocabulary above `vocab_cap` instead of
+    silently OOMing — 10^12-token corpora train on a frequency-floored
+    vocab, which is a parameter change, not a shape change.
+
+    Determinism: best pair per round = max count, ties broken by
+    lexicographically smallest (left, right)."""
+    rows = (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .limit(vocab_cap + 1)
+        .collect()
+    )
+    if len(rows) > vocab_cap:
+        raise ValueError(
+            f"vocabulary exceeds BPE_VOCAB_CAP={vocab_cap}; train on a "
+            "frequency-floored vocabulary instead"
+        )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r.tok): r.wc for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for word, wc in vocab.items():
+            for a, b in zip(word, word[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(pair)
+        vocab = {_merge_word(w, pair): wc for w, wc in vocab.items()}
+        # merging can collide distinct symbol tuples? No: _merge_word is
+        # injective on words that differ as strings (pieces concatenate
+        # to the original word), so keys stay distinct.
+    return merges
+
+
+def _merge_word(
+    word: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    """One left-greedy merge pass of `pair` over a symbol tuple."""
+    out: list[str] = []
+    i = 0
+    n = len(word)
+    while i < n:
+        if i + 1 < n and word[i] == pair[0] and word[i + 1] == pair[1]:
+            out.append(word[i] + word[i + 1])
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word: apply each learned merge in rank order with
+    left-greedy passes — the pure-Python kernel shared by the Arrow UDF
+    and the tests (same discipline as the blocked-BLAS kernels in
+    operators/similarity.py)."""
+    syms: tuple[str, ...] = tuple(word)
+    for pair in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, pair)
+    return list(syms)
+
+
+BPE_ENCODE_SCHEMA = (
+    "doc_id long, n_tokens long, n_pieces long, pieces_per_token double"
+)
+
+
+def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merges to every document — the tokenize-the-corpus
+    pass a training pipeline runs at full scale. Arrow-batched
+    mapInPandas (never per-row Python); within a batch each DISTINCT
+    word is encoded once and reused (web text is Zipfian, so the
+    per-batch memo removes almost all kernel calls).
+
+    Greedy merge application is inherently iterative per word — not
+    expressible in ANSI SQL — so this operator is gated by the shared
+    pure-Python kernel (tests assert piece-concatenation identity,
+    monotone piece counts, and bit-equality with a direct per-word
+    reference), not a DuckDB oracle."""
+    import pandas as pd  # noqa: PLC0415 — imported on executors
+
+    import re as _re  # noqa: PLC0415
+
+    merges_local = list(merges)
+    base = documents.select("doc_id", "text")
+
+    def run(batches):
+        word_re = _re.compile(r"[^a-z0-9]+")
+        memo: dict[str, int] = {}
+
+        def pieces_of(word: str) -> int:
+            got = memo.get(word)
+            if got is None:
+                got = len(bpe_encode_word(word, merges_local))
+                memo[word] = got
+            return got
+
+        for pdf in batches:
+            n_toks: list[int] = []
+            n_pieces: list[int] = []
+            for text in pdf["text"]:
+                words = [w for w in word_re.split(text.lower()) if w]
+                n_toks.append(len(words))
+                n_pieces.append(sum(pieces_of(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_toks,
+                    "n_pieces": n_pieces,
+                    "pieces_per_token": [
+                        p / t if t else 0.0 for p, t in zip(n_pieces, n_toks)
+                    ],
+                }
+            )
+
+    return base.mapInPandas(run, schema=BPE_ENCODE_SCHEMA)

@@ -58,7 +58,7 @@ def q_next_turn(spark, sf_dir):
 
 
 def q_mentions(spark, sf_dir):
-    return extract_mentions(_t(spark, sf_dir))
+    return _mentions(spark, sf_dir)
 
 
 def q_triples_raw(spark, sf_dir):
@@ -66,11 +66,11 @@ def q_triples_raw(spark, sf_dir):
 
 
 def q_linked_mentions(spark, sf_dir):
-    return link.link_mentions(extract_mentions(_t(spark, sf_dir)), read_entities(spark))
+    return _linked(spark, sf_dir)
 
 
 def q_stub_entities(spark, sf_dir):
-    return link.stub_entities(extract_mentions(_t(spark, sf_dir)), read_entities(spark))
+    return link.stub_entities(_mentions(spark, sf_dir), read_entities(spark))
 
 
 def q_canonical_map(spark, sf_dir):
@@ -165,7 +165,35 @@ def _comention_edges(spark, sf_dir):
         _COOC_CACHE,
         spark,
         sf_dir,
-        lambda: entity_cooccurrence(extract_mentions(_t(spark, sf_dir))),
+        lambda: entity_cooccurrence(_mentions(spark, sf_dir)),
+    )
+
+
+# The mention table — ONE regex-extraction scan of the corpus — and its
+# entity-linked projection feed eleven registered queries (linking,
+# CHA, kind recovery, degree, slices, vectors, the hetero edge union).
+# Re-running the extraction per consumer re-scans the corpus each time;
+# the memo materializes it once per (session, sf_dir). Unlike the other
+# memos this one is corpus-WIDTH (one row per mention, ~1.8 rows/turn)
+# — at cluster scale this is the standard "persist the extraction
+# layer" materialization every multi-query session does, not a
+# broadcast; locally it is a localCheckpoint.
+_MENTIONS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LINKED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _mentions(spark, sf_dir):
+    return _session_memo(
+        _MENTIONS_CACHE, spark, sf_dir, lambda: extract_mentions(_t(spark, sf_dir))
+    )
+
+
+def _linked(spark, sf_dir):
+    return _session_memo(
+        _LINKED_CACHE,
+        spark,
+        sf_dir,
+        lambda: link.link_mentions(_mentions(spark, sf_dir), read_entities(spark)),
     )
 
 
@@ -282,7 +310,7 @@ def q_kind_recovery(spark, sf_dir):
 
     t = _t(spark, sf_dir)
     cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
-    return recover_kinds(extract_mentions(t), cmap)
+    return recover_kinds(_mentions(spark, sf_dir), cmap)
 
 
 def q_tool_stats(spark, sf_dir):
@@ -348,7 +376,7 @@ def _hetero_edges(spark, sf_dir):
     """The labeled heterogeneous edge union the path engine walks:
     NEXT_TURN + LINKS_TO + SAME_AS."""
     t = _t(spark, sf_dir)
-    linked = link.link_mentions(extract_mentions(t), read_entities(spark))
+    linked = _linked(spark, sf_dir)
     pairs = canonicalize.same_as_pairs(t)
     return (
         assemble.next_turn_edges(t)
@@ -451,8 +479,7 @@ def q_starting_points(spark, sf_dir):
     exact salted top-k per entity."""
     from joern_spark.functions.hetero import sources_to_starting_points
 
-    t = _t(spark, sf_dir)
-    linked = link.link_mentions(extract_mentions(t), read_entities(spark))
+    linked = _linked(spark, sf_dir)
     edges = link.links_to_edges(linked)
     seeds = edges.select(F.col("dst").alias("id")).dropDuplicates()
     return sources_to_starting_points(seeds, edges).select("id", "start", "via")
@@ -468,7 +495,7 @@ def q_cdg(spark, sf_dir):
 def q_entity_degree(spark, sf_dir):
     """Mention count per entity key — salted two-stage aggregation
     (hub-entity skew defense); result identical to a plain groupBy."""
-    m = link.keyed_mentions(extract_mentions(_t(spark, sf_dir)))
+    m = link.keyed_mentions(_mentions(spark, sf_dir))
     return salted_count(
         m, "entity_key", "entity_key", salt_cols=["conv_id", "turn_idx", "surface"]
     )
@@ -507,7 +534,7 @@ def q_linked_multi(spark, sf_dir):
     alias-component candidate, internal-preferred."""
     t = _t(spark, sf_dir)
     cmap = canonicalize.connected_components(canonicalize.same_as_pairs(t))
-    return link.link_mentions_cha(extract_mentions(t), read_entities(spark), cmap)
+    return link.link_mentions_cha(_mentions(spark, sf_dir), read_entities(spark), cmap)
 
 
 SLICE_SEEDS = ["big_apple"]
@@ -529,7 +556,7 @@ def q_conv_vectors(spark, sf_dir):
     """JoernVectors analog: sparse bag-of-entities vector per conversation."""
     from joern_spark.operators.slice import conversation_vectors
 
-    linked = link.link_mentions(extract_mentions(_t(spark, sf_dir)), read_entities(spark))
+    linked = _linked(spark, sf_dir)
     return conversation_vectors(linked)
 
 
@@ -562,7 +589,7 @@ def q_edge_stats(spark, sf_dir):
     from joern_spark import schemas as S
 
     t = _t(spark, sf_dir)
-    linked = link.link_mentions(extract_mentions(t), read_entities(spark))
+    linked = _linked(spark, sf_dir)
     same_as = canonicalize.same_as_pairs(t).select(
         F.col("a").alias("src"),
         F.col("b").alias("dst"),

@@ -860,3 +860,40 @@ def test_span_dedup_within_doc_repeat_not_flagged(spark):
     out = {r.doc_id: r for r in dedup.span_dedup(docs).collect()}
     assert out[20].n_removed == 0
     assert out[20].text_clean == span + " gap " + span
+
+
+def test_bpe_train_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab ab ab", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merges = textstats.bpe_train(docs, n_merges=5)
+    # round 1: (a,b) count 3*2+2*1 = 8; round 2: (ab,ab) count 3; then dry
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_encode_word_kernel():
+    merges = [("a", "b"), ("ab", "ab")]
+    assert textstats.bpe_encode_word("ababab", merges) == ["abab", "ab"]
+    assert textstats.bpe_encode_word("xyz", merges) == ["x", "y", "z"]
+    assert textstats.bpe_encode_word("", merges) == []
+    # piece concatenation identity on arbitrary words
+    for w in ["abracadabra", "aaabbb", "ab"]:
+        assert "".join(textstats.bpe_encode_word(w, merges)) == w
+
+
+def test_bpe_encode_matches_reference_and_monotone(spark, docs):
+    import re
+
+    merges = textstats.bpe_train(docs, n_merges=8)
+    out = {r.doc_id: r for r in textstats.bpe_encode(docs, merges).collect()}
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in rows.items():
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        exp_pieces = sum(len(textstats.bpe_encode_word(w, merges)) for w in words)
+        r = out[doc_id]
+        assert r.n_tokens == len(words)
+        assert r.n_pieces == exp_pieces
+    # more merges never increase the piece count
+    out0 = {r.doc_id: r.n_pieces for r in textstats.bpe_encode(docs, []).collect()}
+    assert all(out[d].n_pieces <= out0[d] for d in rows)
