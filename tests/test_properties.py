@@ -364,3 +364,95 @@ def test_sft_pairs_match_bruteforce(spark, roles):
         if r == "assistant" and i > 0 and roles[i - 1] == "user"
     }
     assert got == expected
+
+
+# --- span dedup: Spark plan matches a brute-force python reference ------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # small alphabet so cross-doc spans actually collide
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_span_dedup_matches_bruteforce(spark, docs_toks, k):
+    from joern_spark.operators.dedup import span_dedup
+
+    d = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in span_dedup(d, k=k).collect()
+    }
+
+    spans: dict[tuple, set[int]] = {}
+    for i, toks in enumerate(docs_toks):
+        for p in range(len(toks) - k + 1):
+            spans.setdefault(tuple(toks[p : p + k]), set()).add(i)
+    dup = {s for s, owners in spans.items() if len(owners) >= 2}
+    expected = {}
+    for i, toks in enumerate(docs_toks):
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p : p + k]) in dup:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expected[i] = (len(toks), len(covered), " ".join(kept))
+    assert got == expected
+
+
+# --- as-of join: windowed union matches a brute-force scan --------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=50),  # ts offset (s)
+            st.sampled_from(["error", "purchase", "signup", "view"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_asof_matches_bruteforce(spark, evs):
+    from datetime import datetime, timedelta
+
+    from joern_spark.operators.events import BUILD_TYPES, last_action_before_errors
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (i, t0 + timedelta(seconds=off), uid, typ)
+        for i, (uid, off, typ) in enumerate(evs)
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    got = {
+        r.event_id: (r.prior_event_id, r.prior_type, r.gap_us)
+        for r in last_action_before_errors(d).collect()
+    }
+
+    expected = {}
+    for eid, ts, uid, typ in rows:
+        if typ != "error":
+            continue
+        cands = [
+            (bts, bid, btyp)
+            for bid, bts, buid, btyp in rows
+            if buid == uid and btyp in BUILD_TYPES and bts <= ts
+        ]
+        if not cands:
+            expected[eid] = (None, None, None)
+            continue
+        best_ts = max(c[0] for c in cands)
+        at_best = [c for c in cands if c[0] == best_ts]
+        _, bid, btyp = min(at_best, key=lambda c: c[1])  # arg-min event_id
+        expected[eid] = (bid, btyp, int((ts - best_ts).total_seconds() * 1_000_000))
+    assert got == expected
