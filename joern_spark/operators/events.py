@@ -180,3 +180,53 @@ def purchases_before_errors(
         "user_id", F.col("event_id").alias("id"), us.alias("us")
     )
     return bucketed_range_join(probes, builds, key="user_id", window_s=window_s)
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """Multi-resolution rollup (the hypertable continuous-aggregate
+    analog): hourly leaf aggregates from ONE scan of the corpus, then the
+    daily grain re-aggregates the HOURLY PARTIALS (≤24 rows per day and
+    type) — never the raw events. At 100 TB this is the difference
+    between a free coarse grain and a second full scan; counts/sums are
+    algebraic, so partials compose exactly (the same map-side-combine
+    law Spark applies within one aggregation, applied across grains).
+
+    Money values aggregate as integer cents (exact, order-independent —
+    the repo's float-parity discipline forbids cross-engine double
+    sums). Output: (grain, event_type, bucket_us, n_events, sum_cents,
+    min_cents, max_cents).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select("event_type", "ts", cents.alias("c"))
+    hourly = (
+        base.groupBy("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy("event_type", F.date_trunc("day", "b").alias("b"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    bucket_us = F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, b)")
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            bucket_us.alias("bucket_us"),
+            "n_events",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+        )
+
+    return shape(hourly, "hour").unionByName(shape(daily, "day"))

@@ -1240,3 +1240,30 @@ FROM events a JOIN events b
  AND b.ts >= a.ts - INTERVAL {RANGE_W_S} SECOND
 WHERE a.event_type = '{PROBE_TYPE}' AND b.event_type = '{RANGE_BUILD_TYPE}'
 """
+
+
+def ev_rollup_sql() -> str:
+    """Mirror of events.event_rollup — day re-aggregates the hourly CTE,
+    sums cast back from HUGEINT to BIGINT."""
+    return """
+WITH base AS (
+  SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+h AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s, min(c) AS mn, max(c) AS mx
+  FROM base GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, date_trunc('day', b) AS b, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS s, min(mn) AS mn, max(mx) AS mx
+  FROM h GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, event_type, epoch_us(b) AS bucket_us,
+       n AS n_events, s AS sum_cents, mn AS min_cents, mx AS max_cents
+FROM h
+UNION ALL
+SELECT 'day' AS grain, event_type, epoch_us(b) AS bucket_us,
+       n, s, mn, mx
+FROM d
+"""

@@ -746,6 +746,12 @@ def q_ev_range(spark, sf_dir):
     return events.purchases_before_errors(read_events(spark, sf_dir))
 
 
+def q_ev_rollup(spark, sf_dir):
+    """Multi-resolution continuous aggregate (hypertable rollup analog):
+    hourly from one scan, daily from the hourly partials."""
+    return events.event_rollup(read_events(spark, sf_dir))
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
@@ -869,6 +875,7 @@ TPG_QUERIES = {
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,
     "ev_range": q_ev_range,
+    "ev_rollup": q_ev_rollup,
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,

@@ -93,3 +93,30 @@ def test_range_join_empty_sides(spark):
     out = events.last_action_before_errors(evs)
     assert out.count() == 0
     assert out.columns == ["event_id", "user_id", "prior_event_id", "prior_type", "gap_us"]
+
+
+def test_event_rollup_day_equals_direct(spark):
+    # daily re-aggregation of hourly partials must equal aggregating the
+    # raw events at day grain directly (algebraic-partial law)
+    from datetime import datetime
+
+    rows = [
+        (1, datetime.fromisoformat("2024-01-01 00:10:00"), 1, "view", 1.25),
+        (2, datetime.fromisoformat("2024-01-01 00:50:00"), 1, "view", 2.50),
+        (3, datetime.fromisoformat("2024-01-01 13:00:00"), 2, "view", 4.00),
+        (4, datetime.fromisoformat("2024-01-02 09:00:00"), 1, "view", 8.00),
+        (5, datetime.fromisoformat("2024-01-01 05:00:00"), 1, "click", 0.75),
+    ]
+    evs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = events.event_rollup(evs)
+    hours = {(r.event_type, r.bucket_us): r for r in out.where("grain='hour'").collect()}
+    days = {(r.event_type, r.bucket_us): r for r in out.where("grain='day'").collect()}
+    assert len(hours) == 4 and len(days) == 3
+    d0 = datetime.fromisoformat("2024-01-01 00:00:00").timestamp() * 1_000_000
+    view_d0 = days[("view", int(d0))]
+    assert view_d0.n_events == 3
+    assert view_d0.sum_cents == 125 + 250 + 400
+    assert view_d0.min_cents == 125 and view_d0.max_cents == 400
