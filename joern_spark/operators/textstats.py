@@ -629,3 +629,55 @@ def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
             )
 
     return base.mapInPandas(run, schema=BPE_ENCODE_SCHEMA)
+
+
+KMV_K = 64
+_TWO60 = float(1 << 60)  # md5_long's hash domain is [0, 2^60)
+
+
+def kmv_distinct_tokens(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(lang, k_used, kth_hash, est_distinct): KMV (k-minimum-values)
+    distinct-token cardinality sketch per language — the mergeable
+    one-pass estimator for "how many distinct X" questions that exact
+    COUNT(DISTINCT) cannot answer at 10^12 rows (Bar-Yossef et al. 2002).
+    The reference answers cardinality questions with exact traversal
+    counts (`cpg.method.name.dedup.size`, Console.scala starters); at
+    corpus scale the sketch is the only shape that fits one pass.
+
+    Estimator: with U_k = (k-th smallest distinct H(token)) / 2^60,
+    n̂ = (k-1)/U_k; groups holding fewer than k distinct hashes report
+    their exact count. H is the cross-engine md5_long, so the whole
+    sketch — including the float estimate (one cast-divide-divide in the
+    same IEEE order) — is bit-reproducible in the DuckDB oracle.
+
+    Scale shape: explode → per-(lang, hash) dedup is an aggregate, so
+    map-side partial combine bounds the shuffle by the PER-PARTITION
+    vocabulary (corpus-sublinear, Heaps' law) — the raw token stream
+    never shuffles. The min-k itself is the skew-safe two-stage
+    `salted_min_k` (a single global window per language would funnel
+    that language's whole vocabulary through one task). Sketches merge
+    by construction: min-k of unioned min-k sets == min-k of the union
+    (property-tested), so per-shard sketches fold without rescanning.
+    """
+    from joern_spark.functions.salted import salted_min_k
+
+    hashes = (
+        documents.select(
+            "lang",
+            F.explode(tokens_col(F.col("text"))).alias("tok"),
+        )
+        .select("lang", md5_long(F.col("tok")).alias("h"))
+        .dropDuplicates(["lang", "h"])
+    )
+    mink = salted_min_k(hashes, key="lang", val="h", k=k)
+    agg = mink.groupBy("lang").agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - F.lit(1)).cast("double")
+        / (F.col("kth_hash").cast("double") / F.lit(_TWO60))
+    )
+    return agg.select("lang", "k_used", "kth_hash", est.alias("est_distinct"))

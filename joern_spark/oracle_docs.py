@@ -1267,3 +1267,36 @@ SELECT 'day' AS grain, event_type, epoch_us(b) AS bucket_us,
        n, s, mn, mx
 FROM d
 """
+
+
+def kmv_distinct_sql(k: int | None = None) -> str:
+    """Oracle mirror of textstats.kmv_distinct_tokens — exact min-k via a
+    per-language ranking window (fine at oracle scale), identical H()
+    hashing and the same IEEE cast-divide-divide estimate expression."""
+    from joern_spark.operators.textstats import KMV_K
+
+    k = k or KMV_K
+    h = H.format(x="tok")
+    return f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+hashes AS (SELECT DISTINCT lang, {h} AS h FROM toks),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+  FROM hashes
+),
+mink AS (SELECT lang, h FROM ranked WHERE r <= {k})
+SELECT lang,
+       count(*) AS k_used,
+       max(h) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE CAST(count(*) - 1 AS DOUBLE)
+                 / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0)
+       END AS est_distinct
+FROM mink
+GROUP BY lang
+"""

@@ -693,6 +693,13 @@ def q_doc_tokens(spark, sf_dir):
     return textstats.token_counts(read_documents(spark, sf_dir))
 
 
+def q_doc_kmv(spark, sf_dir):
+    """Per-language distinct-token cardinality via the mergeable KMV
+    sketch (one vocabulary-bounded pass — the shape COUNT(DISTINCT)
+    can't take at 10^12 rows)."""
+    return textstats.kmv_distinct_tokens(read_documents(spark, sf_dir))
+
+
 def q_doc_unigram_lp(spark, sf_dir):
     """CCNet-style mean unigram log-prob per document under the corpus's
     own unigram distribution (sorted-fold float discipline)."""
@@ -929,6 +936,7 @@ TPG_QUERIES = {
     "tpg_slice": q_slice,
     "tpg_conv_vectors": q_conv_vectors,
     "doc_tokens": q_doc_tokens,
+    "doc_kmv_distinct": q_doc_kmv,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
     "doc_curation": q_curation_verdict,

@@ -897,3 +897,83 @@ def test_bpe_encode_matches_reference_and_monotone(spark, docs):
     # more merges never increase the piece count
     out0 = {r.doc_id: r.n_pieces for r in textstats.bpe_encode(docs, []).collect()}
     assert all(out[d].n_pieces <= out0[d] for d in rows)
+
+
+# ---------------------------------------------------------------- KMV sketch
+
+
+def _kmv_rows(spark, df, k):
+    return {
+        r.lang: r for r in textstats.kmv_distinct_tokens(df, k=k).collect()
+    }
+
+
+def test_kmv_exact_below_k(spark, docs):
+    # every fixture language holds far fewer than 64 distinct tokens, so
+    # the sketch must report the EXACT distinct count
+    out = _kmv_rows(spark, docs, k=64)
+    exact = {
+        r.lang: r.n
+        for r in docs.select(
+            "lang", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    assert out["en"].k_used == exact["en"]
+    assert out["en"].est_distinct == float(exact["en"])
+
+
+def test_kmv_estimate_accuracy(spark):
+    # 2000 distinct tokens, k=128 → expected relative error ~1/sqrt(k-2) ≈ 9%
+    rows = [(i, " ".join(f"tok{j}" for j in range(i * 20, i * 20 + 20)), "en")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    est = _kmv_rows(spark, df, k=128)["en"].est_distinct
+    assert abs(est - 2000) / 2000 < 0.3
+
+
+def test_kmv_deterministic_under_repartition(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i, i + 30)), "en") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = _kmv_rows(spark, df, k=16)["en"]
+    b = _kmv_rows(spark, df.repartition(13), k=16)["en"]
+    assert (a.k_used, a.kth_hash, a.est_distinct) == (b.k_used, b.kth_hash, b.est_distinct)
+
+
+def test_kmv_merge_equals_whole(spark):
+    # sketch(min-k of A) ∪ sketch(min-k of B) re-sketched == sketch(A ∪ B):
+    # the mergeability that lets per-shard sketches fold without rescan
+    rows = [(i, " ".join(f"m{j}" for j in range(i, i + 25)), "en") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    half_a, half_b = df.where("doc_id < 40"), df.where("doc_id >= 40")
+    from joern_spark.functions.hashing import md5_long, tokens_col
+    from joern_spark.functions.salted import salted_min_k
+
+    def mink_set(d, k):
+        h = (
+            d.select("lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+            .select("lang", md5_long(F.col("tok")).alias("h"))
+            .dropDuplicates(["lang", "h"])
+        )
+        return salted_min_k(h, key="lang", val="h", k=k)
+
+    k = 24
+    merged = (
+        salted_min_k(
+            mink_set(half_a, k).union(mink_set(half_b, k)).dropDuplicates(["lang", "h"]),
+            key="lang", val="h", k=k,
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
+        .collect()[0]
+    )
+    whole = (
+        mink_set(df, k)
+        .groupBy("lang")
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
+        .collect()[0]
+    )
+    assert (merged.k_used, merged.kth_hash) == (whole.k_used, whole.kth_hash)
