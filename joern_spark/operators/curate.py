@@ -431,3 +431,56 @@ def chunk_documents(
         F.size("_c").cast("long").alias("n_chunk_tokens"),
         F.array_join("_c", " ").alias("chunk_text"),
     )
+
+
+WEIGHTED_SAMPLE_K = 200
+
+
+def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K) -> DataFrame:
+    """(doc_id, weight, samp_key, rank): quality-weighted sample WITHOUT
+    replacement — Efraimidis–Spirakis A-ES with the corpus's own
+    deterministic hash as the randomness: every document draws
+    u = (H(doc_id)+1)/2^60 ∈ (0,1] and key = ln(u)/weight, and the k
+    LARGEST keys form the sample. Inclusion odds are proportional to
+    weight (here the shared `quality_col` score), the draw is one pass,
+    reproducible at any parallelism, and — unlike rate-based Bernoulli
+    sampling — the output size is exactly k. The rate-based twin is
+    `stratified_sample`; the quality-rank twin is `stratified_topn`
+    (this op sits between them: randomized, but quality-tilted).
+
+    Float discipline: ln() is the proven cross-engine primitive
+    (unigram/bigram log-prob oracles); the key is the identical
+    expression tree ln((H+1)::double / 2^60) / weight on both engines.
+    Zero-token and zero-weight documents are excluded (a weight of 0
+    cannot be sampled under E-S semantics).
+
+    Scale shape: one scan, no shuffle for the keys; the global top-k
+    compiles to TakeOrderedAndProject (per-partition top-k + driver
+    merge of k·n_partitions rows) — never a global sort. The final
+    rank window runs over exactly k rows."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.textstats import quality_col
+
+    toks = tokens_col(F.col("text"))
+    u = (
+        md5_long(F.col("doc_id").cast("string")) + F.lit(1)
+    ).cast("double") / F.lit(H_SPACE)
+    base = (
+        documents.select(
+            "doc_id",
+            F.size(toks).alias("_nt"),
+            quality_col(toks).alias("weight"),
+            F.ln(u).alias("_lnu"),
+        )
+        .where((F.col("_nt") > 0) & (F.col("weight") > 0))
+        .select(
+            "doc_id",
+            "weight",
+            (F.col("_lnu") / F.col("weight")).alias("samp_key"),
+        )
+    )
+    top = base.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("samp_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

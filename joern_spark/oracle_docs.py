@@ -1300,3 +1300,34 @@ SELECT lang,
 FROM mink
 GROUP BY lang
 """
+
+
+def weighted_sample_sql(k: int | None = None) -> str:
+    """Oracle mirror of curate.weighted_sample — identical quality
+    expression, H() hash, and ln-key expression tree; global ranking is
+    fine at oracle scale."""
+    from joern_spark.operators.curate import WEIGHTED_SAMPLE_K
+
+    k = k or WEIGHTED_SAMPLE_K
+    h = H.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {TOKS},
+scored AS (
+  SELECT doc_id,
+         {_quality_sql()} AS weight,
+         ln(({h} + 1)::DOUBLE / 1152921504606846976.0) AS lnu
+  FROM toks
+  WHERE len(toks) > 0
+),
+keyed AS (
+  SELECT doc_id, weight, lnu / weight AS samp_key
+  FROM scored
+  WHERE weight > 0
+),
+ranked AS (
+  SELECT doc_id, weight, samp_key,
+         row_number() OVER (ORDER BY samp_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, weight, samp_key, rank FROM ranked WHERE rank <= {k}
+"""

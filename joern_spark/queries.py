@@ -625,6 +625,15 @@ def q_stratified_sample(spark, sf_dir):
     return curate.stratified_sample(read_documents(spark, sf_dir))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted fixed-size sample without replacement
+    (Efraimidis–Spirakis with deterministic hash keys) — one scan,
+    TakeOrderedAndProject top-k, exactly k rows out."""
+    from joern_spark.operators import curate
+
+    return curate.weighted_sample(read_documents(spark, sf_dir))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Dataset-mixture sampling (pre-training mixing): per-source
     acceptance rates hit target integer-weight proportions under a char
@@ -939,6 +948,7 @@ TPG_QUERIES = {
     "doc_kmv_distinct": q_doc_kmv,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
+    "doc_weighted_sample": q_weighted_sample,
     "doc_curation": q_curation_verdict,
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,

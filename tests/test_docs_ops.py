@@ -977,3 +977,64 @@ def test_kmv_merge_equals_whole(spark):
         .collect()[0]
     )
     assert (merged.k_used, merged.kth_hash) == (whole.k_used, whole.kth_hash)
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+def _ws_df(spark, texts):
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_weighted_sample_matches_bruteforce(spark):
+    from joern_spark.functions.hashing import md5_long_py
+    from joern_spark.operators import curate
+
+    texts = [
+        " ".join(f"w{(i * 7 + j) % 40}" for j in range(5 + i % 20))
+        for i in range(50)
+    ]
+    df = _ws_df(spark, texts)
+    out = curate.weighted_sample(df, k=10).collect()
+    # brute force: identical E-S keys in python
+    weights = {
+        r.doc_id: r.weight
+        for r in curate.weighted_sample(df, k=1000).collect()
+    }
+    import math
+
+    keys = sorted(
+        (
+            (-(math.log((md5_long_py(str(i)) + 1) / float(2**60)) / weights[i]), i)
+            for i in weights
+        ),
+    )
+    expect = [i for _, i in keys[:10]]
+    got = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == expect
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, 11))
+
+
+def test_weighted_sample_deterministic_and_exact_k(spark):
+    from joern_spark.operators import curate
+
+    texts = [" ".join(f"t{j}" for j in range(i % 15 + 1)) for i in range(40)]
+    df = _ws_df(spark, texts)
+    a = [(r.doc_id, r.rank) for r in curate.weighted_sample(df, k=12).collect()]
+    b = [(r.doc_id, r.rank) for r in curate.weighted_sample(df.repartition(9), k=12).collect()]
+    assert sorted(a) == sorted(b)
+    assert len(a) == 12
+
+
+def test_weighted_sample_excludes_empty_and_tilts_to_weight(spark):
+    from joern_spark.operators import curate
+
+    df = _ws_df(spark, ["", "one two three four five"])
+    out = curate.weighted_sample(df, k=5).collect()
+    assert [r.doc_id for r in out] == [1]  # empty doc has no weight
+    # monotonicity: with u fixed, key = ln(u)/w strictly improves as w grows
+    import math
+
+    u = 0.25
+    assert math.log(u) / 0.9 > math.log(u) / 0.3
