@@ -659,18 +659,7 @@ def kmv_distinct_tokens(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     by construction: min-k of unioned min-k sets == min-k of the union
     (property-tested), so per-shard sketches fold without rescanning.
     """
-    from joern_spark.functions.salted import salted_min_k
-
-    hashes = (
-        documents.select(
-            "lang",
-            F.explode(tokens_col(F.col("text"))).alias("tok"),
-        )
-        .select("lang", md5_long(F.col("tok")).alias("h"))
-        .dropDuplicates(["lang", "h"])
-    )
-    mink = salted_min_k(hashes, key="lang", val="h", k=k)
-    agg = mink.groupBy("lang").agg(
+    agg = kmv_sketches(documents, k=k).groupBy("lang").agg(
         F.count("*").alias("k_used"),
         F.max("h").alias("kth_hash"),
     )
@@ -681,3 +670,87 @@ def kmv_distinct_tokens(documents: DataFrame, k: int = KMV_K) -> DataFrame:
         / (F.col("kth_hash").cast("double") / F.lit(_TWO60))
     )
     return agg.select("lang", "k_used", "kth_hash", est.alias("est_distinct"))
+
+
+def kmv_sketches(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The raw per-language KMV sketch rows (lang, h) — the k smallest
+    distinct token hashes per language; shared kernel of
+    `kmv_distinct_tokens` and `kmv_overlap`."""
+    from joern_spark.functions.salted import salted_min_k
+
+    hashes = (
+        documents.select(
+            "lang",
+            F.explode(tokens_col(F.col("text"))).alias("tok"),
+        )
+        .select("lang", md5_long(F.col("tok")).alias("h"))
+        .dropDuplicates(["lang", "h"])
+    )
+    return salted_min_k(hashes, key="lang", val="h", k=k)
+
+
+def kmv_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(lang_a, lang_b, k_used, n_both, jaccard, union_est, inter_est):
+    distinct-vocabulary overlap between every language pair, estimated
+    from KMV sketch ALGEBRA alone (Beyer et al., SIGMOD 2007): the k
+    smallest hashes of A ∪ B are computable from the two sketches, the
+    fraction of them present in both sketches estimates Jaccard, and
+    inter_est = jaccard · union_est. Nothing rescans the corpus — the
+    pairwise combine runs over ≤ k·|langs| sketch rows, so "how much do
+    these two 100 TB corpora share" costs one sketch pass each plus
+    kilobytes of algebra (the exact version is a distinct-intersection
+    shuffle of both corpora).
+
+    Pairs with fewer than k union hashes report exact values (every
+    distinct hash of both sides is present). Float discipline: the
+    estimate expressions reuse kmv_distinct_tokens' IEEE tree plus one
+    multiply, mirrored in the oracle."""
+    return _kmv_overlap_from(kmv_sketches(documents, k=k), k)
+
+
+def _kmv_overlap_from(sk: DataFrame, k: int) -> DataFrame:
+    """Pairwise overlap from sketch rows — tiny input (≤ k·|langs|)."""
+    langs = sk.select("lang").dropDuplicates()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .join(langs.select(F.col("lang").alias("lang_b")))
+        .where(F.col("lang_a") < F.col("lang_b"))
+    )
+    a_rows = (
+        pairs.join(sk, sk["lang"] == F.col("lang_a"))
+        .select("lang_a", "lang_b", "h",
+                F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    )
+    b_rows = (
+        pairs.join(sk, sk["lang"] == F.col("lang_b"))
+        .select("lang_a", "lang_b", "h",
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    merged = (
+        a_rows.unionByName(b_rows)
+        .groupBy("lang_a", "lang_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("lang_a", "lang_b").orderBy("h")
+    topk = merged.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    agg = topk.groupBy("lang_a", "lang_b").agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - F.lit(1)).cast("double")
+        / (F.col("kth_hash").cast("double") / F.lit(_TWO60))
+    )
+    jaccard = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return agg.select(
+        "lang_a",
+        "lang_b",
+        "k_used",
+        "n_both",
+        jaccard.alias("jaccard"),
+        union_est.alias("union_est"),
+        (jaccard * union_est).alias("inter_est"),
+    )

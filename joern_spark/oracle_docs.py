@@ -1331,3 +1331,62 @@ ranked AS (
 )
 SELECT doc_id, weight, samp_key, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def kmv_overlap_sql(k: int | None = None) -> str:
+    """Oracle mirror of textstats.kmv_overlap — exact per-language min-k
+    sketches, the same pairwise union algebra, identical IEEE estimate
+    expressions."""
+    from joern_spark.operators.textstats import KMV_K
+
+    k = k or KMV_K
+    h = H.format(x="tok")
+    union_est = (
+        f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+        f"ELSE CAST(count(*) - 1 AS DOUBLE) "
+        f"/ (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END"
+    )
+    jac = "CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    return f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+hashes AS (SELECT DISTINCT lang, {h} AS h FROM toks),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+  FROM hashes
+),
+sk AS (SELECT lang, h FROM ranked WHERE r <= {k}),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM (SELECT DISTINCT lang FROM sk) a, (SELECT DISTINCT lang FROM sk) b
+  WHERE a.lang < b.lang
+),
+tagged AS (
+  SELECT p.lang_a, p.lang_b, s.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sk s ON s.lang = p.lang_a
+  UNION ALL
+  SELECT p.lang_a, p.lang_b, s.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sk s ON s.lang = p.lang_b
+),
+merged AS (
+  SELECT lang_a, lang_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM tagged GROUP BY lang_a, lang_b, h
+),
+topk AS (
+  SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS r
+  FROM merged
+)
+SELECT lang_a, lang_b,
+       count(*) AS k_used,
+       sum(in_a * in_b) AS n_both,
+       {jac} AS jaccard,
+       {union_est} AS union_est,
+       ({jac}) * ({union_est}) AS inter_est
+FROM topk
+WHERE r <= {k}
+GROUP BY lang_a, lang_b
+"""

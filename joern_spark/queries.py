@@ -702,6 +702,13 @@ def q_doc_tokens(spark, sf_dir):
     return textstats.token_counts(read_documents(spark, sf_dir))
 
 
+def q_doc_kmv_overlap(spark, sf_dir):
+    """Distinct-vocabulary overlap between every language pair from KMV
+    sketch algebra alone — Jaccard, union and intersection cardinality
+    estimates without a distinct-intersection shuffle."""
+    return textstats.kmv_overlap(read_documents(spark, sf_dir))
+
+
 def q_doc_kmv(spark, sf_dir):
     """Per-language distinct-token cardinality via the mergeable KMV
     sketch (one vocabulary-bounded pass — the shape COUNT(DISTINCT)
@@ -946,6 +953,7 @@ TPG_QUERIES = {
     "tpg_conv_vectors": q_conv_vectors,
     "doc_tokens": q_doc_tokens,
     "doc_kmv_distinct": q_doc_kmv,
+    "doc_kmv_overlap": q_doc_kmv_overlap,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
     "doc_weighted_sample": q_weighted_sample,

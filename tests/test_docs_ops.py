@@ -1038,3 +1038,40 @@ def test_weighted_sample_excludes_empty_and_tilts_to_weight(spark):
 
     u = 0.25
     assert math.log(u) / 0.9 > math.log(u) / 0.3
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    # vocabularies small enough that the union sketch holds everything:
+    # the algebra must return EXACT set sizes
+    a_toks = [f"sh{i}" for i in range(30)]          # shared
+    b_toks = [f"ao{i}" for i in range(20)]          # a-only
+    c_toks = [f"bo{i}" for i in range(10)]          # b-only
+    rows = [
+        (0, " ".join(a_toks + b_toks), "en"),
+        (1, " ".join(a_toks + c_toks), "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textstats.kmv_overlap(df, k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.lang_a, r.lang_b) == ("de", "en")
+    assert r.k_used == 60          # |A ∪ B| = 30 + 20 + 10
+    assert r.n_both == 30          # |A ∩ B|
+    assert r.jaccard == 30 / 60
+    assert r.union_est == 60.0     # below k → exact
+    assert r.inter_est == 30.0
+
+
+def test_kmv_overlap_estimate_accuracy(spark):
+    # 600 shared + 400/400 exclusive tokens, k=256 → Jaccard 600/1400
+    shared = " ".join(f"s{i}" for i in range(600))
+    rows = [
+        (0, shared + " " + " ".join(f"x{i}" for i in range(400)), "en"),
+        (1, shared + " " + " ".join(f"y{i}" for i in range(400)), "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = textstats.kmv_overlap(df, k=256).collect()[0]
+    true_j = 600 / 1400
+    assert abs(r.jaccard - true_j) / true_j < 0.25
+    assert abs(r.union_est - 1400) / 1400 < 0.25
+    assert abs(r.inter_est - 600) / 600 < 0.4
