@@ -1385,6 +1385,40 @@ QUERY_DB.extend(
 )
 
 
+def _scan_unknown_entities(transcripts: DataFrame) -> DataFrame:
+    """Registry adapter for the battery's one two-input scanner: bind the
+    checked-in entity vocabulary (sources.read_entities — the same side
+    run_scan receives) so the Query carries the standard single-arg
+    shape and its examples replay like every other query's."""
+    from joern_spark.sources.transcripts import read_entities
+
+    return scan.scan_unknown_entities(
+        transcripts, read_entities(transcripts.sparkSession)
+    )
+
+
+QUERY_DB.append(
+    Query(
+        name="unknown-entity",
+        author=_A,
+        title="Mention resolves to no vocabulary entity",
+        description="Mentioned keys absent from the entity vocabulary — "
+        "the stub-creation miss path (MethodStubCreator / isExternal "
+        "analog) surfaced as findings, scored by mention count: the "
+        "call-to-external-method query family of the reference bundles.",
+        score=3.0,
+        scanner=_scan_unknown_entities,
+        tags=["linking", "completeness"],
+        positive_examples=[
+            [("c1", 0, "user", "Please check the weather in Zarqa.", None)]
+        ],
+        negative_examples=[
+            [("c1", 0, "user", "Please check the weather in Paris.", None)]
+        ],
+    )
+)
+
+
 class QueryTags:
     """Tag vocabulary as named constants (querydb/src/main/scala/io/joern/
     scanners/QueryTags.scala analog) — typo-proof tagging; the registry
@@ -1430,8 +1464,8 @@ BUNDLES: dict[str, tuple[str, ...]] = {
         "cold-start-call", "tool-role-mismatch", "echo-turn",
     ),
     # entity-linking / aliasing layer ("unknown-entity" is the battery's
-    # one two-input scanner — transcripts ⋈ entities — so it has no
-    # standalone Query entry, but it belongs to this bundle)
+    # one two-input scanner — transcripts ⋈ entities — registered via
+    # the vocabulary-binding adapter above)
     "linking": (
         "unknown-entity", "lone-mention", "alias-chain", "self-alias",
         "alias-conflict", "late-alias", "kind-drift",
@@ -1485,9 +1519,7 @@ def bundle_of(query_name: str) -> str:
 
 
 def bundles() -> dict[str, list[Query]]:
-    """bundle name → its Query objects, registry order preserved
-    (bundle members without a Query entry — unknown-entity — are
-    membership-only and skipped here)."""
+    """bundle name → its Query objects, registry order preserved."""
     by_name = {q.name: q for q in QUERY_DB}
     return {
         b: [by_name[n] for n in names if n in by_name]

@@ -30,7 +30,7 @@ def test_querydb_covers_every_scanner():
     (adding a scanner without examples fails here)."""
     from joern_spark.operators import scan
 
-    assert {q.name for q in QUERY_DB} == set(scan.SCANNERS)
+    assert {q.name for q in QUERY_DB} == set(scan.SCANNERS) | {"unknown-entity"}
 
 
 def test_bundles_partition_the_battery():
