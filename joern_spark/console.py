@@ -96,3 +96,23 @@ def run_script(spark: SparkSession, g, path: str):
         src = fh.read()
     exec(compile(src, path, "exec"), scope)  # noqa: S102 — the feature IS script execution
     return scope.get("result")
+
+
+def man(starter: str | None = None) -> str:
+    """Console help surface (the reference's `help`/`browse` listing,
+    console/src/main/scala/io/joern/console/Help.scala renders a table
+    of steps and their docs): with no argument, one line per starter —
+    name, :named parameters, and the first table it reads; with a
+    starter name, the full SQL template."""
+    import re
+
+    if starter is not None:
+        return STARTERS[starter]
+    lines = []
+    for name, q in STARTERS.items():
+        params = ", ".join(sorted(set(re.findall(r":(\w+)", q))))
+        table = re.search(r"FROM (\w+)", q)
+        lines.append(
+            f"{name}({params}) — reads {table.group(1) if table else '?'}"
+        )
+    return "\n".join(lines)

@@ -186,3 +186,13 @@ def test_dense_index_many_partitions(spark):
     df = local_df(spark, keys, "k string").repartition(13)
     got = {r.k: r.idx for r in dense_index(df, "k", n_parts=7).collect()}
     assert got == {f"k{i:04d}": i for i in range(300)}
+
+
+def test_console_man_lists_starters_and_params():
+    from joern_spark import console as C
+
+    listing = C.man()
+    for name in C.STARTERS:
+        assert name in listing
+    assert "calls_of_tool(tool) — reads tpg_turns" in listing
+    assert C.man("facts_about") == C.STARTERS["facts_about"]
