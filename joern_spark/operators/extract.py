@@ -22,7 +22,11 @@ grammar), so first-match dispatch is total and deterministic.
 
 from __future__ import annotations
 
+import json
+import os
+import re as _re
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,76 +47,107 @@ class Rule:
     triples: list[tuple[list[Piece], str, list[Piece]]] = field(default_factory=list)
 
 
-RULES: list[Rule] = [
-    Rule(
-        name="ask",
-        role="user",
-        pattern=r"^Please check the weather in ([A-Z][A-Za-z ]*)\.$",
-        mentions=[("location", [("g", 1)])],
-        triples=[([("conv",)], "mentions_location", [("g", 1)])],
-    ),
-    Rule(
-        name="call",
-        role="assistant",
-        pattern=r"^Calling ([a-z_]+) for ([A-Z][A-Za-z ]*)\.$",
-        mentions=[("tool", [("g", 1)]), ("location", [("g", 2)])],
-        triples=[
-            ([("conv",)], "uses_tool", [("g", 1)]),
-            ([("g", 1)], "called_for", [("g", 2)]),
-        ],
-    ),
-    Rule(
-        name="result",
-        role="tool",
-        pattern=r"^([A-Z][A-Za-z ]*): (-?[0-9]+)C, ([a-z]+)\.$",
-        mentions=[
-            ("location", [("g", 1)]),
-            ("measure", [("g", 2), ("lit", "C")]),
-            ("condition", [("g", 3)]),
-        ],
-        triples=[
-            ([("g", 1)], "has_temperature", [("g", 2), ("lit", "C")]),
-            ([("g", 1)], "has_condition", [("g", 3)]),
-        ],
-    ),
-    Rule(
-        name="summary",
-        role="assistant",
-        pattern=r"^It is (-?[0-9]+)C and ([a-z]+) in ([A-Z][A-Za-z ]*)\.$",
-        mentions=[("location", [("g", 3)])],
-        triples=[],  # facts already emitted by `result`; avoid duplicates
-    ),
-    Rule(
-        name="alias",
-        role="user",
-        pattern=r"^Note that ([A-Z][A-Za-z ]*) is also known as ([A-Z][A-Za-z ]*)\.$",
-        mentions=[("location", [("g", 1)]), ("location", [("g", 2)])],
-        triples=[([("g", 1)], "same_as", [("g", 2)])],
-    ),
-    Rule(
-        name="rebind",
-        role="user",
-        pattern=r"^From now on use ([a-z_]+) instead of ([a-z_]+)\.$",
-        mentions=[("db", [("g", 1)]), ("db", [("g", 2)])],
-        triples=[([("g", 1)], "replaces", [("g", 2)])],
-    ),
-    Rule(
-        name="db",
-        role="assistant",
-        pattern=r"^Querying ([a-z_]+) for records about ([A-Z][A-Za-z ]*)\.$",
-        mentions=[("db", [("g", 1)]), ("location", [("g", 2)])],
-        triples=[([("g", 1)], "queried_about", [("g", 2)])],
-    ),
-    Rule(
-        name="dbcur",
-        role="assistant",
-        pattern=r"^Querying the current database for records about ([A-Z][A-Za-z ]*)\.$",
-        mentions=[("location", [("g", 1)])],
-        # subj (the currently-bound db) is resolved by operators/rebind.py
-        # via last-writer-wins window semantics; no static triple here.
-        triples=[],
-    ),
-]
+# --- loadable rule table ------------------------------------------------
+# The grammar is DATA, not code (the reference's 13 language frontends are
+# fixed grammars compiled into the binary; here the frontend is a checked-in
+# rules file, so extending the transcript grammar = adding a JSON entry —
+# the schema-extension / custom-frontend analog, same loadable-table
+# discipline as conf/semantics.flow). joern_spark.oracle renders its SQL
+# from the SAME loaded rows, so a custom rules file keeps the oracle in
+# lockstep automatically.
+#
+# Semantics notes carried from the table (the file holds data only):
+#   * `summary` emits no triples — its facts are already emitted by
+#     `result`; re-emitting would duplicate them.
+#   * `dbcur` emits no static triple — the subject (the currently-bound
+#     db) is resolved by operators/rebind.py last-writer-wins semantics.
+
+DEFAULT_RULES_PATH = Path(__file__).resolve().parent.parent / "conf" / "rules.json"
+RULES_ENV = "JOERN_SPARK_RULES"
+
+_PIECE_TAGS = {"g", "lit", "conv"}
+_ROLES = {"user", "assistant", "tool"}
+
+
+def _parse_piece(raw: list, n_groups: int, where: str) -> Piece:
+    if not isinstance(raw, list) or not raw or raw[0] not in _PIECE_TAGS:
+        raise ValueError(f"rules file: bad piece {raw!r} in {where}")
+    tag = raw[0]
+    if tag == "conv":
+        if len(raw) != 1:
+            raise ValueError(f"rules file: conv piece takes no args in {where}")
+        return ("conv",)
+    if len(raw) != 2:
+        raise ValueError(f"rules file: {tag} piece needs one arg in {where}")
+    if tag == "g":
+        if not isinstance(raw[1], int) or not 1 <= raw[1] <= n_groups:
+            raise ValueError(
+                f"rules file: group {raw[1]!r} out of range (pattern has "
+                f"{n_groups} groups) in {where}"
+            )
+        return ("g", raw[1])
+    if not isinstance(raw[1], str):
+        raise ValueError(f"rules file: lit piece needs a string in {where}")
+    return ("lit", raw[1])
+
+
+def parse_rules(text: str) -> list[Rule]:
+    """Parse and validate the rules-file format (see conf/rules.json).
+    Strict, like semantics.parse_semantics: a malformed rule raises —
+    a silently skipped rule would make mentions/triples vanish with no
+    error. Patterns must be anchored ('^'), RE2-safe by policy (shared
+    verbatim with the DuckDB oracle), with every group reference in
+    range. Templates must stay MUTUALLY EXCLUSIVE (the Spark plan is
+    first-match CASE dispatch; the oracle unions per-rule branches — an
+    overlapping pair would diverge between the engines, which the
+    cross-engine gate then catches)."""
+    raw = json.loads(text)
+    if not isinstance(raw, list) or not raw:
+        raise ValueError("rules file must be a non-empty JSON list")
+    rules: list[Rule] = []
+    seen: set[str] = set()
+    for i, r in enumerate(raw):
+        where = f"rule #{i} ({r.get('name', '?')})"
+        name, pattern, role = r.get("name"), r.get("pattern"), r.get("role")
+        if not name or name in seen:
+            raise ValueError(f"rules file: missing/duplicate name in {where}")
+        seen.add(name)
+        if role is not None and role not in _ROLES:
+            raise ValueError(f"rules file: unknown role {role!r} in {where}")
+        if not pattern or not pattern.startswith("^"):
+            raise ValueError(f"rules file: pattern must be anchored in {where}")
+        n_groups = _re.compile(pattern).groups
+        mentions = [
+            (kind, [_parse_piece(p, n_groups, where) for p in pieces])
+            for kind, pieces in r.get("mentions", [])
+        ]
+        triples = [
+            (
+                [_parse_piece(p, n_groups, where) for p in s],
+                pred,
+                [_parse_piece(p, n_groups, where) for p in o],
+            )
+            for s, pred, o in r.get("triples", [])
+        ]
+        rules.append(
+            Rule(
+                name=name, role=role, pattern=pattern,
+                mentions=mentions, triples=triples,
+            )
+        )
+    return rules
+
+
+def load_rules(path: str | Path | None = None) -> list[Rule]:
+    """Load the rule table from `path`, defaulting to $JOERN_SPARK_RULES
+    (set before process start — spark-submit --conf env, exactly like a
+    deployed custom frontend) or the checked-in conf/rules.json."""
+    if path is None:
+        path = os.environ.get(RULES_ENV) or DEFAULT_RULES_PATH
+    return parse_rules(Path(path).read_text())
+
+
+RULES: list[Rule] = load_rules()
 
 RULES_BY_NAME = {r.name: r for r in RULES}
 
@@ -185,11 +220,16 @@ def _piece_col(pieces: list[Piece]) -> Column:
 _CURRENT_PATTERN: list[str] = [""]
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
+def extract_mentions(
+    transcripts: DataFrame, rules: list[Rule] | None = None
+) -> DataFrame:
     """mentions(conv_id, turn_idx, rule, kind, surface) — single scan,
-    no shuffle: CASE-dispatch to a per-rule array<struct> then one explode."""
+    no shuffle: CASE-dispatch to a per-rule array<struct> then one explode.
+    `rules` defaults to the loaded table; pass a custom `parse_rules`
+    result to extend the grammar programmatically (the oracle generators
+    take the same list, so the cross-engine gate extends with it)."""
     branches = None
-    for rule in RULES:
+    for rule in RULES if rules is None else rules:
         if not rule.mentions:
             continue
         _CURRENT_PATTERN[0] = rule.pattern
@@ -215,11 +255,13 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     return exploded
 
 
-def extract_triples_raw(transcripts: DataFrame) -> DataFrame:
+def extract_triples_raw(
+    transcripts: DataFrame, rules: list[Rule] | None = None
+) -> DataFrame:
     """Raw triples(subj, pred, obj, conv_id, turn_idx) before linking /
     canonicalization — the ScanPass findings analog."""
     branches = None
-    for rule in RULES:
+    for rule in RULES if rules is None else rules:
         if not rule.triples:
             continue
         _CURRENT_PATTERN[0] = rule.pattern

@@ -47,9 +47,9 @@ def _rule_where(rule) -> str:
     return cond
 
 
-def mentions_sql(sf: float) -> str:
+def mentions_sql(sf: float, rules=None) -> str:
     branches = []
-    for rule in RULES:
+    for rule in RULES if rules is None else rules:
         for kind, pieces in rule.mentions:
             branches.append(
                 f"SELECT conv_id, turn_idx, '{rule.name}' AS rule, '{kind}' AS kind, "
@@ -59,9 +59,9 @@ def mentions_sql(sf: float) -> str:
     return f"WITH t AS (SELECT * FROM {t_src(sf)})\n" + "\nUNION ALL\n".join(branches)
 
 
-def triples_raw_sql(sf: float) -> str:
+def triples_raw_sql(sf: float, rules=None) -> str:
     branches = []
-    for rule in RULES:
+    for rule in RULES if rules is None else rules:
         for s, pred, o in rule.triples:
             branches.append(
                 f"SELECT {_sql_piece(s, rule.pattern)} AS subj, '{pred}' AS pred, "

@@ -82,3 +82,87 @@ def test_literal_prefix_bracket_class():
     assert _literal_prefix(r"^ab[)x]cd") == "ab"
     assert _literal_prefix(r"^a(b|c)d") == "a"
     assert _literal_prefix(r"^abc|def") == ""
+
+
+# ------------------------------------------------------ loadable rule table
+
+
+def test_rules_file_is_the_live_table():
+    from joern_spark.operators import extract as E
+
+    loaded = E.load_rules(E.DEFAULT_RULES_PATH)
+    assert loaded == E.RULES
+    assert {r.name for r in loaded} == {
+        "ask", "call", "result", "summary", "alias", "rebind", "db", "dbcur"
+    }
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        '[{"name": "x", "role": "user", "pattern": "no anchor"}]',
+        '[{"name": "x", "role": "wizard", "pattern": "^a$"}]',
+        '[{"name": "x", "pattern": "^a(b)$", "mentions": [["k", [["g", 2]]]]}]',
+        '[{"name": "x", "pattern": "^a$"}, {"name": "x", "pattern": "^b$"}]',
+        '[{"name": "x", "pattern": "^a$", "mentions": [["k", [["zap", 1]]]]}]',
+        "[]",
+    ],
+    ids=["unanchored", "bad-role", "group-oob", "dup-name", "bad-piece", "empty"],
+)
+def test_parse_rules_rejects_malformed(bad):
+    from joern_spark.operators.extract import parse_rules
+
+    with pytest.raises(ValueError):
+        parse_rules(bad)
+
+
+def test_custom_rule_extends_both_engines(spark):
+    """The loadable-grammar discipline: a NEW rule passed to the Spark
+    extractor AND the oracle generator produces identical rows on both
+    engines — extending the grammar never forks them."""
+    import json as _json
+
+    import duckdb
+    import pandas as pd
+
+    from joern_spark import oracle as OR
+    from joern_spark.operators import extract as E
+
+    custom = E.parse_rules(
+        _json.dumps(
+            [
+                {
+                    "name": "remind",
+                    "role": "user",
+                    "pattern": "^Remind me about ([A-Z][A-Za-z ]*)\\.$",
+                    "mentions": [["location", [["g", 1]]]],
+                    "triples": [[[["conv"]], "reminded_about", [["g", 1]]]],
+                }
+            ]
+        )
+    )
+    rules = E.RULES + custom
+    rows = [
+        ("c1", 0, "user", "Please check the weather in Lima.", None, None),
+        ("c1", 1, "user", "Remind me about Lima.", None, None),
+        ("c2", 0, "user", "Remind me about Oslo.", None, None),
+        ("c2", 1, "assistant", "Remind me about Oslo.", None, None),  # wrong role
+    ]
+    sdf = spark.createDataFrame(rows, E.TRANSCRIPT_COLS if hasattr(E, "TRANSCRIPT_COLS")
+                                else "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz")
+    got_m = {tuple(r) for r in E.extract_mentions(sdf, rules=rules).collect()}
+    got_t = {tuple(r) for r in E.extract_triples_raw(sdf, rules=rules).collect()}
+
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+    )
+    m_sql = OR.mentions_sql(0.001, rules=rules).split("\n", 1)[1]
+    t_sql = OR.triples_raw_sql(0.001, rules=rules).split("\n", 1)[1]
+    ora_m = {tuple(r) for r in con.execute(m_sql).fetchall()}
+    ora_t = {tuple(r) for r in con.execute(t_sql).fetchall()}
+    assert got_m == ora_m
+    assert got_t == ora_t
+    assert ("c2", 0, "remind", "location", "Oslo") in got_m
+    assert ("conv:c1", "reminded_about", "Lima", "c1", 1) in got_t
