@@ -484,3 +484,97 @@ def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K) -> DataFra
     top = base.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("samp_key"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+DSIR_BUCKETS = 256
+DSIR_K = 100
+
+
+def dsir_select(
+    documents: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_K,
+) -> DataFrame:
+    """(doc_id, n_tokens, llr, samp_key, rank): DSIR data selection —
+    Data Selection via Importance Resampling (Xie et al. 2023): score
+    every candidate document by how much more likely its hashed-token
+    feature counts are under the TARGET distribution than under the raw
+    corpus, then sample k docs without replacement with probability
+    ∝ exp(llr) via Gumbel-top-k. Candidates are the docs NOT in the
+    target source; the two multinomials use B hashed buckets with add-1
+    smoothing, so out-of-target features are penalized, never -inf.
+
+    Determinism/parity: the Gumbel noise is the corpus's own hash —
+    g = -ln(-ln((H(doc_id)+0.5)/2^60)) — and the per-document llr folds
+    its per-bucket terms in ascending sorted order (the
+    unigram_logprob/PageRank float discipline), so the whole selection
+    reproduces bit-for-bit in the DuckDB oracle and at any parallelism.
+
+    Scale shape: tf aggregates per (doc, bucket) map-side FIRST; the two
+    bucket tables are ≤B rows and broadcast; the only corpus-scale
+    shuffles are the tf groupBy and the per-doc fold, both keyed on
+    doc_id (no hub keys — a document is its own group). The final pick
+    is TakeOrderedAndProject. B is a constant: the model state is
+    O(B) no matter the corpus."""
+    from joern_spark.functions.hashing import md5_long, tokens_col
+
+    toks = tokens_col(F.col("text"))
+    tf = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.explode(toks).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(md5_long(F.col("tok")), F.lit(n_buckets)).alias("b"),
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    is_target = F.col("source") == target_source
+    tgt = tf.where(is_target).groupBy("b").agg(F.sum("tf").alias("ct"))
+    raw = tf.where(~is_target).groupBy("b").agg(F.sum("tf").alias("cr"))
+    tt = tgt.agg(F.sum("ct").alias("tt"))
+    tr = raw.agg(F.sum("cr").alias("tr"))
+    term = F.col("tf").cast("double") * (
+        F.ln(
+            (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("tt"), F.lit(0)) + F.lit(n_buckets)).cast("double")
+        )
+        - F.ln(
+            (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("tr"), F.lit(0)) + F.lit(n_buckets)).cast("double")
+        )
+    )
+    scored = (
+        tf.where(~is_target)
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select("doc_id", "tf", term.alias("w"))
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        sorted_sum.alias("llr"),
+    )
+    u = (
+        md5_long(F.col("doc_id").cast("string")) + F.lit(0.5)
+    ).cast("double") / F.lit(H_SPACE)
+    keyed = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "llr",
+        (F.col("llr") - F.ln(-F.ln(u))).alias("samp_key"),
+    )
+    top = keyed.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("samp_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1390,3 +1390,64 @@ FROM topk
 WHERE r <= {k}
 GROUP BY lang_a, lang_b
 """
+
+
+def dsir_select_sql(
+    target_source: str | None = None,
+    n_buckets: int | None = None,
+    k: int | None = None,
+) -> str:
+    """Oracle mirror of curate.dsir_select — identical hashed-bucket
+    multinomials, add-1 smoothing, ascending-sorted llr fold, and
+    hash-Gumbel key expression tree."""
+    from joern_spark.operators.curate import DSIR_BUCKETS, DSIR_K
+
+    tgt = target_source or "src0"
+    b = n_buckets or DSIR_BUCKETS
+    k = k or DSIR_K
+    h_tok = H.format(x="tok")
+    h_doc = H.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, {h_tok} % {b} AS b, count(*) AS tf
+  FROM toks GROUP BY doc_id, source, b
+),
+tgt AS (SELECT b, sum(tf) AS ct FROM tf WHERE source = '{tgt}' GROUP BY b),
+rawc AS (SELECT b, sum(tf) AS cr FROM tf WHERE source <> '{tgt}' GROUP BY b),
+tts AS (SELECT sum(ct) AS tt FROM tgt),
+trs AS (SELECT sum(cr) AS tr FROM rawc),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf::DOUBLE * (
+           ln((coalesce(ct, 0) + 1)::DOUBLE / (coalesce(tt, 0) + {b})::DOUBLE)
+         - ln((coalesce(cr, 0) + 1)::DOUBLE / (coalesce(tr, 0) + {b})::DOUBLE)
+         ) AS w
+  FROM tf
+  LEFT JOIN tgt USING (b)
+  LEFT JOIN rawc USING (b)
+  CROSS JOIN tts CROSS JOIN trs
+  WHERE tf.source <> '{tgt}'
+),
+per_doc AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         list_sum(list_sort(list(w))) AS llr
+  FROM scored GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tokens, llr,
+         llr - ln(-ln(({h_doc} + 0.5) / 1152921504606846976.0)) AS samp_key
+  FROM per_doc
+),
+ranked AS (
+  SELECT doc_id, n_tokens, llr, samp_key,
+         row_number() OVER (ORDER BY samp_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_tokens, llr, samp_key, rank FROM ranked WHERE rank <= {k}
+"""

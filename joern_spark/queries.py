@@ -634,6 +634,15 @@ def q_weighted_sample(spark, sf_dir):
     return curate.weighted_sample(read_documents(spark, sf_dir))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection: candidates ranked by hashed-feature
+    log-likelihood ratio toward the target source's distribution,
+    Gumbel-top-k resampled (∝ exp(llr)) without replacement."""
+    from joern_spark.operators import curate
+
+    return curate.dsir_select(read_documents(spark, sf_dir))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Dataset-mixture sampling (pre-training mixing): per-source
     acceptance rates hit target integer-weight proportions under a char
@@ -957,6 +966,7 @@ TPG_QUERIES = {
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
     "doc_weighted_sample": q_weighted_sample,
+    "doc_dsir": q_dsir_select,
     "doc_curation": q_curation_verdict,
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,

@@ -1075,3 +1075,90 @@ def test_kmv_overlap_estimate_accuracy(spark):
     assert abs(r.jaccard - true_j) / true_j < 0.25
     assert abs(r.union_est - 1400) / 1400 < 0.25
     assert abs(r.inter_est - 600) / 600 < 0.4
+
+
+# ------------------------------------------------------------ DSIR selection
+
+
+def _dsir_df(spark):
+    rows = [
+        # target source: "alpha beta" vocabulary
+        (0, "alpha beta alpha beta gamma", "tgt"),
+        (1, "beta alpha beta beta", "tgt"),
+        # candidates: 2 target-like, 2 disjoint
+        (2, "alpha beta beta gamma", "raw"),
+        (3, "alpha alpha beta", "raw"),
+        (4, "zulu yankee xray whiskey", "raw"),
+        (5, "victor uniform tango", "raw"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from joern_spark.operators import curate
+
+    out = {
+        r.doc_id: r
+        for r in curate.dsir_select(
+            _dsir_df(spark), target_source="tgt", n_buckets=64, k=10
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4, 5}  # target docs are never candidates
+    assert min(out[2].llr, out[3].llr) > max(out[4].llr, out[5].llr)
+
+
+def test_dsir_llr_matches_bruteforce(spark):
+    import math
+
+    from joern_spark.functions.hashing import md5_long_py
+    from joern_spark.operators import curate
+
+    B = 64
+    texts = {
+        0: ("alpha beta alpha beta gamma", "tgt"),
+        1: ("beta alpha beta beta", "tgt"),
+        2: ("alpha beta beta gamma", "raw"),
+        3: ("alpha alpha beta", "raw"),
+        4: ("zulu yankee xray whiskey", "raw"),
+        5: ("victor uniform tango", "raw"),
+    }
+    bucket = lambda tok: md5_long_py(tok) % B  # noqa: E731
+    ct, cr = {}, {}
+    for _, (text, src) in texts.items():
+        for tok in text.split():
+            d = ct if src == "tgt" else cr
+            d[bucket(tok)] = d.get(bucket(tok), 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def llr(doc):
+        text = texts[doc][0]
+        tf = {}
+        for tok in text.split():
+            tf[bucket(tok)] = tf.get(bucket(tok), 0) + 1
+        terms = [
+            n * (math.log((ct.get(b, 0) + 1) / (tt + B))
+                 - math.log((cr.get(b, 0) + 1) / (tr + B)))
+            for b, n in tf.items()
+        ]
+        return sum(sorted(terms))
+
+    out = {
+        r.doc_id: r.llr
+        for r in curate.dsir_select(
+            _dsir_df(spark), target_source="tgt", n_buckets=B, k=10
+        ).collect()
+    }
+    for doc in (2, 3, 4, 5):
+        assert out[doc] == llr(doc), doc
+
+
+def test_dsir_deterministic_under_repartition(spark):
+    from joern_spark.operators import curate
+
+    df = _dsir_df(spark)
+    a = [(r.doc_id, r.rank, r.samp_key) for r in
+         curate.dsir_select(df, "tgt", 64, 3).collect()]
+    b = [(r.doc_id, r.rank, r.samp_key) for r in
+         curate.dsir_select(df.repartition(7), "tgt", 64, 3).collect()]
+    assert sorted(a) == sorted(b)
+    assert len(a) == 3
