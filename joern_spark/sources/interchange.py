@@ -127,3 +127,22 @@ def write_transcripts_csv(df: DataFrame, path: str) -> None:
         .option("escape", '"')
         .csv(path)
     )
+
+
+def read_transcripts_orc(
+    spark: SparkSession, path: str, strict: bool = True
+) -> DataFrame:
+    """ORC transcript ingestion — the columnar alternative for lakes
+    standardized on Hive/ORC rather than parquet. Native typed columns
+    (no string wire format): the schema is enforced at read, predicate
+    pushdown and column pruning work exactly as with parquet, and ts is
+    stored as a real timestamp so no string canonicalization applies."""
+    df = spark.read.schema(TRANSCRIPT_SCHEMA).orc(path)
+    return validate_transcripts(df) if strict else df
+
+
+def write_transcripts_orc(df: DataFrame, path: str) -> None:
+    """Write transcripts as ORC (typed columns, zlib default)."""
+    df.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).write.mode("overwrite").orc(path)

@@ -78,3 +78,31 @@ def test_jsonl_feeds_pipeline(spark, frame, tmp_path):
     g = build_graph(ic.read_transcripts_jsonl(spark, p), read_entities(spark))
     assert g.turns.count() == 3
     assert g.next_turn.count() == 1  # c1 has 2 turns, c2 has 1
+
+
+def test_orc_roundtrip(spark, frame, tmp_path):
+    from joern_spark.sources import interchange as ic
+
+    p = str(tmp_path / "orc")
+    ic.write_transcripts_orc(frame, p)
+    back = ic.read_transcripts_orc(spark, p, strict=False)
+    _assert_roundtrip(frame, back)
+
+
+def test_orc_strict_rejects_null_required(spark, tmp_path):
+    import datetime as dt
+
+    from joern_spark.schemas import TRANSCRIPT_SCHEMA
+    from joern_spark.sources import interchange as ic
+
+    # write via a nullable mirror schema, then strict-read
+    rows = [(None, 0, "user", "x", None, dt.datetime(2025, 1, 1))]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    p = str(tmp_path / "orc_bad")
+    df.write.mode("overwrite").orc(p)
+    with pytest.raises(ValueError, match="null values"):
+        ic.read_transcripts_orc(spark, p, strict=True)
