@@ -230,3 +230,79 @@ def event_rollup(events: DataFrame) -> DataFrame:
         )
 
     return shape(hourly, "hour").unionByName(shape(daily, "day"))
+
+
+FUNNEL_STEPS: Sequence[str] = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame, steps: Sequence[str] = FUNNEL_STEPS
+) -> DataFrame:
+    """(user_id, step_1_ts..step_N_ts, depth): earliest strictly-ordered
+    funnel completion per user — step i counts only if it happens AFTER
+    the user's earliest completion of step i-1 (the classic ordered-
+    sequence conversion query; Spark has no MATCH_RECOGNIZE, so the
+    funnel composes as N-1 conditional-min stages).
+
+    Scale shape: every stage is one filtered map-side-combined aggregate
+    plus one join keyed on user_id — a user is their own group, so there
+    are no hub keys, and the join fan-out is bounded by that user's
+    events of one type. N is a constant; nothing is quadratic. depth is
+    how many steps completed (prefix property: a null step forces all
+    later steps null, because min(ts > NULL) is NULL on both engines)."""
+    cur = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("step_1_ts"))
+    )
+    carried = ["step_1_ts"]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        prev = F.col(f"step_{i - 1}_ts")
+        cur = (
+            cur.join(nxt, "user_id", "left")
+            .groupBy("user_id", *carried)
+            .agg(F.min(F.when(F.col("ts") > prev, F.col("ts"))).alias(f"step_{i}_ts"))
+        )
+        carried.append(f"step_{i}_ts")
+    depth = None
+    for c in carried:
+        d = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        depth = d if depth is None else depth + d
+    return cur.select("user_id", *carried, depth.cast("int").alias("depth"))
+
+
+RETENTION_GRAIN = "day"
+
+
+def retention_cohorts(events: DataFrame, grain: str = RETENTION_GRAIN) -> DataFrame:
+    """(cohort, offset, n_users): classic retention triangle — users
+    cohorted by the truncated time of their FIRST event, then counted
+    distinct per (cohort, periods-since-cohort) over their active
+    periods. Two map-side-combined aggregates and one user-keyed join;
+    the output domain is (periods × periods), independent of corpus
+    size. Offsets via timestampdiff on truncated NTZ timestamps — exact
+    integers, bit-identical to DuckDB's date_diff (parity-probed)."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc(grain, F.min("ts")).cast("timestamp_ntz").alias("cohort")
+    )
+    active = (
+        events.select(
+            "user_id",
+            F.date_trunc(grain, F.col("ts")).cast("timestamp_ntz").alias("d"),
+        )
+        .dropDuplicates(["user_id", "d"])
+    )
+    up = grain.upper()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort",
+            F.expr(f"timestampdiff({up}, cohort, d)").cast("int").alias("offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -1451,3 +1451,60 @@ ranked AS (
 )
 SELECT doc_id, n_tokens, llr, samp_key, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def ev_funnel_sql() -> str:
+    """Oracle mirror of events.funnel — the same N-1 conditional-min
+    stages as correlated CTEs."""
+    from joern_spark.operators.events import FUNNEL_STEPS
+
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS step_1_ts
+  FROM events WHERE event_type = '{s1}' GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, s1.step_1_ts,
+         min(CASE WHEN e.ts > s1.step_1_ts THEN e.ts END) AS step_2_ts
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = '{s2}'
+  GROUP BY s1.user_id, s1.step_1_ts
+),
+s3 AS (
+  SELECT s2.user_id, s2.step_1_ts, s2.step_2_ts,
+         min(CASE WHEN e.ts > s2.step_2_ts THEN e.ts END) AS step_3_ts
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = '{s3}'
+  GROUP BY s2.user_id, s2.step_1_ts, s2.step_2_ts
+)
+SELECT user_id, step_1_ts, step_2_ts, step_3_ts,
+       (CASE WHEN step_1_ts IS NOT NULL THEN 1 ELSE 0 END
+      + CASE WHEN step_2_ts IS NOT NULL THEN 1 ELSE 0 END
+      + CASE WHEN step_3_ts IS NOT NULL THEN 1 ELSE 0 END)::INT AS depth
+FROM s3
+"""
+
+
+def ev_retention_sql() -> str:
+    """Oracle mirror of events.retention_cohorts (date_diff ==
+    timestampdiff on truncated naive timestamps, parity-probed)."""
+    from joern_spark.operators.events import RETENTION_GRAIN
+
+    g = RETENTION_GRAIN
+    return f"""
+WITH firsts AS (
+  -- ::TIMESTAMP: DuckDB's date_trunc returns DATE at day+ grain, Spark
+  -- stays TIMESTAMP_NTZ — align the value rendering
+  SELECT user_id, date_trunc('{g}', min(ts))::TIMESTAMP AS cohort
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('{g}', ts)::TIMESTAMP AS d FROM events
+)
+SELECT cohort,
+       CAST(date_diff('{g}', cohort, d) AS INT) AS "offset",
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM active a JOIN firsts USING (user_id)
+GROUP BY cohort, "offset"
+"""

@@ -784,6 +784,18 @@ def q_ev_rollup(spark, sf_dir):
     return events.event_rollup(read_events(spark, sf_dir))
 
 
+def q_ev_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user — earliest strictly-
+    increasing completion timestamps + conversion depth."""
+    return events.funnel(read_events(spark, sf_dir))
+
+
+def q_ev_retention(spark, sf_dir):
+    """Retention triangle: distinct active users per (first-event-day
+    cohort, days-since-cohort offset)."""
+    return events.retention_cohorts(read_events(spark, sf_dir))
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
@@ -908,6 +920,8 @@ TPG_QUERIES = {
     "ev_asof": q_ev_asof,
     "ev_range": q_ev_range,
     "ev_rollup": q_ev_rollup,
+    "ev_funnel": q_ev_funnel,
+    "ev_retention": q_ev_retention,
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,

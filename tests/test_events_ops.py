@@ -120,3 +120,71 @@ def test_event_rollup_day_equals_direct(spark):
     assert view_d0.n_events == 3
     assert view_d0.sum_cents == 125 + 250 + 400
     assert view_d0.min_cents == 125 and view_d0.max_cents == 400
+
+
+# ------------------------------------------------------- funnel / retention
+
+
+def test_funnel_strict_ordering_and_prefix(spark):
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    evs = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, t("2024-01-01 09:00:00"), 1, "view"),
+            (2, t("2024-01-01 10:00:00"), 1, "click"),
+            (3, t("2024-01-01 11:00:00"), 1, "purchase"),
+            # user 2: click BEFORE the first view → click must not count;
+            # the later click does, purchase before it doesn't
+            (4, t("2024-01-01 08:00:00"), 2, "click"),
+            (5, t("2024-01-01 09:00:00"), 2, "view"),
+            (6, t("2024-01-01 09:30:00"), 2, "purchase"),
+            (7, t("2024-01-01 10:00:00"), 2, "click"),
+            # user 3: never viewed → not in the funnel at all
+            (8, t("2024-01-01 09:00:00"), 3, "purchase"),
+        ],
+    )
+    out = {r.user_id: r for r in events.funnel(evs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].depth == 3
+    assert out[1].step_3_ts == t("2024-01-01 11:00:00")
+    assert out[2].depth == 2  # view + later click; no purchase after click
+    assert out[2].step_2_ts == t("2024-01-01 10:00:00")
+    assert out[2].step_3_ts is None
+
+
+def test_funnel_equal_ts_is_not_after(spark):
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    evs = _ev(
+        spark,
+        [
+            (1, t("2024-01-01 09:00:00"), 1, "view"),
+            (2, t("2024-01-01 09:00:00"), 1, "click"),  # same instant: strict >
+        ],
+    )
+    r = events.funnel(evs).collect()[0]
+    assert r.depth == 1 and r.step_2_ts is None
+
+
+def test_retention_offsets(spark):
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    evs = _ev(
+        spark,
+        [
+            # user 1: first on day 0, active days 0 and 2 (twice → 1 count)
+            (1, t("2024-01-01 09:00:00"), 1, "view"),
+            (2, t("2024-01-03 09:00:00"), 1, "click"),
+            (3, t("2024-01-03 10:00:00"), 1, "view"),
+            # user 2: first on day 1, active day 1 only
+            (4, t("2024-01-02 23:00:00"), 2, "view"),
+        ],
+    )
+    got = {
+        (r.cohort, r.offset): r.n_users
+        for r in events.retention_cohorts(evs).collect()
+    }
+    assert got == {
+        (t("2024-01-01 00:00:00"), 0): 1,
+        (t("2024-01-01 00:00:00"), 2): 1,
+        (t("2024-01-02 00:00:00"), 0): 1,
+    }
