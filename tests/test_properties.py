@@ -456,3 +456,71 @@ def test_asof_matches_bruteforce(spark, evs):
         _, bid, btyp = min(at_best, key=lambda c: c[1])  # arg-min event_id
         expected[eid] = (bid, btyp, int((ts - best_ts).total_seconds() * 1_000_000))
     assert got == expected
+
+
+# --- random event streams: funnel vs brute force ------------------------------
+
+
+@st.composite
+def event_stream(draw):
+    n_users = draw(st.integers(min_value=1, max_value=4))
+    n_events = draw(st.integers(min_value=1, max_value=24))
+    rows = []
+    for i in range(n_events):
+        rows.append(
+            (
+                i,
+                draw(st.integers(min_value=0, max_value=40)),  # minutes offset
+                draw(st.integers(min_value=1, max_value=n_users)),
+                draw(st.sampled_from(["view", "click", "purchase", "error"])),
+            )
+        )
+    return rows
+
+
+def _brute_funnel(rows, steps=("view", "click", "purchase")):
+    """Reference semantics: step 1 = earliest step-1 ts; step i = earliest
+    step-i ts STRICTLY after step i-1's chosen ts; a missing step nulls
+    every later step. Users without step 1 are absent."""
+    out = {}
+    for u in sorted({u for _, _, u, _ in rows}):
+        mine = [(m, t) for _, m, uu, t in rows if uu == u]
+        picked = []
+        for s in steps:
+            if not picked:
+                cands = [m for m, t in mine if t == s]
+            elif picked[-1] is None:
+                cands = []
+            else:
+                cands = [m for m, t in mine if t == s and m > picked[-1]]
+            picked.append(min(cands) if cands else None)
+        if picked[0] is not None:
+            out[u] = picked
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(event_stream())
+def test_funnel_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    from joern_spark.operators.events import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    evs = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=m), u, t)
+            for i, m, u, t in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    got = {
+        r.user_id: [r.step_1_ts, r.step_2_ts, r.step_3_ts]
+        for r in funnel(evs).collect()
+    }
+    expect = {
+        u: [None if m is None else base + __import__("datetime").timedelta(minutes=m)
+            for m in picked]
+        for u, picked in _brute_funnel(rows).items()
+    }
+    assert got == expect
