@@ -306,3 +306,22 @@ def retention_cohorts(events: DataFrame, grain: str = RETENTION_GRAIN) -> DataFr
         .groupBy("cohort", "offset")
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+PROPS_SCHEMA = "k INT"
+
+
+def props_typed(events: DataFrame) -> DataFrame:
+    """(event_id, event_type, k): typed extraction from the semi-
+    structured `props` JSON column with an EXPLICIT schema — at corpus
+    scale JSON handling is scan-dominated, so the discipline is the same
+    as the readers': never infer (a schema-of-json pass reads everything
+    twice), parse once per row into a struct, and let column pruning
+    drop the raw string immediately after. Malformed JSON yields NULL k
+    (PERMISSIVE semantics), never a failed task."""
+    parsed = F.from_json(F.col("props"), PROPS_SCHEMA)
+    return events.select(
+        "event_id",
+        "event_type",
+        parsed.getField("k").alias("k"),
+    )

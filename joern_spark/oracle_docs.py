@@ -1508,3 +1508,13 @@ SELECT cohort,
 FROM active a JOIN firsts USING (user_id)
 GROUP BY cohort, "offset"
 """
+
+
+def ev_props_sql() -> str:
+    """Oracle mirror of events.props_typed (DuckDB JSON path extraction;
+    malformed JSON → NULL on both engines)."""
+    return """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""

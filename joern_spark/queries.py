@@ -796,6 +796,12 @@ def q_ev_retention(spark, sf_dir):
     return events.retention_cohorts(read_events(spark, sf_dir))
 
 
+def q_ev_props(spark, sf_dir):
+    """Typed extraction from the semi-structured props JSON column —
+    explicit schema, single parse, prune-after."""
+    return events.props_typed(read_events(spark, sf_dir))
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
@@ -922,6 +928,7 @@ TPG_QUERIES = {
     "ev_rollup": q_ev_rollup,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
+    "ev_props": q_ev_props,
     "doc_repetition": q_doc_repetition,
     "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,

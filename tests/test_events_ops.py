@@ -188,3 +188,14 @@ def test_retention_offsets(spark):
         (t("2024-01-01 00:00:00"), 2): 1,
         (t("2024-01-02 00:00:00"), 0): 1,
     }
+
+
+def test_props_typed_malformed_is_null(spark):
+    rows = [
+        (1, '{"k": 7}', "click"),
+        (2, "not json", "view"),
+        (3, None, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string, event_type string")
+    got = {r.event_id: r.k for r in events.props_typed(df).collect()}
+    assert got == {1: 7, 2: None, 3: None}
