@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the scale claims in PLANS.md/SCALE.md as
+executable asserts — if a refactor silently degrades an operator's
+physical plan (a lost WindowGroupLimit, a global sort where a top-k
+heap should be, a shuffled dimension join), these fail before any
+benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + 20)), "en" if i % 2 else "de",
+         f"src{i % 3}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_kmv_prunes_mink_before_exchange(docs):
+    from joern_spark.operators.textstats import kmv_distinct_tokens
+
+    plan = _plan(kmv_distinct_tokens(docs))
+    # salted_min_k must compile to the partial→final WindowGroupLimit pair:
+    # each partition ships at most k·n_salts rows per language
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert ", Partial" in plan and ", Final" in plan, plan
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(docs):
+    from joern_spark.operators.curate import weighted_sample
+
+    plan = _plan(weighted_sample(docs, k=5))
+    # global top-k must be the per-partition-heap operator, never Sort+Limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_bucket_tables_broadcast(docs):
+    from joern_spark.operators.curate import dsir_select
+
+    plan = _plan(dsir_select(docs, target_source="src0", n_buckets=16, k=5))
+    # the two B-row bucket tables and the two one-row totals join broadcast;
+    # the candidate side never shuffles for them
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_asof_join_has_no_join_operator(spark):
+    from datetime import datetime
+
+    from joern_spark.operators.events import as_of_join
+
+    evs = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9), 1, "error"),
+            (2, datetime(2024, 1, 1, 8), 1, "purchase"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    probe = evs.where("event_type = 'error'")
+    build = evs.where("event_type = 'purchase'")
+    plan = _plan(
+        as_of_join(probe, build, key="user_id", ts="ts", build_cols=["event_id"])
+    )
+    assert "Join" not in plan, plan
+
+
+def test_extraction_is_single_scan_no_shuffle(spark):
+    from joern_spark.operators.extract import extract_mentions
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "Please check the weather in Lima.", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    plan = _plan(extract_mentions(t))
+    assert "Exchange" not in plan, plan
