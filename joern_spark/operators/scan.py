@@ -1550,6 +1550,103 @@ _SLICED_SCANNERS = frozenset(
 )
 
 
+# --- battery-only fused paths -------------------------------------------
+# The standalone scanners above stay the public / example-replay surface;
+# run_scan substitutes these fused twins so the battery pays ONE corpus
+# scan (and one conv-keyed shuffle) where the per-scanner forms pay five,
+# and one regex scan where the leak trio pays three. Row-for-row equality
+# with the standalone forms is pinned by the tpg_findings oracle hash.
+
+_PROFILE_FUSED = (
+    "mega-conversation", "burst-conversation", "turn-gap",
+    "protocol-violation", "tool-fanout",
+)
+_LEAK_FUSED = ("pii-email-leak", "pii-phone-leak", "secret-leak")
+
+
+def _finding_struct(name, evidence, score):
+    return F.struct(
+        F.lit(name).alias("query_name"),
+        evidence.alias("evidence"),
+        score.cast("long").alias("score"),
+    )
+
+
+def _fused_profile_findings(transcripts: DataFrame) -> DataFrame:
+    """One per-conversation aggregate serving the five conv-profile
+    scanners (semantics identical to each standalone form; tool-fanout's
+    pre-filter is subsumed because count_distinct ignores NULL tools)."""
+    prof = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("mn_ts"),
+        F.max("ts").alias("mx_ts"),
+        F.max("turn_idx").alias("mx_i"),
+        F.min("turn_idx").alias("mn_i"),
+        F.count_distinct("turn_idx").alias("nd_i"),
+        F.count_distinct("tool").alias("nd_tool"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+    )
+    conv = F.col("conv_id")
+    n = F.col("n")
+    span_s = F.expr("timestampdiff(SECOND, mn_ts, mx_ts)")
+    missing = F.col("mx_i") + 1 - F.col("nd_i")
+    items = F.array(
+        F.when(n >= 256, _finding_struct("mega-conversation", conv, n)),
+        F.when(
+            (n >= BURST_MIN_TURNS)
+            & (span_s < BURST_MAX_AVG_GAP_S * (n - 1)),
+            _finding_struct("burst-conversation", conv, n),
+        ),
+        F.when(
+            (F.col("mn_i") != 0) | (missing > 0),
+            _finding_struct("turn-gap", conv, F.greatest(missing, F.lit(1))),
+        ),
+        F.when(
+            F.col("first_role") != "user",
+            _finding_struct("protocol-violation", conv, F.lit(1)),
+        ),
+        F.when(
+            F.col("nd_tool") >= TOOL_FANOUT_MIN,
+            _finding_struct("tool-fanout", conv, F.col("nd_tool")),
+        ),
+    )
+    return (
+        prof.select(
+            F.explode(F.filter(items, lambda x: x.isNotNull())).alias("f")
+        )
+        .select("f.query_name", "f.evidence", "f.score")
+    )
+
+
+def _fused_leak_findings(transcripts: DataFrame) -> DataFrame:
+    """One text scan serving the three leak scanners (three regexes per
+    row instead of three corpus scans of one regex each)."""
+    ev = F.concat("conv_id", F.lit(":"), F.col("turn_idx").cast("string"))
+    items = F.array(
+        *[
+            F.when(
+                F.col("text").rlike(LEAK_PATTERNS[name]),
+                _finding_struct(
+                    name,
+                    ev,
+                    F.size(
+                        F.regexp_extract_all(
+                            "text", F.lit(LEAK_PATTERNS[name]), F.lit(0)
+                        )
+                    ),
+                ),
+            )
+            for name in _LEAK_FUSED
+        ]
+    )
+    return (
+        transcripts.select(
+            F.explode(F.filter(items, lambda x: x.isNotNull())).alias("f")
+        )
+        .select("f.query_name", "f.evidence", "f.score")
+    )
+
+
 def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
     """findings(query_name, evidence, score) — the full battery as one
     unioned plan over SHARED rule slices: `build_slices` materializes
@@ -1561,6 +1658,7 @@ def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
     sl = build_slices(transcripts, materialize=True)
     mc = _mention_counts(transcripts, slices=sl)
     shared = {"hub-entity": _hub_findings(mc), "lone-mention": _lone_findings(mc)}
+    fused_away = set(_PROFILE_FUSED) | set(_LEAK_FUSED)
     parts = [
         shared[name]
         if name in shared
@@ -1570,7 +1668,10 @@ def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
             else fn(transcripts)
         )
         for name, fn in SCANNERS.items()
+        if name not in fused_away
     ]
+    parts.append(_fused_profile_findings(transcripts))
+    parts.append(_fused_leak_findings(transcripts))
     parts.append(_unknown_findings(mc, entities))
     out = parts[0]
     for p in parts[1:]:

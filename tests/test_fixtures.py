@@ -202,3 +202,40 @@ def test_sft_pairs_and_dialogues(spark, make_transcripts):
         "user: Ask one.\nassistant: Answer one.\ntool: Result.\nassistant: Summary.",
     )
     assert d["c2"][0] == 3 and d["c2"][1].startswith("assistant: Cold open.")
+
+
+def test_fused_battery_paths_match_standalone(spark):
+    """run_scan's fused conv-profile and leak paths must be row-identical
+    to the standalone scanners they replace (the oracle pins this on the
+    real corpus; this pins it on a fixture that FIRES all eight)."""
+    import datetime as dt
+
+    from joern_spark.operators import scan
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # mega + burst: 300 turns, 1s apart, opened by the assistant (protocol),
+    # 6 distinct tools (fanout), turn_idx hole (gap)
+    for i in range(300):
+        rows.append(
+            ("big", i + (1 if i >= 250 else 0), "assistant" if i == 0 else "user",
+             f"pad {i} mail{i}@example.com" if i == 5 else f"pad {i}",
+             f"tool{i % 6}", base + dt.timedelta(seconds=i))
+        )
+    rows.append(("pii", 0, "user", "call +1-555-123-4567 or sk-ABCDEFGHIJKLMNOPQRSTUV", None, base))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    fused = (
+        scan._fused_profile_findings(t)
+        .unionByName(scan._fused_leak_findings(t))
+    )
+    standalone = None
+    for name in scan._PROFILE_FUSED + scan._LEAK_FUSED:
+        d = scan.SCANNERS[name](t)
+        standalone = d if standalone is None else standalone.unionByName(d)
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, standalone.collect()))
+    assert got == want and len(got) >= 6, (got, want)
