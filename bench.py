@@ -11,6 +11,13 @@ driver-side collect) — the same way a cluster job would write to Iceberg.
 The headline `turns_per_sec` is the flagship full-pipeline throughput
 (BASELINE.json metric: turns/sec triple-extraction throughput).
 
+Artifact shape (round-3 judge finding #2): at 92+ queries the full
+per-query dict overflowed the driver's stdout tail capture, so BENCH_r03
+recorded a truncated string. The printed line now stays compact — the
+inline `queries` dict carries only the flagship + the slowest
+TOP_K_INLINE queries — and the complete per-query map is written to
+`bench_sf01_latest.json` (path echoed in the summary as `queries_file`).
+
 Noise defense: this sandbox's shared host swings identical jobs up to
 ~3× (BASELINE.md documents raw evidence), so a single-trial battery can
 record a 1.8× outlier as the round's official number. Each query above
@@ -47,6 +54,9 @@ N_TRIALS = 2
 # measure the checkpoint read, not the query — report the honest single
 # compute time instead.
 NO_RETRY = {"tpg_findings", "tpg_cross_paths", "tpg_mentions", "tpg_linked_mentions"}
+# How many of the slowest per-query times ride inline on the printed
+# summary line (plus the flagship); the rest live in bench_sf01_latest.json.
+TOP_K_INLINE = 10
 
 
 def main() -> None:
@@ -89,20 +99,41 @@ def main() -> None:
     total = round(sum(t for t in times.values() if t), 3)
     wall = round(time.time() - bench_t0, 3)
     flagship = times.get("tpg_triples_final") or total
+
+    full = {
+        "metric": "tpg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_turns": n_turns,
+        "cpus": cpus,
+        "wall_s": wall,
+        "trials": N_TRIALS,
+        "turns_per_sec": round(n_turns / flagship, 1),
+        **({"errors": errors} if errors else {}),
+    }
+    queries_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_sf01_latest.json"
+    )
+    with open(queries_file, "w") as f:
+        json.dump(full, f, indent=1)
+
+    slowest = sorted(
+        ((n, t) for n, t in times.items() if t is not None),
+        key=lambda kv: -kv[1],
+    )[:TOP_K_INLINE]
+    inline = dict(sorted(slowest))
+    if "tpg_triples_final" in times:
+        inline["tpg_triples_final"] = times["tpg_triples_final"]
     print(
         json.dumps(
             {
-                "metric": "tpg_pipeline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_turns": n_turns,
-                "cpus": cpus,
-                "wall_s": wall,
-                "trials": N_TRIALS,
-                "turns_per_sec": round(n_turns / flagship, 1),
-                **({"errors": errors} if errors else {}),
+                **{k: v for k, v in full.items() if k not in ("queries", "errors")},
+                "n_queries": len(times),
+                "n_errors": len(errors),
+                "queries": inline,
+                "queries_file": queries_file,
             }
         )
     )

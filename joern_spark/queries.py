@@ -921,7 +921,17 @@ TPG_QUERIES = {
     "tpg_next_turn": q_next_turn,
     "tpg_mentions": q_mentions,
     "tpg_triples_raw": q_triples_raw,
-    # (2) never driver-covered (r2 gate clipped these) + battery trio
+    # (2) r4 rotation: the six queries the driver's first-50 gate never
+    # covered in r1-r3 (judge-verified green via tools/check_oracle.py in
+    # r3; VERDICT r3 "Next round" #1) — pinned directly after the
+    # fundamentals so CORRECTNESS_r04 gives them driver rows.
+    "tpg_entity_communities": q_entity_communities,
+    "tpg_entity_kcore": q_entity_kcore,
+    "doc_kmv_distinct": q_doc_kmv,
+    "doc_kmv_overlap": q_doc_kmv_overlap,
+    "doc_weighted_sample": q_weighted_sample,
+    "doc_dsir": q_dsir_select,
+    # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,
     "ev_range": q_ev_range,
@@ -930,11 +940,8 @@ TPG_QUERIES = {
     "ev_retention": q_ev_retention,
     "ev_props": q_ev_props,
     "doc_repetition": q_doc_repetition,
-    "doc_mixture": q_mixture_sample,
     "doc_unigram_lp": q_doc_unigram_lp,
     "doc_keywords": q_doc_keywords,
-    "doc_lm_buckets": q_doc_lm_buckets,
-    "doc_bigram_lp": q_doc_bigram_lp,
     "doc_bpe_merges": q_doc_bpe_merges,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,
@@ -944,7 +951,6 @@ TPG_QUERIES = {
     "tpg_edge_index": q_edge_index,
     "tpg_sft_pairs": q_sft_pairs,
     "tpg_sft_dialogues": q_sft_dialogues,
-    "doc_chunks": q_doc_chunks,
     "emb_quantize": q_emb_quantize,
     "emb_kmeans": q_emb_kmeans,
     "doc_diverse_topn": q_doc_diverse_topn,
@@ -952,15 +958,13 @@ TPG_QUERIES = {
     "emb_triplets": q_emb_triplets,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
-    "mm_resize_dims": q_mm_resize_dims,
-    "mm_frame_sample": q_mm_frame_sample,
     "tpg_starting_points": q_starting_points,
     "tpg_findings": q_findings,
     "tpg_tag_readback": q_tag_readback,
     "tpg_tagged_by": q_tagged_by,
     "tpg_cross_paths": q_cross_paths,
     "tpg_flows": q_flows_ask_to_result,
-    # (3) middle
+    # (4) middle
     "tpg_linked_mentions": q_linked_mentions,
     "tpg_canonical_map": q_canonical_map,
     "tpg_triples_final": q_triples_final,
@@ -972,8 +976,6 @@ TPG_QUERIES = {
     "tpg_conv_metrics": q_conv_metrics,
     "tpg_entity_rank": q_entity_rank,
     "tpg_entity_triangles": q_entity_triangles,
-    "tpg_entity_communities": q_entity_communities,
-    "tpg_entity_kcore": q_entity_kcore,
     "tpg_next_turn_3hop": q_next_turn_3hop,
     "tpg_idom": q_idom,
     "tpg_postdom": q_postdom,
@@ -982,12 +984,8 @@ TPG_QUERIES = {
     "tpg_slice": q_slice,
     "tpg_conv_vectors": q_conv_vectors,
     "doc_tokens": q_doc_tokens,
-    "doc_kmv_distinct": q_doc_kmv,
-    "doc_kmv_overlap": q_doc_kmv_overlap,
     "doc_decontaminate": q_decontaminate,
     "doc_sample": q_stratified_sample,
-    "doc_weighted_sample": q_weighted_sample,
-    "doc_dsir": q_dsir_select,
     "doc_curation": q_curation_verdict,
     "doc_topn": q_stratified_topn,
     "doc_shards": q_pack_shards,
@@ -997,7 +995,14 @@ TPG_QUERIES = {
     "dd_survivors": q_dd_survivors,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "sim_topk": q_sim_topk,
-    # (4) cheap two-round-green tail
+    # (5) cheap multi-round-green tail (incl. six r3-green entries rotated
+    # out of the gate window to make room for the never-covered six)
+    "doc_mixture": q_mixture_sample,
+    "doc_lm_buckets": q_doc_lm_buckets,
+    "doc_bigram_lp": q_doc_bigram_lp,
+    "doc_chunks": q_doc_chunks,
+    "mm_resize_dims": q_mm_resize_dims,
+    "mm_frame_sample": q_mm_frame_sample,
     "tpg_stub_entities": q_stub_entities,
     "tpg_rebind_current_db": q_rebind_current_db,
     "tpg_cdg": q_cdg,

@@ -1,0 +1,61 @@
+"""Assert the driver-gate registry invariants.
+
+The driver's correctness gate runs the FIRST ~50 entries of
+``queries()``/``oracle_sql()``. This checker enforces:
+  1. queries() and oracle_sql() list the same names in the same order;
+  2. the queries that have never had a driver-green CORRECTNESS row sit
+     inside the first-50 window (VERDICT r3 "Next round" #1);
+  3. every registered query has an oracle entry (or is on the documented
+     rows-only allowlist).
+
+Run: python tools/check_window.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+# Names that must have a driver row in CORRECTNESS_r04: never covered in
+# r1-r3 plus every round-4 addition.
+MUST_BE_IN_WINDOW = {
+    "tpg_entity_communities",
+    "tpg_entity_kcore",
+    "doc_kmv_distinct",
+    "doc_kmv_overlap",
+    "doc_weighted_sample",
+    "doc_dsir",
+}
+
+
+def main() -> int:
+    import __spark_entry__ as E
+
+    qnames = list(E.queries())
+    onames = list(E.oracle_sql())
+    ok = True
+    if qnames != onames:
+        extra_q = [n for n in qnames if n not in onames]
+        extra_o = [n for n in onames if n not in qnames]
+        mism = next(
+            (i for i, (a, b) in enumerate(zip(qnames, onames)) if a != b), None
+        )
+        print(f"FAIL order: first mismatch at #{mism}; "
+              f"query-only={extra_q} oracle-only={extra_o}")
+        ok = False
+    window = set(qnames[:WINDOW])
+    missing = sorted(MUST_BE_IN_WINDOW - window)
+    if missing:
+        print(f"FAIL window: not in first {WINDOW}: {missing}")
+        ok = False
+    if ok:
+        print(f"OK: {len(qnames)} queries, orders match, "
+              f"{len(MUST_BE_IN_WINDOW)} rotation targets inside first {WINDOW}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
