@@ -406,6 +406,25 @@ FROM m GROUP BY 1, 2
 """
 
 
+def pc_capped(key: str) -> str:
+    """Per-conversation distinct-key CTE shared by every co-mention
+    oracle, capped at the same CONV_KEY_CAP most-frequent keys the Spark
+    operator keeps (rank.conv_key_sets; count DESC, key ASC tiebreak —
+    deterministic on both engines). MATERIALIZED because every consumer
+    references pc twice (self-join) and DuckDB inlines plain CTEs per
+    reference, which would run the regex mention extraction twice."""
+    from joern_spark.operators.rank import CONV_KEY_CAP
+
+    return f"""pc AS MATERIALIZED (
+  SELECT conv_id, k FROM (
+    SELECT conv_id, k,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY n_m DESC, k ASC) AS rn
+    FROM (SELECT conv_id, {key} AS k, count(*) AS n_m FROM m GROUP BY 1, 2)
+  ) WHERE rn <= {CONV_KEY_CAP}
+)"""
+
+
 def entity_rank_sql(sf: float) -> str:
     """Fixed-N damped PageRank, iterations unrolled as chained CTEs
     generated from the same constants the Spark operator uses;
@@ -433,7 +452,7 @@ def entity_rank_sql(sf: float) -> str:
     # at sf0.01 with MATERIALIZED).
     return f"""
 WITH m AS ({mentions_sql(sf)}),
-pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+{pc_capped(key)},
 e AS (
   SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
   ON x.conv_id = y.conv_id AND x.k < y.k
@@ -462,7 +481,7 @@ def entity_communities_sql(sf: float) -> str:
     return f"""
 WITH RECURSIVE t AS (SELECT * FROM {t_src(sf)}),
 m AS ({mentions_sql(sf)}),
-pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+{pc_capped(key)},
 e AS (
   SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
   ON x.conv_id = y.conv_id AND x.k < y.k
@@ -510,7 +529,7 @@ s{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {KCORE_K})"""
     last = f"s{KCORE_ROUNDS}"
     return f"""
 WITH m AS ({mentions_sql(sf)}),
-pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+{pc_capped(key)},
 e AS MATERIALIZED (
   SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
   ON x.conv_id = y.conv_id AND x.k < y.k
@@ -555,7 +574,7 @@ def entity_triangles_sql(sf: float) -> str:
     key = NORM.format(x="m.surface")
     return f"""
 WITH m AS ({mentions_sql(sf)}),
-pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+{pc_capped(key)},
 e AS MATERIALIZED (
   SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
   ON x.conv_id = y.conv_id AND x.k < y.k
@@ -887,7 +906,7 @@ def edge_index_sql(sf: float) -> str:
     key = NORM.format(x="m.surface")
     return f"""
 WITH m AS ({mentions_sql(sf)}),
-pc AS (SELECT DISTINCT conv_id, {key} AS k FROM m),
+{pc_capped(key)},
 e AS (
   SELECT x.k AS a, y.k AS b, count(*)::BIGINT AS n_convs
   FROM pc x JOIN pc y ON x.conv_id = y.conv_id AND x.k < y.k

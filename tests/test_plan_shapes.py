@@ -53,6 +53,19 @@ def test_dsir_bucket_tables_broadcast(docs):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_cooccurrence_caps_per_conv_keys(spark, make_transcripts):
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.rank import entity_cooccurrence
+
+    t = make_transcripts(
+        [("c1", 0, "user", "Please check the weather in Lima.", None)]
+    )
+    plan = _plan(entity_cooccurrence(extract_mentions(t)))
+    # the per-conv top-k must compile to a WindowGroupLimit so no single
+    # join group is unbounded (a mega-conv emits ≤ cap² pairs, not keys²)
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_asof_join_has_no_join_operator(spark):
     from datetime import datetime
 
