@@ -1,0 +1,248 @@
+"""General branching-CFG reaching definitions — gen/kill worklist fixpoint.
+
+The reference solves reaching definitions per method as a forward
+dataflow problem over BitSets with a worklist over reverse post-order
+(dataflowengineoss/.../reachingdef/ReachingDefProblem.scala:160-301 —
+transfer(n, x) = gen(n) ∪ (x − kill(n));
+DataFlowSolver.scala:11-39 — calculateMopSolutionForwards), bailing out
+above 4000 definitions per method. This module is the transcript-graph
+analog with three scale substitutions:
+
+  * **unit of parallelism** — (conversation, variable) instead of method:
+    in gen/kill RD a definition only kills definitions of the SAME
+    variable, so per-variable sub-problems are independent and the group
+    key (conv_id, var) salts a mega-conversation defining many variables
+    across tasks instead of concentrating it in one (the reference's
+    4000-def bail-out is replaced by this split plus a per-group size
+    guard — no correctness cliff, just bounded group work);
+  * **shape split** — transcript CFGs are overwhelmingly linear chains,
+    where IN(n) collapses to "the latest definition strictly before n"
+    (one window, one shuffle); only conversations containing a branch or
+    join node reach the Python kernel (the `_run_idom` discipline,
+    operators/cfg.py). Both paths are proven equal on linear inputs
+    (tests/test_graph_ops.py);
+  * **batched Arrow kernels** — applyInPandas over salted buckets of
+    (conv, var) groups (edges and defs unioned long-format, def rows
+    marked by NULL dst), many groups per batch, bitset (Python int)
+    IN/OUT sets inside.
+
+Outputs IN sets: (conv_id, turn_idx, var, def_idx) — definition at
+`def_idx` reaches the ENTRY of `turn_idx` (the node's own gen is in its
+OUT, not its IN, exactly like the reference's Solution.in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RD_SCHEMA = "conv_id string, turn_idx int, var string, def_idx int"
+
+# Size guard replacing the reference's 4000-def bail-out: one
+# (conversation, variable) group above this many nodes×defs is refused
+# loudly instead of silently stalling an executor. nodes×defs = bitset
+# words × worklist rounds bound; 2^26 ≈ seconds of CPU per group.
+MAX_GROUP_CELLS = 1 << 26
+N_BUCKETS = 256
+
+
+def _rd_group(conv_id: str, var: str, edges_pdf, def_turns: list[int]):
+    """Worklist fixpoint for ONE (conversation, variable): bitset IN/OUT
+    over reverse post-order, cycles included (the MOP solution, not the
+    DAG special case). Returns [(conv_id, turn_idx, var, def_idx)]."""
+    succ: dict[int, list[int]] = {}
+    preds: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in zip(edges_pdf["src_idx"], edges_pdf["dst_idx"]):
+        s, d = int(s), int(d)
+        succ.setdefault(s, []).append(d)
+        preds.setdefault(d, []).append(s)
+        nodes.add(s)
+        nodes.add(d)
+    defs = sorted(set(def_turns) & nodes)
+    if not defs or not nodes:
+        return []
+    if len(nodes) * len(defs) > MAX_GROUP_CELLS:
+        raise ValueError(
+            f"reaching-defs group too large: conv={conv_id!r} var={var!r} "
+            f"{len(nodes)} nodes × {len(defs)} defs > {MAX_GROUP_CELLS} "
+            "(split the variable or raise MAX_GROUP_CELLS)"
+        )
+    bit = {t: 1 << i for i, t in enumerate(defs)}
+    gen = {t: bit.get(t, 0) for t in nodes}
+    # single-variable group: any def kills every other def of the var
+    all_bits = (1 << len(defs)) - 1
+    kill = {t: (all_bits if t in bit else 0) for t in nodes}
+
+    # reverse post-order from all entry nodes (iterative DFS)
+    entries = sorted(n for n in nodes if n not in preds) or [min(nodes)]
+    rpo: list[int] = []
+    seen: set[int] = set()
+    for e in entries:
+        if e in seen:
+            continue
+        seen.add(e)
+        stack = [(e, iter(succ.get(e, ())))]
+        while stack:
+            node, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                rpo.append(node)
+                stack.pop()
+            elif nxt not in seen:
+                seen.add(nxt)
+                stack.append((nxt, iter(succ.get(nxt, ()))))
+    rpo.reverse()
+    order = {n: i for i, n in enumerate(rpo)}
+
+    out = {n: gen[n] for n in nodes}  # ReachingDefInit.initOut = gen
+    in_ = {n: 0 for n in nodes}
+    work = list(rpo)
+    in_work = set(work)
+    while work:
+        nxt_round: list[int] = []
+        for n in work:
+            in_work.discard(n)
+            x = 0
+            for p in preds.get(n, ()):
+                x |= out[p]
+            in_[n] = x
+            new = gen[n] | (x & ~kill[n])
+            if new != out[n]:
+                out[n] = new
+                for s in succ.get(n, ()):
+                    if s not in in_work:
+                        in_work.add(s)
+                        nxt_round.append(s)
+        nxt_round.sort(key=lambda n: order.get(n, 0))
+        work = nxt_round
+    rows = []
+    for n in sorted(nodes):
+        x = in_[n]
+        i = 0
+        while x:
+            if x & 1:
+                rows.append((conv_id, n, var, defs[i]))
+            x >>= 1
+            i += 1
+    return rows
+
+
+def _rd_batch(pdf):
+    """Kernel body over the long-format union (edge rows carry src+dst,
+    def rows carry src with NULL dst): one Arrow batch carries many
+    (conv, var) groups; pandas groupby loops them (the 100-part batching
+    contract, LinkingUtil.scala:16). Single-input rather than cogrouped
+    because the edge and def tables usually share one transcripts-scan
+    lineage and duplicate attribute ids fail cogroup analysis."""
+    import pandas as pd  # noqa: PLC0415 — executor-side
+
+    rows: list[tuple] = []
+    for (conv_id, var), g in pdf.groupby(["conv_id", "var"], sort=False):
+        is_def = g["dst_idx"].isna()
+        rows.extend(
+            _rd_group(
+                conv_id,
+                var,
+                g[~is_def],
+                g.loc[is_def, "src_idx"].astype(int).tolist(),
+            )
+        )
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "var", "def_idx"])
+
+
+def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
+    """IN sets of the gen/kill reaching-definitions problem.
+
+    edges: (conv_id, src_idx, dst_idx) — per-conversation CFG, arbitrary
+    shape (chains, DAGs, cycles).
+    defs:  (conv_id, turn_idx, var) — definition sites.
+    returns (conv_id, turn_idx, var, def_idx): def reaches node entry.
+
+    Linear conversations (in/out-degree ≤ 1 everywhere — the dominant
+    transcript shape) take the closed form: IN(n, v) = latest def of v
+    strictly before n, one window over the conv_id shuffle. Conversations
+    with a branch or join node run the worklist kernel, cogrouped on
+    salted (conv, var) buckets.
+    """
+    nonlinear = (
+        edges.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("src_idx").alias("ns"),
+            F.countDistinct("dst_idx").alias("nd"),
+        )
+        .where((F.col("n") > F.col("ns")) | (F.col("n") > F.col("nd")))
+        .select("conv_id")
+    )
+
+    def _route(df, how: str) -> DataFrame:
+        # qualified semi/anti join: edges, defs and nonlinear usually share
+        # lineage (all derived from one transcripts scan), so a bare
+        # using-column join trips the ambiguous-self-join analyzer check
+        return df.alias("l").join(
+            nonlinear.alias("r"),
+            F.col("l.conv_id") == F.col("r.conv_id"),
+            how,
+        )
+
+    # ---- linear path: window closed form ------------------------------
+    lin_edges = _route(edges, "left_anti")
+    lin_defs = _route(defs, "left_anti")
+    nodes = (
+        lin_edges.select("conv_id", F.col("src_idx").alias("turn_idx"))
+        .unionByName(
+            lin_edges.select("conv_id", F.col("dst_idx").alias("turn_idx"))
+        )
+        .distinct()
+    )
+    # per-(conv, var) sorted def-turn array joined onto the node table:
+    # the strictly-preceding last definition is the greatest array element
+    # < turn_idx — one small aggregation + one conv_id join, no window,
+    # and no ambiguous defs-vs-defs self-join lineage. Def arrays are
+    # tiny (defs per conversation), so the per-row array filter is cheap.
+    def_arrays = lin_defs.groupBy("conv_id", "var").agg(
+        F.sort_array(F.collect_list("turn_idx")).alias("dts")
+    )
+    # edges and defs may share lineage (both derived from the transcripts
+    # table), so qualify the join explicitly to avoid the ambiguous
+    # self-join analyzer error
+    linear = (
+        nodes.alias("n")
+        .join(
+            def_arrays.alias("da"),
+            F.col("n.conv_id") == F.col("da.conv_id"),
+        )
+        .select("n.conv_id", "n.turn_idx", "da.var", "da.dts")
+        .withColumn(
+            "def_idx",
+            F.element_at(
+                F.filter("dts", lambda d: d < F.col("turn_idx")), -1
+            ),
+        )
+        .where(F.col("def_idx").isNotNull())
+        .select("conv_id", "turn_idx", "var", F.col("def_idx").cast("int"))
+    )
+
+    # ---- general path: cogrouped worklist kernel ----------------------
+    gen_edges = _route(edges, "left_semi")
+    gen_defs = _route(defs, "left_semi")
+    conv_vars_g = gen_defs.select("conv_id", "var").distinct()
+    edges_x = (
+        gen_edges.alias("e")
+        .join(conv_vars_g.alias("v"), F.col("e.conv_id") == F.col("v.conv_id"))
+        .select("e.conv_id", "v.var", "e.src_idx", "e.dst_idx")
+    )
+    def_rows = gen_defs.select(
+        "conv_id",
+        "var",
+        F.col("turn_idx").cast("int").alias("src_idx"),
+        F.lit(None).cast("int").alias("dst_idx"),
+    )
+    long = edges_x.unionByName(def_rows).withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id", "var"), F.lit(N_BUCKETS)).cast("int")
+    )
+    general = long.groupBy("_b").applyInPandas(
+        lambda pdf: _rd_batch(pdf.drop(columns=["_b"])), RD_SCHEMA
+    )
+    return linear.unionByName(general)

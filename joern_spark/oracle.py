@@ -695,6 +695,34 @@ FROM t QUALIFY pdom_idx IS NOT NULL
 """
 
 
+def reaching_defs_sql(sf: float) -> str:
+    """Linear chains collapse the gen/kill reaching-definitions fixpoint
+    (ReachingDefProblem.scala:160-301) to the strictly-preceding last
+    definition per (conv, var) — the same provably-equal closed form the
+    Spark operator's shape-split takes on chains; the branching worklist
+    kernel is oracled by unit + property tests (the tpg_cdg discipline).
+    def_idx IS NOT NULL already implies an earlier turn exists, so no
+    separate multi-turn-conversation filter is needed."""
+    rebind = RULES_BY_NAME["rebind"]
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN {_rule_where(rebind)} THEN turn_idx END AS def_at
+  FROM t
+),
+x AS (
+  SELECT conv_id, turn_idx,
+         last_value(def_at IGNORE NULLS) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS def_idx
+  FROM d
+)
+SELECT conv_id, turn_idx, 'db' AS var, def_idx::INTEGER AS def_idx
+FROM x WHERE def_idx IS NOT NULL
+"""
+
+
 def cdg_sql(sf: float) -> str:
     """Linear chains have an empty post-dominance frontier — zero CDG
     edges, asserted literally."""

@@ -82,6 +82,36 @@ def q_rebind_current_db(spark, sf_dir):
     return rebind.dbcur_triples(_t(spark, sf_dir))
 
 
+def q_reaching_defs(spark, sf_dir):
+    """General gen/kill reaching definitions over the NEXT_TURN CFG with
+    rebind turns as definitions of variable 'db'. The corpus is linear,
+    so the worklist kernel's shape-split takes the window closed form
+    here (provably equal — tests/test_graph_ops.py exercises the
+    branching kernel on DAGs/cycles and proves both paths identical on
+    chains); the oracle asserts the closed form."""
+    from pyspark.sql import Window
+
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = (
+        t.select("conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx"))
+        .where(F.col("next_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("src_idx"),
+            F.col("next_idx").alias("dst_idx"),
+        )
+    )
+    r = RULES_BY_NAME["rebind"]
+    cond = F.col("text").rlike(r.pattern)
+    if r.role:
+        cond = (F.col("role") == r.role) & cond
+    defs = t.where(cond).select("conv_id", "turn_idx", F.lit("db").alias("var"))
+    return reaching_definitions(edges, defs)
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -931,6 +961,8 @@ TPG_QUERIES = {
     "doc_kmv_overlap": q_doc_kmv_overlap,
     "doc_weighted_sample": q_weighted_sample,
     "doc_dsir": q_dsir_select,
+    # round-4 additions (must sit inside the first-50 driver gate window)
+    "tpg_reaching_defs": q_reaching_defs,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -385,3 +385,97 @@ def test_merge_canonical_map_chain_across_batches(spark):
     got = {r["entity_key"]: r["canon"] for r in m3.collect()}
     assert got == cmap(spark, all_pairs)
     assert set(got.values()) == {"k000"}
+
+
+# --- general reaching definitions (gen/kill worklist kernel) -----------------
+
+
+def _rd_set(edges, defs, var="v"):
+    import pandas as pd
+
+    from joern_spark.operators.dataflow import _rd_group
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(edges),
+            "src_idx": [a for a, _ in edges],
+            "dst_idx": [b for _, b in edges],
+        }
+    )
+    return {(t, d) for (_, t, _, d) in _rd_group("c", var, pdf, defs)}
+
+
+def test_reaching_defs_diamond_kill():
+    """Both branch defs kill the entry def: the join sees exactly the two
+    branch definitions, not the killed one."""
+    got = _rd_set([(0, 1), (0, 2), (1, 3), (2, 3)], defs=[0, 1, 2])
+    assert got == {(1, 0), (2, 0), (3, 1), (3, 2)}
+
+
+def test_reaching_defs_diamond_passthrough():
+    """A def on only one branch merges with the surviving entry def."""
+    got = _rd_set([(0, 1), (0, 2), (1, 3), (2, 3)], defs=[0, 1])
+    assert got == {(1, 0), (2, 0), (3, 0), (3, 1)}
+
+
+def test_reaching_defs_cycle():
+    """Worklist fixpoint on a loop: the back-edge def flows around."""
+    got = _rd_set([(0, 1), (1, 2), (2, 1)], defs=[0, 2])
+    assert got == {(1, 0), (1, 2), (2, 0), (2, 2)}
+
+
+def test_reaching_defs_operator_routes_shapes(spark):
+    """Linear conversations take the window closed form, branching ones
+    the kernel — one call, both shapes, per-variable independence."""
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    edges = spark.createDataFrame(
+        # lin: 0→1→2→3 chain; br: diamond 0→{1,2}→3
+        [("lin", 0, 1), ("lin", 1, 2), ("lin", 2, 3),
+         ("br", 0, 1), ("br", 0, 2), ("br", 1, 3), ("br", 2, 3)],
+        "conv_id string, src_idx int, dst_idx int",
+    )
+    defs = spark.createDataFrame(
+        [("lin", 0, "db"), ("lin", 2, "db"), ("lin", 1, "tz"),
+         ("br", 1, "db"), ("br", 2, "db")],
+        "conv_id string, turn_idx int, var string",
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.var, r.def_idx)
+        for r in reaching_definitions(edges, defs).collect()
+    }
+    assert got == {
+        ("lin", 1, "db", 0), ("lin", 2, "db", 0), ("lin", 3, "db", 2),
+        ("lin", 2, "tz", 1), ("lin", 3, "tz", 1),
+        ("br", 3, "db", 1), ("br", 3, "db", 2),
+    }
+
+
+def test_reaching_defs_kernel_equals_window_on_chains(spark):
+    """Shape-split equivalence: the general kernel on a linear chain
+    produces exactly the closed-form rows the operator emits."""
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    chain = [(i, i + 1) for i in range(6)]
+    defs = [0, 3, 5]
+    kernel = _rd_set(chain, defs)
+    edges = spark.createDataFrame(
+        [("c", a, b) for a, b in chain], "conv_id string, src_idx int, dst_idx int"
+    )
+    ddf = spark.createDataFrame(
+        [("c", d, "v") for d in defs], "conv_id string, turn_idx int, var string"
+    )
+    operator = {
+        (r.turn_idx, r.def_idx)
+        for r in reaching_definitions(edges, ddf).collect()
+    }
+    assert kernel == operator
+
+
+def test_reaching_defs_size_guard(monkeypatch):
+    import joern_spark.operators.dataflow as dfm
+    import pytest
+
+    monkeypatch.setattr(dfm, "MAX_GROUP_CELLS", 4)
+    with pytest.raises(ValueError, match="too large"):
+        _rd_set([(0, 1), (1, 2), (2, 3)], defs=[0, 1, 2])

@@ -524,3 +524,59 @@ def test_funnel_matches_bruteforce(spark, rows):
         for u, picked in _brute_funnel(rows).items()
     }
     assert got == expect
+
+
+# --- random DAGs + def sets: worklist RD vs per-def blocked BFS --------------
+
+
+@st.composite
+def dag_with_defs(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    edges = []
+    for j in range(1, n):
+        preds = draw(
+            st.sets(st.integers(0, j - 1), min_size=1, max_size=min(j, 3))
+        )
+        edges.extend((p, j) for p in sorted(preds))
+    defs = sorted(draw(st.sets(st.integers(0, n - 1), min_size=1, max_size=n)))
+    return n, edges, defs
+
+
+def _brute_reaching(edges, defs):
+    """def d reaches IN(n) iff some path d→n has no OTHER def strictly
+    between: per-def BFS that never expands past a killing def node
+    (arrival at a def's entry is still allowed)."""
+    succ = {}
+    for a, b in edges:
+        succ.setdefault(a, []).append(b)
+    out = set()
+    dset = set(defs)
+    for d in defs:
+        seen = set()
+        stack = list(succ.get(d, ()))
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            out.add((x, d))
+            if x not in dset:  # a def node consumes the flow (kill)
+                stack.extend(succ.get(x, ()))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(dag_with_defs())
+def test_reaching_defs_matches_blocked_bfs(case):
+    from joern_spark.operators.dataflow import _rd_group
+
+    n, edges, defs = case
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(edges),
+            "src_idx": [a for a, _ in edges],
+            "dst_idx": [b for _, b in edges],
+        }
+    )
+    got = {(t, d) for (_, t, _, d) in _rd_group("c", "v", pdf, defs)}
+    assert got == _brute_reaching(edges, defs), (edges, defs)

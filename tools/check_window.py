@@ -28,6 +28,8 @@ MUST_BE_IN_WINDOW = {
     "doc_kmv_overlap",
     "doc_weighted_sample",
     "doc_dsir",
+    # round-4 additions
+    "tpg_reaching_defs",
 }
 
 
