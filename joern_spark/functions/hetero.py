@@ -248,6 +248,7 @@ def expand_paths_hetero(
     id_col: str = "id",
     checkpoint_every: int | None = None,
     broadcast_frontier: bool | None = None,
+    realizable: bool = True,
 ) -> DataFrame:
     """Bounded cross-layer path search: one row per surviving flow
     `(src, dst, depth, crossings, path, labels)` with node AND step-label
@@ -261,9 +262,27 @@ def expand_paths_hetero(
     and die when it would exceed `max_crossings` (maxCallDepth,
     Engine.scala:309-326).
 
+    `realizable=True` adds the call-stack realizability discipline
+    (TaskCreator.scala:33-60: return flows must re-enter the context
+    they left): each path carries its ORIGIN conversation (frame 0) and
+    its CURRENT conversation — both O(1) columns, the frame prefix
+    before the first ':' of a turn node id (opaque ids without ':' act
+    as their own frame). A crossing hop that lands in the current
+    conversation is intra-frame flow and always allowed; from the origin
+    it is a call (any target); away from the origin it is a return and
+    must re-enter the origin — A→entity→B→entity→C dies, A→…→B→…→A
+    lives. At budget ≤1 no path can attempt a non-call crossing, so the
+    filter is provably a no-op there (tested); at budget ≥2 it excludes
+    exactly the unrealizable multi-crossing paths. Multiple out-and-back
+    excursions (A→B→A→C→A…) remain realizable, like repeated calls from
+    one caller.
+
     Frontier strategy auto-selection and mid-walk downgrade are
     identical to `expand_paths` (FRONTIER_BROADCAST_MAX rule)."""
     steps = step_edges(edges, sems)
+    seed_conv = F.when(
+        F.col(id_col).contains(":"), F.substring_index(F.col(id_col), ":", 1)
+    )
     cur = (
         frontier.select(
             F.col(id_col).alias("src"),
@@ -272,6 +291,8 @@ def expand_paths_hetero(
             F.lit(0).alias("crossings"),
             F.array(F.col(id_col)).alias("path"),
             F.array().cast("array<string>").alias("labels"),
+            seed_conv.alias("origin"),
+            seed_conv.alias("cur_conv"),
         )
         .dropDuplicates(["src"])
         .localCheckpoint(eager=True)
@@ -288,20 +309,39 @@ def expand_paths_hetero(
         checkpoint_every = 1 if broadcast_frontier else 4
     acc = None
     for i in range(max_depth):
-        nxt = (
+        is_cross = F.col("e.crossing") == 1
+        conv_new = F.substring_index(F.col("e.dst"), ":", 1)
+        joined = (
             maybe_bc(cur)
             .alias("c")
             .join(steps.alias("e"), F.col("c.dst") == F.col("e.src"))
             .where(~F.array_contains(F.col("c.path"), F.col("e.dst")))
             .where(F.col("c.crossings") + F.col("e.crossing") <= max_crossings)
-            .select(
-                F.col("c.src").alias("src"),
-                F.col("e.dst").alias("dst"),
-                (F.col("c.depth") + 1).alias("depth"),
-                (F.col("c.crossings") + F.col("e.crossing")).alias("crossings"),
-                F.array_append(F.col("c.path"), F.col("e.dst")).alias("path"),
-                F.array_append(F.col("c.labels"), F.col("e.lbl")).alias("labels"),
+        )
+        if realizable:
+            # survive unless this crossing is a RETURN (current frame is
+            # away from origin) that re-enters neither the current nor
+            # the origin conversation
+            joined = joined.where(
+                (~is_cross)
+                | F.col("c.origin").isNull()
+                | (conv_new == F.col("c.cur_conv"))
+                | (F.col("c.cur_conv") == F.col("c.origin"))
+                | (conv_new == F.col("c.origin"))
             )
+        nxt = joined.select(
+            F.col("c.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            (F.col("c.depth") + 1).alias("depth"),
+            (F.col("c.crossings") + F.col("e.crossing")).alias("crossings"),
+            F.array_append(F.col("c.path"), F.col("e.dst")).alias("path"),
+            F.array_append(F.col("c.labels"), F.col("e.lbl")).alias("labels"),
+            F.when(
+                is_cross, F.coalesce(F.col("c.origin"), conv_new)
+            ).otherwise(F.col("c.origin")).alias("origin"),
+            F.when(is_cross, conv_new)
+            .otherwise(F.col("c.cur_conv"))
+            .alias("cur_conv"),
         )
         if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
             nxt = nxt.localCheckpoint(eager=True)
@@ -316,7 +356,8 @@ def expand_paths_hetero(
     if acc is None:
         return frontier.sparkSession.createDataFrame([], CROSS_PATHS_SCHEMA)
     if keep == "all":
-        return acc
+        # origin/cur_conv are internal realizability state, not evidence
+        return acc.select("src", "dst", "depth", "crossings", "path", "labels")
     # keep="max": one surviving path per (src, dst) — longest, with the
     # (path, labels) lexicographic tie-break. A min(struct(...)) aggregate
     # selects the identical row a row_number window would, but partial

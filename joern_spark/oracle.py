@@ -823,16 +823,30 @@ seeds AS (
   SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
   FROM ({triples_raw_sql(sf)}) WHERE pred = 'queried_about'
 ),
-walk(src, dst, depth, crossings, path, labels) AS (
-  SELECT s.id, e.dst, 1, e.crossing, [s.id, e.dst], [e.lbl]
+walk(src, dst, depth, crossings, path, labels, origin, cur_conv) AS (
+  -- origin/cur_conv: call-stack realizability frames (TaskCreator
+  -- analog, hetero.expand_paths_hetero realizable=True) — a crossing
+  -- away from the origin must re-enter the current or the origin
+  -- conversation. Seeds are turn ids, so origin = split_part(id, ':', 1)
+  SELECT s.id, e.dst, 1, e.crossing, [s.id, e.dst], [e.lbl],
+         split_part(s.id, ':', 1),
+         CASE WHEN e.crossing = 1 THEN split_part(e.dst, ':', 1)
+              ELSE split_part(s.id, ':', 1) END
   FROM seeds s JOIN steps e ON e.src = s.id
   WHERE e.dst <> s.id AND e.crossing <= {max_crossings}
   UNION ALL
   SELECT w.src, e.dst, w.depth + 1, w.crossings + e.crossing,
-         list_append(w.path, e.dst), list_append(w.labels, e.lbl)
+         list_append(w.path, e.dst), list_append(w.labels, e.lbl),
+         w.origin,
+         CASE WHEN e.crossing = 1 THEN split_part(e.dst, ':', 1)
+              ELSE w.cur_conv END
   FROM walk w JOIN steps e ON e.src = w.dst
   WHERE w.depth < {k} AND NOT list_contains(w.path, e.dst)
     AND w.crossings + e.crossing <= {max_crossings}
+    AND (e.crossing = 0
+         OR split_part(e.dst, ':', 1) = w.cur_conv
+         OR w.cur_conv = w.origin
+         OR split_part(e.dst, ':', 1) = w.origin)
 ),
 ranked AS (
   SELECT src, dst, depth, crossings,

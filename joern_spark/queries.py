@@ -446,7 +446,7 @@ def _cross_paths(spark, sf_dir):
             .dropDuplicates()
         )
         return expand_paths_hetero(
-            seeds, _hetero_edges(spark, sf_dir), max_depth=4, max_crossings=1
+            seeds, _hetero_edges(spark, sf_dir), max_depth=4, max_crossings=2
         )
 
     return _session_memo(_PATHS_CACHE, spark, sf_dir, build)

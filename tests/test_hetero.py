@@ -236,3 +236,57 @@ def test_flows_between_sink_restriction(spark):
     assert flows == {
         ("A:1", "A:2", 1, 0, ("A:1", "A:2"), ("NEXT_TURN",)),
     }
+
+
+# --------------------------------------------- call-stack realizability
+
+
+REALIZABILITY_EDGES = [
+    # conv A mentions E1 at t1; conv B mentions E1 at t1 and E2 at t2;
+    # conv C mentions E2 at t1 — A→B crossing, then B→C or B→A
+    ("A:1", "E1", "LINKS_TO"),
+    ("B:1", "E1", "LINKS_TO"), ("B:1", "B:2", "NEXT_TURN"),
+    ("B:2", "E2", "LINKS_TO"),
+    ("C:1", "E2", "LINKS_TO"),
+    # A:0 precedes A:1 and also mentions E2 so a true return A→B→A exists
+    ("A:0", "A:1", "NEXT_TURN"), ("A:0", "E2", "LINKS_TO"),
+]
+
+
+def test_hetero_unrealizable_multi_crossing_excluded(spark):
+    """TaskCreator realizability (TaskCreator.scala:33-60): at budget 2
+    the second crossing is a return and must re-enter the origin —
+    A→E1→B→E2→C dies, A→E1→B→E2→A:0 lives."""
+    e = ledges(spark, REALIZABILITY_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=6, max_crossings=2, keep="all"))
+    # the unrealizable 2-crossing escape to conv C is excluded
+    assert not any(r[1].startswith("C:") for r in got), sorted(got)
+    # the realizable out-and-back return to the origin conversation is kept
+    assert any(
+        r[1] == "A:0" and r[3] == 2 and "LINKS_TO_REV" in r[5] for r in got
+    ), sorted(got)
+    # and conv B (one crossing) is still reachable
+    assert any(r[1].startswith("B:") for r in got)
+
+
+def test_hetero_realizable_flag_off_restores_free_walk(spark):
+    """realizable=False reproduces the unconstrained budget-2 walk —
+    the A→B→C escape reappears."""
+    e = ledges(spark, REALIZABILITY_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=6, max_crossings=2, keep="all",
+        realizable=False))
+    assert any(r[1].startswith("C:") for r in got)
+
+
+def test_hetero_realizability_noop_at_budget_one(spark):
+    """At budget ≤1 no return crossing can occur, so the filter must be
+    a provable no-op: identical path sets with it on and off."""
+    e = ledges(spark, CROSS_EDGES)
+    on = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=1, keep="all"))
+    off = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=1, keep="all",
+        realizable=False))
+    assert on == off
