@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# PassThroughMapping (Semantics.scala PassThroughMapping): each triple
+# position flows to itself — subj (index 1) → subj, obj (index 2) → obj.
+PASSTHROUGH_MAPPINGS: tuple[tuple[int, int], ...] = ((1, 1), (2, 2))
+
+
 @dataclass(frozen=True)
 class PredSemantics:
     """One semantics row (the FlowSemantic analog).
@@ -45,12 +50,27 @@ class PredSemantics:
                  feeding the component build).
     canon_subj — rewrite the subject through the canonical map.
     canon_obj  — rewrite the object through the canonical map.
+    mappings   — argument-index flow mappings (FlowMapping(src, dst),
+                 Semantics.scala:87-167): `(src, dst)` says the value at
+                 raw triple position `src` flows to output position
+                 `dst` (1 = subj, 2 = obj). Default is the passthrough
+                 mapping; `((2, 1), (1, 2))` inverts the predicate's
+                 direction. A dst not assigned by any pair keeps its
+                 original value (the PassThroughMapping fallback for
+                 unmapped positions). Canon flags apply to the REMAPPED
+                 ends.
     """
 
     pred: str
     keep: bool
     canon_subj: bool
     canon_obj: bool
+    mappings: tuple[tuple[int, int], ...] = PASSTHROUGH_MAPPINGS
+
+    def src_for(self, dst: int) -> int:
+        """The raw position flowing into output position `dst`."""
+        srcs = [s for (s, d) in self.mappings if d == dst]
+        return srcs[0] if srcs else dst
 
 
 DEFAULT_SEMANTICS_PATH = (
@@ -60,8 +80,27 @@ SEMANTICS_ENV = "JOERN_SPARK_SEMANTICS"
 
 _DROP_RE = re.compile(r'^"([^"]+)"\s+drop$')
 _KEEP_RE = re.compile(
-    r'^"([^"]+)"\s+subj->(raw|canon)\s+obj->(raw|canon)$'
+    r'^"([^"]+)"\s+subj->(raw|canon)\s+obj->(raw|canon)((?:\s+map(?:\s+[12]->[12])+)?)$'
 )
+_MAP_PAIR_RE = re.compile(r"([12])->([12])")
+
+
+def _parse_mappings(clause: str, lineno: int) -> tuple[tuple[int, int], ...]:
+    """`map 1->2 2->1` → ((1, 2), (2, 1)); no clause → passthrough.
+    Strict like the rest of the grammar: two sources flowing into one
+    destination is ambiguous and raises."""
+    if not clause:
+        return PASSTHROUGH_MAPPINGS
+    pairs = tuple(
+        (int(s), int(d)) for s, d in _MAP_PAIR_RE.findall(clause)
+    )
+    dsts = [d for _, d in pairs]
+    if len(dsts) != len(set(dsts)):
+        raise ValueError(
+            f"semantics file line {lineno}: duplicate map destination in"
+            f" {clause.strip()!r}"
+        )
+    return pairs
 
 
 def parse_semantics(text: str) -> list[PredSemantics]:
@@ -84,6 +123,7 @@ def parse_semantics(text: str) -> list[PredSemantics]:
                 keep=True,
                 canon_subj=m.group(2) == "canon",
                 canon_obj=m.group(3) == "canon",
+                mappings=_parse_mappings(m.group(4), lineno),
             )
         else:
             raise ValueError(
@@ -123,7 +163,10 @@ DEFAULT_SEMANTICS: list[PredSemantics] = load_semantics(DEFAULT_SEMANTICS_PATH)
 # (Semantics.scala PassThroughMapping): keep + canonicalize both ends.
 PASSTHROUGH = PredSemantics("*", keep=True, canon_subj=True, canon_obj=True)
 
-SEMANTICS_SCHEMA = "pred string, keep boolean, canon_subj boolean, canon_obj boolean"
+SEMANTICS_SCHEMA = (
+    "pred string, keep boolean, canon_subj boolean, canon_obj boolean, "
+    "subj_from int, obj_from int"
+)
 
 
 def semantics_df(
@@ -137,7 +180,11 @@ def semantics_df(
     # roundtrips on every evaluation (functions/localrel.py).
     return local_df(
         spark,
-        [(r.pred, r.keep, r.canon_subj, r.canon_obj) for r in rows],
+        [
+            (r.pred, r.keep, r.canon_subj, r.canon_obj,
+             r.src_for(1), r.src_for(2))
+            for r in rows
+        ],
         SEMANTICS_SCHEMA,
     )
 
@@ -172,7 +219,25 @@ def apply_semantics(
         .withColumn(
             "canon_obj", F.coalesce("canon_obj", F.lit(PASSTHROUGH.canon_obj))
         )
+        .withColumn("subj_from", F.coalesce("subj_from", F.lit(1)))
+        .withColumn("obj_from", F.coalesce("obj_from", F.lit(2)))
         .where(F.col("keep"))
+    )
+    # argument-index remap (FlowMapping src→dst): both CASEs read the
+    # PRE-remap positions, so a swap row exchanges the ends atomically;
+    # key normalization already happened and is position-independent
+    t = t.select(
+        F.when(F.col("subj_from") == 2, F.col("obj"))
+        .otherwise(F.col("subj"))
+        .alias("subj"),
+        "pred",
+        F.when(F.col("obj_from") == 1, F.col("subj"))
+        .otherwise(F.col("obj"))
+        .alias("obj"),
+        "conv_id",
+        "turn_idx",
+        "canon_subj",
+        "canon_obj",
     )
     t = (
         t.join(

@@ -227,6 +227,11 @@ def triples_semantics_sql(sf: float) -> str:
     kept = [s.pred for s in rows if s.keep]
     cs = [s.pred for s in rows if s.keep and s.canon_subj]
     co = [s.pred for s in rows if s.keep and s.canon_obj]
+    # argument-index mappings (FlowMapping src→dst): which raw position
+    # flows into each output end — rendered as the same pre-normalization
+    # CASE swap the Spark rewrite applies
+    sf2 = [s.pred for s in rows if s.keep and s.src_for(1) == 2]
+    of1 = [s.pred for s in rows if s.keep and s.src_for(2) == 1]
 
     def inlist(preds: list[str]) -> str:
         return ", ".join(f"'{p}'" for p in preds) or "''"
@@ -249,7 +254,13 @@ raw AS ({triples_raw_sql(sf)}),
 dyn AS ({dbcur_triples_sql(sf)}),
 allt AS (
   SELECT {subj_key} AS subj, pred, {obj_key} AS obj, conv_id, turn_idx
-  FROM (SELECT * FROM raw UNION ALL SELECT * FROM dyn)
+  FROM (
+    SELECT CASE WHEN pred IN ({inlist(sf2)}) THEN obj ELSE subj END AS subj,
+           pred,
+           CASE WHEN pred IN ({inlist(of1)}) THEN subj ELSE obj END AS obj,
+           conv_id, turn_idx
+    FROM (SELECT * FROM raw UNION ALL SELECT * FROM dyn)
+  )
   WHERE pred IN ({inlist(kept)})
 ),
 canon AS (

@@ -525,6 +525,80 @@ def test_semantics_file_loads_and_overrides(spark, make_transcripts, tmp_path,
     assert "WHERE pred IN ('same_as'," in O.triples_semantics_sql(0.001)
 
 
+def test_semantics_argument_index_mappings(spark, make_transcripts, tmp_path,
+                                           monkeypatch):
+    """FlowMapping(src, dst) rows (Semantics.scala:87-167): a `map`
+    clause in the semantics file remaps which raw triple position flows
+    into each output end — editing conf/semantics.flow (via the env
+    override) inverts a predicate on BOTH the Spark rewrite and the
+    generated oracle SQL."""
+    import pytest
+
+    from joern_spark import oracle as O
+    from joern_spark.functions import semantics as S
+    from joern_spark.functions.semantics import apply_semantics, semantics_df
+    from joern_spark.operators.canonicalize import (
+        connected_components,
+        same_as_pairs,
+    )
+    from joern_spark.operators.extract import extract_triples_raw
+
+    # grammar: parse, default-passthrough, duplicate-dst rejection
+    row = S.parse_semantics('"p" subj->raw obj->raw map 2->1 1->2')[0]
+    assert row.mappings == ((2, 1), (1, 2))
+    assert row.src_for(1) == 2 and row.src_for(2) == 1
+    partial = S.parse_semantics('"p" subj->raw obj->raw map 2->1')[0]
+    assert partial.src_for(1) == 2 and partial.src_for(2) == 2  # unmapped dst
+    assert S.parse_semantics('"p" subj->raw obj->raw')[0].mappings == \
+        S.PASSTHROUGH_MAPPINGS
+    with pytest.raises(ValueError, match="duplicate map destination"):
+        S.parse_semantics('"p" subj->raw obj->raw map 1->1 2->1')
+
+    # invert mentions_location via the file: (conv, pred, city) becomes
+    # (city, pred, conv), with canon flags following the remapped ends
+    edited = tmp_path / "mapped.flow"
+    lines = []
+    for r in S.DEFAULT_SEMANTICS:
+        if r.pred == "mentions_location":
+            lines.append('"mentions_location" subj->canon obj->raw map 2->1 1->2')
+        elif not r.keep:
+            lines.append(f'"{r.pred}" drop')
+        else:
+            lines.append(
+                f'"{r.pred}" subj->{"canon" if r.canon_subj else "raw"} '
+                f'obj->{"canon" if r.canon_obj else "raw"}')
+    edited.write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv(S.SEMANTICS_ENV, str(edited))
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Note that NYC is also known as New York City.", None),
+            ("c1", 1, "user", "Please check the weather in NYC.", None),
+        ]
+    )
+    raw = extract_triples_raw(t)
+    cmap = connected_components(same_as_pairs(t))
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in apply_semantics(
+            raw, cmap, semantics_df(spark, S.current_semantics())
+        ).collect()
+    }
+    # subj is now the (canonicalized) city, obj the raw conversation node
+    assert ("new_york_city", "mentions_location", "conv:c1") in got
+    assert not any(
+        p == "mentions_location" and s.startswith("conv:") for s, p, _ in got
+    )
+    # the oracle generator renders the identical swap
+    sql = O.triples_semantics_sql(0.001)
+    assert "WHEN pred IN ('mentions_location') THEN obj ELSE subj END AS subj" in sql
+    assert "WHEN pred IN ('mentions_location') THEN subj ELSE obj END AS obj" in sql
+    monkeypatch.delenv(S.SEMANTICS_ENV)
+    # default table: no predicate remaps, both CASEs render the empty list
+    sql = O.triples_semantics_sql(0.001)
+    assert "WHEN pred IN ('') THEN obj ELSE subj END AS subj" in sql
+
+
 def test_entity_communities_known_graph(spark):
     """Two strong components {a,b,c} and {d,e} plus a weak (1-conversation)
     bridge c-d that must NOT fuse them; community id = min member."""
