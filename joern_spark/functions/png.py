@@ -1,0 +1,148 @@
+"""Minimal pure-stdlib PNG codec (RFC 2083): zlib inflate/deflate +
+scanline (un)filtering — no external codec library.
+
+Supports 8-bit grayscale (color type 0), RGB (2) and RGBA (6), which is
+enough for deterministic multimodal fixtures: the encoder rotates
+through all five scanline filters (None/Sub/Up/Average/Paeth) so a
+decoder that mishandles any unfilter path produces the wrong pixels and
+fails the pixel-checksum oracle, not just a dimension check.
+
+Used by operators/multimodal.decode_image (Arrow-batched mapInPandas);
+executors only need zlib/struct from the stdlib.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(line))
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        else:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_line(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
+    if ftype == 0:
+        return
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            line[i] = (line[i] + a) & 0xFF
+        elif ftype == 2:
+            line[i] = (line[i] + b) & 0xFF
+        elif ftype == 3:
+            line[i] = (line[i] + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+
+
+def encode_png(pixels: bytes, width: int, height: int, color_type: int = 0) -> bytes:
+    """Encode raw pixel bytes (row-major, no padding) as a PNG. Scanline
+    y uses filter y % 5, exercising every (un)filter path."""
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected {stride * height}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        raw += _filter_line(f, line, prev, ch)
+        prev = line
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[bytes, int, int, int]:
+    """Decode a PNG → (pixels, width, height, color_type). Genuine
+    decode: chunk walk, zlib inflate, per-scanline unfilter."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = color_type = -1
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit, non-interlaced)"
+                )
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch after inflate")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        _unfilter_line(ftype, line, prev, ch)
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return bytes(out), width, height, color_type

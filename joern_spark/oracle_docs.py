@@ -920,6 +920,36 @@ FROM c
 
 # --- multimodal ---------------------------------------------------------------
 
+def decode_png_sql() -> str:
+    """Closed-form twin of multimodal.decode_image: the fixture pixels
+    are byte[i] = (doc_id·131 + i·7) mod 256 over w×h×ch with the same
+    literal geometry constants (PNG_MOD_W/H), so the oracle reproduces
+    the decoded buffer without any codec — a lateral range join builds
+    the gradient and string_aggs it into the identical lowercase hex."""
+    from joern_spark.operators.multimodal import PNG_MOD_H, PNG_MOD_W
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % {PNG_MOD_W} AS w,
+         1 + (doc_id >> 3) % {PNG_MOD_H} AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+)
+SELECT d.doc_id,
+       any_value(d.w)::INT AS width,
+       any_value(d.h)::INT AS height,
+       any_value(d.w * d.h * d.ch)::BIGINT AS n_pixels,
+       string_agg(printf('%02x', (d.doc_id * 131 + t.i * 7) % 256),
+                  '' ORDER BY t.i) AS pixel_hex
+-- DuckDB range() takes no lateral args: cross-join the max geometry
+-- ({PNG_MOD_W}·{PNG_MOD_H}·3 rows) and filter to each doc's true size
+FROM d, range(0, {PNG_MOD_W * PNG_MOD_H * 3}) t(i)
+WHERE t.i < d.w * d.h * d.ch
+GROUP BY d.doc_id
+"""
+
+
 def image_meta_sql() -> str:
     h = H.format(x="text")
     return f"""

@@ -889,6 +889,14 @@ def q_mm_decode_features(spark, sf_dir):
     return multimodal.decode_features(read_documents(spark, sf_dir))
 
 
+def q_mm_decode_png(spark, sf_dir):
+    """Real stdlib PNG decode (functions/png.py) over deterministic
+    fixture payloads: encode→decode round-trip through zlib + all five
+    scanline filters; the oracle recomputes the gradient pixels in
+    closed form, so a single wrong unfiltered byte fails the hash."""
+    return multimodal.decode_image(read_documents(spark, sf_dir))
+
+
 def q_mm_resize_dims(spark, sf_dir):
     return multimodal.resize_dims(read_documents(spark, sf_dir))
 
@@ -963,6 +971,7 @@ TPG_QUERIES = {
     "doc_dsir": q_dsir_select,
     # round-4 additions (must sit inside the first-50 driver gate window)
     "tpg_reaching_defs": q_reaching_defs,
+    "mm_decode_png": q_mm_decode_png,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -1162,3 +1162,61 @@ def test_dsir_deterministic_under_repartition(spark):
          curate.dsir_select(df.repartition(7), "tgt", 64, 3).collect()]
     assert sorted(a) == sorted(b)
     assert len(a) == 3
+
+
+def test_png_codec_filters_and_errors():
+    """The encoder rotates scanline filters 0-4, so a ≥5-row image
+    exercises every unfilter path; malformed inputs raise loudly."""
+    import zlib
+
+    import pytest
+
+    from joern_spark.functions.png import decode_png, encode_png
+
+    w, h = 4, 6  # 6 rows → filters 0,1,2,3,4,0
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    data = encode_png(px, w, h, color_type=2)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    raw = zlib.decompress(_idat(data))
+    assert [raw[y * (w * 3 + 1)] for y in range(h)] == [0, 1, 2, 3, 4, 0]
+    assert decode_png(data)[0] == px
+
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"nope" + data)
+    with pytest.raises(ValueError, match="pixel buffer"):
+        encode_png(px[:-1], w, h, color_type=2)
+    with pytest.raises(ValueError, match="unsupported color type"):
+        encode_png(px, w, h, color_type=3)
+
+
+def _idat(data: bytes) -> bytes:
+    """Concatenated IDAT bodies of a PNG byte string (test helper)."""
+    import struct
+
+    pos, out = 8, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            out += data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    return bytes(out)
+
+
+def test_decode_image_matches_fixture_gradient(spark):
+    """decode_image really decodes: dims and pixels match the closed-form
+    gradient for both grayscale (even doc_id) and RGB (odd)."""
+    from joern_spark.operators.multimodal import decode_image
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in decode_image(docs).collect()}
+    for d in range(6):
+        w = 1 + d % 13
+        h = 1 + (d >> 3) % 11
+        ch = 1 if d % 2 == 0 else 3
+        exp = bytes((d * 131 + i * 7) % 256 for i in range(w * h * ch))
+        r = got[d]
+        assert (r.width, r.height, r.n_pixels) == (w, h, len(exp))
+        assert r.pixel_hex == exp.hex()

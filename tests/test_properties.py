@@ -580,3 +580,32 @@ def test_reaching_defs_matches_blocked_bfs(case):
     )
     got = {(t, d) for (_, t, _, d) in _rd_group("c", "v", pdf, defs)}
     assert got == _brute_reaching(edges, defs), (edges, defs)
+
+
+# --- stdlib PNG codec: encode→decode round-trip over random images -----------
+
+
+@st.composite
+def random_image(draw):
+    color_type = draw(st.sampled_from([0, 2, 6]))
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    w = draw(st.integers(min_value=1, max_value=9))
+    h = draw(st.integers(min_value=1, max_value=9))
+    px = bytes(
+        draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    return px, w, h, color_type
+
+
+@settings(max_examples=40, deadline=None)
+@given(random_image())
+def test_png_roundtrip(img):
+    from joern_spark.functions.png import decode_png, encode_png
+
+    px, w, h, ct = img
+    got_px, got_w, got_h, got_ct = decode_png(encode_png(px, w, h, ct))
+    assert (got_px, got_w, got_h, got_ct) == (px, w, h, ct)

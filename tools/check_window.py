@@ -30,6 +30,7 @@ MUST_BE_IN_WINDOW = {
     "doc_dsir",
     # round-4 additions
     "tpg_reaching_defs",
+    "mm_decode_png",
 }
 
 
