@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from joern_spark.operators.extract import RULES_BY_NAME, _match_cond
+from joern_spark.operators.extract import (
+    RULES_BY_NAME,
+    _match_cond,
+    extract_mentions,
+    extract_triples_raw,
+)
 
 FINDING_COLS = ("query_name", "evidence", "score")
 
@@ -1487,6 +1492,226 @@ def scan_unsupported_summaries(
     )
 
 
+# --- flow-based scanners (the reachableBy query family) -----------------
+# The reference querydb's highest-value queries are flow predicates
+# (reachableBy from sources to sinks); these five are path queries over
+# the heterogeneous walk (functions/hetero.expand_paths_hetero,
+# keep="all", realizable budget FLOW_CROSSINGS). run_scan computes the
+# walk ONCE and shares it across all five; the standalone scan_* forms
+# (example replay, ad-hoc use) build their own.
+
+FLOW_DEPTH = 4
+FLOW_CROSSINGS = 2
+CONVERGE_MIN = 2  # distinct source conversations for a converging flow
+
+
+def _flow_edges(transcripts: DataFrame) -> DataFrame:
+    """NEXT_TURN + LINKS_TO + SAME_AS labeled union (the hetero walk's
+    edge layers), built from one transcript lineage — keyed mentions
+    stand in for the linked table because the walk only consumes
+    entity_key, which linking never changes."""
+    from joern_spark.operators.assemble import next_turn_edges
+    from joern_spark.operators.canonicalize import same_as_pairs
+    from joern_spark.operators.link import keyed_mentions
+
+    km = keyed_mentions(extract_mentions(transcripts))
+    lt = km.select(
+        F.concat("conv_id", F.lit(":"), F.col("turn_idx").cast("string")).alias(
+            "src"
+        ),
+        F.col("entity_key").alias("dst"),
+        F.lit("LINKS_TO").alias("label"),
+        F.lit(None).cast("string").alias("property"),
+    )
+    sap = same_as_pairs(transcripts).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.lit("SAME_AS").alias("label"),
+        F.lit(None).cast("string").alias("property"),
+    )
+    return next_turn_edges(transcripts).unionByName(lt).unionByName(sap)
+
+
+def _flow_paths(transcripts: DataFrame) -> DataFrame:
+    """keep='all' realizable walk from every asking turn — the shared
+    path table the flow scanners filter. Seeds and step semantics match
+    the registered tpg_cross_paths walk; keep='all' because scanner
+    predicates quantify over PATHS, not (src, dst) representatives."""
+    from joern_spark.functions.hetero import expand_paths_hetero
+
+    seeds = (
+        extract_triples_raw(transcripts)
+        .where(F.col("pred") == "queried_about")
+        .select(
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("id")
+        )
+        .dropDuplicates()
+    )
+    return expand_paths_hetero(
+        seeds,
+        _flow_edges(transcripts),
+        max_depth=FLOW_DEPTH,
+        max_crossings=FLOW_CROSSINGS,
+        keep="all",
+    )
+
+
+def _node_conv(col):
+    return F.substring_index(col, ":", 1)
+
+
+def _is_turn_node(col):
+    # turn ids are "conv:idx"; entity keys are normalized surfaces with
+    # no ':' (vocabulary invariant)
+    return col.contains(":")
+
+
+def _cross_flow_findings(p: DataFrame) -> DataFrame:
+    """Asking turns whose fact provenance fans into ANOTHER conversation:
+    score = distinct foreign conversations reached."""
+    return (
+        p.where(
+            (F.col("crossings") >= 1)
+            & _is_turn_node(F.col("dst"))
+            & (_node_conv(F.col("dst")) != _node_conv(F.col("src")))
+        )
+        .groupBy("src")
+        .agg(F.countDistinct(_node_conv(F.col("dst"))).alias("n"))
+        .select(
+            F.lit("cross-conversation-flow").alias("query_name"),
+            F.col("src").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def _aliased_flow_findings(p: DataFrame) -> DataFrame:
+    """Crossing flows that traverse the alias layer: the fact reached a
+    foreign conversation only through SAME_AS resolution — multi-hop
+    linking a reader cannot see in the raw text."""
+    has_alias = F.array_contains("labels", "SAME_AS") | F.array_contains(
+        "labels", "SAME_AS_REV"
+    )
+    return (
+        p.where(
+            has_alias
+            & (F.col("crossings") >= 1)
+            & _is_turn_node(F.col("dst"))
+            & (_node_conv(F.col("dst")) != _node_conv(F.col("src")))
+        )
+        .groupBy("src")
+        .agg(F.countDistinct(F.col("dst")).alias("n"))
+        .select(
+            F.lit("aliased-cross-flow").alias("query_name"),
+            F.col("src").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def _round_trip_findings(p: DataFrame) -> DataFrame:
+    """Realizable out-and-back flows: the fact leaves its conversation
+    and returns through a foreign one (crossings = 2 with a turn
+    endpoint — the realizability filter already pins the return to the
+    origin). The cross-conversation feedback-loop smell."""
+    return (
+        p.where(
+            (F.col("crossings") == 2)
+            & _is_turn_node(F.col("dst"))
+            & (_node_conv(F.col("dst")) == _node_conv(F.col("src")))
+            & (F.col("dst") != F.col("src"))
+        )
+        .groupBy("src")
+        .agg(F.countDistinct(F.col("dst")).alias("n"))
+        .select(
+            F.lit("fact-round-trip").alias("query_name"),
+            F.col("src").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def _converging_flow_findings(p: DataFrame) -> DataFrame:
+    """Turns where crossing flows from ≥ CONVERGE_MIN distinct source
+    conversations converge — shared provenance hubs."""
+    return (
+        p.where(
+            (F.col("crossings") >= 1)
+            & _is_turn_node(F.col("dst"))
+            & (_node_conv(F.col("dst")) != _node_conv(F.col("src")))
+        )
+        .groupBy("dst")
+        .agg(F.countDistinct(_node_conv(F.col("src"))).alias("n"))
+        .where(F.col("n") >= CONVERGE_MIN)
+        .select(
+            F.lit("converging-flow").alias("query_name"),
+            F.col("dst").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def _before_source_findings(p: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Facts used before their source: an asking turn whose EVERY
+    provenance source turn (the depth-2 crossing fan) is strictly LATER
+    in wall-clock time — under the provenance model the fact was used
+    before it entered the corpus."""
+    tid = F.concat(
+        "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+    ).alias("tid")
+    ts = transcripts.select(tid, "ts")
+    d2 = p.where(
+        (F.col("depth") == 2)
+        & (F.col("crossings") == 1)
+        & _is_turn_node(F.col("dst"))
+        & (_node_conv(F.col("dst")) != _node_conv(F.col("src")))
+    )
+    return (
+        d2.join(
+            ts.select(F.col("tid").alias("src"), F.col("ts").alias("src_ts")),
+            "src",
+        )
+        .join(
+            ts.select(F.col("tid").alias("dst"), F.col("ts").alias("dst_ts")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(
+            F.min("dst_ts").alias("min_dst_ts"),
+            F.min("src_ts").alias("src_ts"),
+            F.countDistinct("dst").alias("n"),
+        )
+        .where(F.col("min_dst_ts") > F.col("src_ts"))
+        .select(
+            F.lit("flow-before-source").alias("query_name"),
+            F.col("src").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
+def scan_cross_conversation_flows(transcripts: DataFrame) -> DataFrame:
+    return _cross_flow_findings(_flow_paths(transcripts))
+
+
+def scan_aliased_cross_flows(transcripts: DataFrame) -> DataFrame:
+    return _aliased_flow_findings(_flow_paths(transcripts))
+
+
+def scan_fact_round_trips(transcripts: DataFrame) -> DataFrame:
+    return _round_trip_findings(_flow_paths(transcripts))
+
+
+def scan_converging_flows(transcripts: DataFrame) -> DataFrame:
+    return _converging_flow_findings(_flow_paths(transcripts))
+
+
+def scan_flows_before_source(transcripts: DataFrame) -> DataFrame:
+    return _before_source_findings(_flow_paths(transcripts), transcripts)
+
+
 SCANNERS: dict[str, Callable] = {
     "mega-conversation": scan_mega_conversations,
     "rebind-conversation": scan_rebind_conversations,
@@ -1538,7 +1763,19 @@ SCANNERS: dict[str, Callable] = {
     "unfaithful-summary": scan_unfaithful_summaries,
     "contradicted-summary": scan_contradicted_summaries,
     "unsupported-summary": scan_unsupported_summaries,
+    "cross-conversation-flow": scan_cross_conversation_flows,
+    "aliased-cross-flow": scan_aliased_cross_flows,
+    "fact-round-trip": scan_fact_round_trips,
+    "converging-flow": scan_converging_flows,
+    "flow-before-source": scan_flows_before_source,
 }
+
+# Flow scanners share ONE heterogeneous walk in the battery (run_scan
+# substitutes the shared path table for the per-scanner walks).
+_FLOW_SCANNERS = (
+    "cross-conversation-flow", "aliased-cross-flow", "fact-round-trip",
+    "converging-flow", "flow-before-source",
+)
 
 
 # Scanners that accept the shared slice set (everything rule-based);
@@ -1657,7 +1894,18 @@ def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
     `_mention_counts` aggregation."""
     sl = build_slices(transcripts, materialize=True)
     mc = _mention_counts(transcripts, slices=sl)
-    shared = {"hub-entity": _hub_findings(mc), "lone-mention": _lone_findings(mc)}
+    # one heterogeneous walk shared by all five flow scanners (the
+    # per-scanner forms each rebuild it; the battery pays it once)
+    fp = _flow_paths(transcripts).localCheckpoint(eager=False)
+    shared = {
+        "hub-entity": _hub_findings(mc),
+        "lone-mention": _lone_findings(mc),
+        "cross-conversation-flow": _cross_flow_findings(fp),
+        "aliased-cross-flow": _aliased_flow_findings(fp),
+        "fact-round-trip": _round_trip_findings(fp),
+        "converging-flow": _converging_flow_findings(fp),
+        "flow-before-source": _before_source_findings(fp, transcripts),
+    }
     fused_away = set(_PROFILE_FUSED) | set(_LEAK_FUSED)
     parts = [
         shared[name]

@@ -792,21 +792,21 @@ SELECT src, dst, depth, path FROM ranked WHERE rn = 1
 """
 
 
-def cross_paths_sql(sf: float, k: int = 4, max_crossings: int = 1) -> str:
-    """Cross-layer provenance flows (functions/hetero.py twin): recursive
-    walk over the heterogeneous step set — NEXT_TURN, LINKS_TO, SAME_AS
-    both ways, and the crossing-budgeted first-k reverse LINKS_TO fan —
-    with path-cycle exclusion and max-length-per-(src,dst) dedup.
-    The step semantics (labels, directions, crossing costs, fan k) are
-    generated from the same constants the Spark engine consumes."""
+def _hetero_walk_ctes(sf: float, k: int, max_crossings: int) -> str:
+    """The heterogeneous keep='all' realizable walk as a reusable CTE
+    block (lt/nt/sap/ltr/steps/fseeds/walk) — the functions/hetero.py
+    twin shared by cross_paths_sql and the flow-scanner branches of
+    findings_sql. Step semantics (labels, directions, crossing costs,
+    fan k) are generated from the same constants the Spark engine
+    consumes; origin/cur_conv are the call-stack realizability frames
+    (TaskCreator analog): a crossing away from the origin must re-enter
+    the current or the origin conversation."""
     from joern_spark.functions.hetero import CROSS_FAN_K
 
     alias = next(r for r in RULES if r.name == "alias")
     a = NORM.format(x=_sql_piece([("g", 1)], alias.pattern))
     b = NORM.format(x=_sql_piece([("g", 2)], alias.pattern))
-    return f"""
-WITH RECURSIVE
-lt AS (
+    return f"""lt AS (
   SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
          entity_key AS dst
   FROM ({linked_mentions_sql(sf)})
@@ -830,20 +830,17 @@ steps AS (
   UNION ALL SELECT b AS src, a AS dst, 'SAME_AS_REV', 0 FROM sap
   UNION ALL SELECT src, dst, 'LINKS_TO_REV', 1 FROM ltr
 ),
-seeds AS (
+fseeds AS (
   SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
   FROM ({triples_raw_sql(sf)}) WHERE pred = 'queried_about'
 ),
 walk(src, dst, depth, crossings, path, labels, origin, cur_conv) AS (
-  -- origin/cur_conv: call-stack realizability frames (TaskCreator
-  -- analog, hetero.expand_paths_hetero realizable=True) — a crossing
-  -- away from the origin must re-enter the current or the origin
-  -- conversation. Seeds are turn ids, so origin = split_part(id, ':', 1)
+  -- seeds are turn ids, so origin = split_part(id, ':', 1)
   SELECT s.id, e.dst, 1, e.crossing, [s.id, e.dst], [e.lbl],
          split_part(s.id, ':', 1),
          CASE WHEN e.crossing = 1 THEN split_part(e.dst, ':', 1)
               ELSE split_part(s.id, ':', 1) END
-  FROM seeds s JOIN steps e ON e.src = s.id
+  FROM fseeds s JOIN steps e ON e.src = s.id
   WHERE e.dst <> s.id AND e.crossing <= {max_crossings}
   UNION ALL
   SELECT w.src, e.dst, w.depth + 1, w.crossings + e.crossing,
@@ -858,7 +855,16 @@ walk(src, dst, depth, crossings, path, labels, origin, cur_conv) AS (
          OR split_part(e.dst, ':', 1) = w.cur_conv
          OR w.cur_conv = w.origin
          OR split_part(e.dst, ':', 1) = w.origin)
-),
+)"""
+
+
+def cross_paths_sql(sf: float, k: int = 4, max_crossings: int = 1) -> str:
+    """Cross-layer provenance flows (functions/hetero.py twin): the
+    shared recursive walk with path-cycle exclusion, crossing budget,
+    realizability frames, and max-length-per-(src,dst) dedup."""
+    return f"""
+WITH RECURSIVE
+{_hetero_walk_ctes(sf, k, max_crossings)},
 ranked AS (
   SELECT src, dst, depth, crossings,
          array_to_string(path, '->') AS path,
@@ -1049,6 +1055,9 @@ def findings_sql(sf: float) -> str:
     from joern_spark.operators.scan import (  # shared constants
         BURST_MAX_AVG_GAP_S,
         BURST_MIN_TURNS,
+        CONVERGE_MIN,
+        FLOW_CROSSINGS,
+        FLOW_DEPTH,
         DB_MIX_MIN,
         DEAD_REBIND_SENTINEL,
         ENTITY_SPREAD_MIN,
@@ -1096,7 +1105,17 @@ reach(n, m) AS (
 cmap AS (SELECT n AS entity_key, min(m) AS canon FROM reach GROUP BY n),
 m AS ({mentions_sql(sf)}),
 e AS (SELECT entity_key FROM {e_src()}),
-mc AS (SELECT {key} AS k, count(*) AS n FROM m GROUP BY 1)
+mc AS (SELECT {key} AS k, count(*) AS n FROM m GROUP BY 1),
+{_hetero_walk_ctes(sf, FLOW_DEPTH, FLOW_CROSSINGS)},
+fcross AS (
+  -- flow-scanner view of the shared keep='all' walk (scan._flow_paths
+  -- twin): node-frame projections the five branches filter on
+  SELECT src, dst, depth, crossings, labels,
+         split_part(src, ':', 1) AS src_conv,
+         split_part(dst, ':', 1) AS dst_conv,
+         strpos(dst, ':') > 0 AS dst_is_turn
+  FROM walk
+)
 SELECT 'mega-conversation' AS query_name, conv_id AS evidence,
        count(*)::BIGINT AS score
 FROM t GROUP BY conv_id HAVING count(*) >= 256
@@ -1428,6 +1447,42 @@ FROM (SELECT conv_id, turn_idx, role, text,
              lag(text) OVER w AS prev_text, lag(role) OVER w AS prev_role
       FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
 WHERE prev_text IS NOT NULL AND text = prev_text AND role <> prev_role
+UNION ALL
+SELECT 'cross-conversation-flow', src, count(DISTINCT dst_conv)::BIGINT
+FROM fcross
+WHERE crossings >= 1 AND dst_is_turn AND dst_conv <> src_conv
+GROUP BY src
+UNION ALL
+SELECT 'aliased-cross-flow', src, count(DISTINCT dst)::BIGINT
+FROM fcross
+WHERE (list_contains(labels, 'SAME_AS') OR list_contains(labels, 'SAME_AS_REV'))
+  AND crossings >= 1 AND dst_is_turn AND dst_conv <> src_conv
+GROUP BY src
+UNION ALL
+SELECT 'fact-round-trip', src, count(DISTINCT dst)::BIGINT
+FROM fcross
+WHERE crossings = 2 AND dst_is_turn AND dst_conv = src_conv AND dst <> src
+GROUP BY src
+UNION ALL
+SELECT 'converging-flow', dst, n::BIGINT FROM (
+  SELECT dst, count(DISTINCT src_conv) AS n
+  FROM fcross
+  WHERE crossings >= 1 AND dst_is_turn AND dst_conv <> src_conv
+  GROUP BY dst
+) WHERE n >= {CONVERGE_MIN}
+UNION ALL
+SELECT 'flow-before-source', src, n::BIGINT FROM (
+  SELECT c.src, min(td.ts) AS min_dst_ts, min(ts2.ts) AS src_ts,
+         count(DISTINCT c.dst) AS n
+  FROM fcross c
+  JOIN (SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS tid, ts FROM t)
+    ts2 ON ts2.tid = c.src
+  JOIN (SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS tid, ts FROM t)
+    td ON td.tid = c.dst
+  WHERE c.depth = 2 AND c.crossings = 1 AND c.dst_is_turn
+    AND c.dst_conv <> c.src_conv
+  GROUP BY c.src
+) WHERE min_dst_ts > src_ts
 UNION ALL
 {faithfulness_findings_sql()}
 """

@@ -1419,6 +1419,176 @@ QUERY_DB.append(
 )
 
 
+# Flow-based queries — the reachableBy family, the reference querydb's
+# highest-value pattern (flow predicates over the dataflow engine, e.g.
+# querydb/src/main/scala/io/joern/scanners/c/CredentialDrop.scala's
+# source→sink reachableBy): path queries over the heterogeneous walk
+# (scan._flow_paths), replayed on their own examples like every other
+# query. The timestamp in `ts` examples uses explicit datetimes
+# (6-tuples) because flow-before-source is time-ordered.
+def _ts_rows(rows):
+    import datetime as _dt
+
+    base = _dt.datetime(2026, 1, 1)
+    return [
+        r[:5] + (base + _dt.timedelta(hours=r[5]),) for r in rows
+    ]
+
+
+QUERY_DB.extend(
+    [
+        Query(
+            name="cross-conversation-flow",
+            author=_A,
+            title="Fact provenance crosses into another conversation",
+            description="Asking turns whose queried fact's provenance fan "
+            "(first-k mentioning turns, LINKS_TO walked backward) reaches "
+            "a DIFFERENT conversation — the parameter→argument crossing "
+            "surfaced as a finding, scored by distinct foreign "
+            "conversations reached.",
+            score=4.0,
+            scanner=scan.scan_cross_conversation_flows,
+            tags=["provenance", "dataflow"],
+            positive_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about Lima.", None),
+                    ("B", 0, "user",
+                     "Please check the weather in Lima.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about Lima.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="aliased-cross-flow",
+            author=_A,
+            title="Cross-conversation flow only via alias resolution",
+            description="Crossing flows that traverse a SAME_AS edge: the "
+            "fact reached the foreign conversation under a DIFFERENT "
+            "surface form — invisible without the alias layer, the "
+            "multi-hop linking smell.",
+            score=5.0,
+            scanner=scan.scan_aliased_cross_flows,
+            tags=["provenance", "linking"],
+            positive_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about NYC.", None),
+                    ("A", 1, "user",
+                     "Note that NYC is also known as New York City.", None),
+                    ("B", 0, "user",
+                     "Please check the weather in New York City.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about NYC.", None),
+                    ("A", 1, "user",
+                     "Note that NYC is also known as New York City.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="fact-round-trip",
+            author=_A,
+            title="Fact leaves its conversation and returns",
+            description="Realizable out-and-back flows (crossing budget 2 "
+            "with the call-stack return rule): the fact crosses into a "
+            "foreign conversation and re-enters its origin at another "
+            "turn — the cross-conversation feedback loop.",
+            score=6.0,
+            scanner=scan.scan_fact_round_trips,
+            tags=["provenance", "dataflow"],
+            positive_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about NYC.", None),
+                    ("B", 0, "user",
+                     "Note that NYC is also known as New York City.", None),
+                    ("A", 1, "user",
+                     "Please check the weather in New York City.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about NYC.", None),
+                    ("B", 0, "user",
+                     "Note that NYC is also known as New York City.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="converging-flow",
+            author=_A,
+            title="Flows from multiple conversations converge on one turn",
+            description="A turn reached by crossing flows from ≥2 distinct "
+            "source conversations — a shared provenance hub, scored by "
+            "the number of converging conversations.",
+            score=3.0,
+            scanner=scan.scan_converging_flows,
+            tags=["provenance", "skew"],
+            positive_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about Lima.", None),
+                    ("B", 0, "assistant",
+                     "Querying dev_db for records about Lima.", None),
+                    ("C", 0, "user",
+                     "Please check the weather in Lima.", None),
+                ]
+            ],
+            negative_examples=[
+                [
+                    ("A", 0, "assistant",
+                     "Querying prod_db for records about Lima.", None),
+                    ("C", 0, "user",
+                     "Please check the weather in Lima.", None),
+                ]
+            ],
+        ),
+        Query(
+            name="flow-before-source",
+            author=_A,
+            title="Fact used before its provenance source exists",
+            description="Asking turns whose EVERY provenance source turn "
+            "is strictly later in wall-clock time: under the provenance "
+            "model the fact was used before it entered the corpus — the "
+            "use-before-definition smell lifted to corpus time.",
+            score=7.0,
+            scanner=scan.scan_flows_before_source,
+            tags=["provenance", "temporal"],
+            positive_examples=[
+                _ts_rows(
+                    [
+                        ("A", 0, "assistant",
+                         "Querying prod_db for records about Lima.", None, 0),
+                        ("B", 0, "user",
+                         "Please check the weather in Lima.", None, 2),
+                    ]
+                )
+            ],
+            negative_examples=[
+                _ts_rows(
+                    [
+                        ("A", 0, "assistant",
+                         "Querying prod_db for records about Lima.", None, 2),
+                        ("B", 0, "user",
+                         "Please check the weather in Lima.", None, 0),
+                    ]
+                )
+            ],
+        ),
+    ]
+)
+
+
 class QueryTags:
     """Tag vocabulary as named constants (querydb/src/main/scala/io/joern/
     scanners/QueryTags.scala analog) — typo-proof tagging; the registry
@@ -1507,6 +1677,13 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     "faithfulness": (
         "unfaithful-summary", "contradicted-summary",
         "unsupported-summary",
+    ),
+    # flow predicates over the heterogeneous walk — the reachableBy query
+    # family (the reference's source→sink flow scanners, e.g.
+    # CredentialDrop.scala); all five share ONE walk in the battery
+    "flows": (
+        "cross-conversation-flow", "aliased-cross-flow", "fact-round-trip",
+        "converging-flow", "flow-before-source",
     ),
 }
 
