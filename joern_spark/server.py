@@ -1,0 +1,152 @@
+"""Minimal HTTP query server over a Workspace — the exploratory-session
+surface (BridgeBase.scala:403-418 boots replpp's HTTP server next to the
+interactive shell; this is the transcript-graph analog on the stdlib
+`http.server`, no extra dependencies).
+
+Endpoints (JSON in/out):
+
+  GET  /starters            — starter names → SQL templates (console.man)
+  GET  /projects            — workspace registry + the active project
+  POST /open   {"name"}     — open/switch the active project
+  POST /query  {"starter", "params"?, "limit"?}
+                            — run a named console starter
+  POST /sql    {"sql", "limit"?}
+                            — run SQL over the registered tpg_*/name_*
+                              views (TRUSTED surface, exactly like
+                              console.run_script: this is the operator's
+                              own query port, not a public sandbox —
+                              bind stays on localhost by default)
+
+Responses: {"columns": [...], "rows": [[...], ...], "n": N} for queries,
+{"error": msg} with a 4xx/5xx status on failure. Rows are JSON-safe
+(timestamps/decimals/bytes stringified). `limit` caps the collect at
+DEFAULT_LIMIT unless given — the server never ships an unbounded result
+to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from joern_spark.console import STARTERS, man
+from joern_spark.workspace import Workspace
+
+DEFAULT_LIMIT = 1000
+
+
+def _json_safe(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def _df_payload(df, limit: int) -> dict:
+    rows = df.limit(limit).collect()
+    return {
+        "columns": df.columns,
+        "rows": [[_json_safe(v) for v in r] for r in rows],
+        "n": len(rows),
+    }
+
+
+class QueryServer:
+    """Wrap a Workspace in an HTTP server. `port=0` picks an ephemeral
+    port (read it back from `.port`); `serve_forever` blocks, `start`
+    runs it on a daemon thread (the test/console mode)."""
+
+    def __init__(self, workspace: Workspace, host: str = "127.0.0.1", port: int = 0):
+        self.workspace = workspace
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet test output
+                pass
+
+            def _send(self, obj, status: int = 200) -> None:
+                body = json.dumps(obj).encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 — http.server contract
+                try:
+                    if self.path == "/starters":
+                        self._send({name: man(name) for name in STARTERS})
+                    elif self.path == "/projects":
+                        ws = outer.workspace
+                        active = ws._active
+                        self._send(
+                            {
+                                "projects": [
+                                    {"name": p.name, "sf_dir": str(p.sf_dir),
+                                     "open": p.is_open}
+                                    for p in ws.projects
+                                ],
+                                "active": active,
+                            }
+                        )
+                    else:
+                        self._send({"error": f"unknown path {self.path}"}, 404)
+                except Exception as e:  # noqa: BLE001 — surface as JSON
+                    self._send({"error": str(e)}, 500)
+
+            def do_POST(self):  # noqa: N802 — http.server contract
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    ws = outer.workspace
+                    limit = int(req.get("limit", DEFAULT_LIMIT))
+                    if self.path == "/open":
+                        p = ws.open(req["name"])
+                        self._send({"active": p.name})
+                    elif self.path == "/query":
+                        starter = req["starter"]
+                        if starter not in STARTERS:
+                            self._send(
+                                {"error": f"unknown starter {starter!r}"}, 400
+                            )
+                            return
+                        df = ws.sql(starter, **req.get("params", {}))
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/sql":
+                        ws.project()  # 400s cleanly when nothing is active
+                        df = ws.spark.sql(req["sql"])
+                        self._send(_df_payload(df, limit))
+                    else:
+                        self._send({"error": f"unknown path {self.path}"}, 404)
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._send({"error": str(e)}, 400)
+                except Exception as e:  # noqa: BLE001 — surface as JSON
+                    self._send({"error": str(e)}, 500)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+
+    def start(self) -> "QueryServer":
+        import threading
+
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def serve(workspace: Workspace, host: str = "127.0.0.1", port: int = 8080) -> None:
+    """Blocking entry point: `python -c "...server.serve(ws)"` — the
+    `joern --server` analog."""
+    QueryServer(workspace, host, port).serve_forever()

@@ -74,3 +74,72 @@ def test_close_delete_and_manifest_roundtrip(spark, tmp_path):
     # invalid project names are rejected (they become view prefixes)
     with pytest.raises(ValueError, match="view-prefix"):
         ws2.import_code(SF_A, "bad name!")
+
+
+def test_http_query_server(spark, tmp_path):
+    """BridgeBase HTTP-server analog (BridgeBase.scala:403-418): boot the
+    query server over a workspace and drive it with real HTTP requests —
+    starters listing, two queries (a named starter with params and raw
+    SQL), project switching, and error surfaces."""
+    import json as _json
+    import urllib.request
+
+    from joern_spark.server import QueryServer
+
+    ws = Workspace(spark, tmp_path / "ws.json")
+    ws.import_code(SF_B, "srv")
+    srv = QueryServer(ws).start()
+    base = f"http://{srv.host}:{srv.port}"
+
+    def get(path):
+        try:
+            with urllib.request.urlopen(base + path) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # discovery surfaces
+        status, starters = get("/starters")
+        assert status == 200 and "conversations" in starters
+        status, projects = get("/projects")
+        assert status == 200 and projects["active"] == "srv"
+
+        # query 1: a named starter
+        status, out = post("/query", {"starter": "conversations", "limit": 5})
+        assert status == 200 and out["n"] == 5
+        assert "conv_id" in out["columns"]
+
+        # query 2: raw SQL over the registered views
+        status, out = post(
+            "/sql",
+            {"sql": "SELECT count(*) AS n FROM tpg_turns"},
+        )
+        assert status == 200
+        n_http = out["rows"][0][0]
+        assert n_http == spark.table("tpg_turns").count() > 0
+
+        # parameterized starter round-trip
+        status, out = post(
+            "/query",
+            {"starter": "mentions_of_kind", "params": {"kind": "location"}},
+        )
+        assert status == 200 and out["n"] > 0
+
+        # error surfaces: unknown starter → 400, unknown path → 404
+        status, out = post("/query", {"starter": "nope"})
+        assert status == 400 and "unknown starter" in out["error"]
+        status, out = get("/nope")
+        assert status == 404
+    finally:
+        srv.shutdown()
