@@ -355,16 +355,24 @@ def expand_paths_hetero(
         cur = nxt
     if acc is None:
         return frontier.sparkSession.createDataFrame([], CROSS_PATHS_SCHEMA)
+    # origin/cur_conv are internal realizability state, not evidence
+    acc = acc.select("src", "dst", "depth", "crossings", "path", "labels")
     if keep == "all":
-        # origin/cur_conv are internal realizability state, not evidence
-        return acc.select("src", "dst", "depth", "crossings", "path", "labels")
-    # keep="max": one surviving path per (src, dst) — longest, with the
-    # (path, labels) lexicographic tie-break. A min(struct(...)) aggregate
-    # selects the identical row a row_number window would, but partial
-    # (map-side) aggregation collapses most candidates before the shuffle,
-    # where the window shape must shuffle+sort EVERY accumulated path row
-    # (2.1M rows → ~5s saved at sf0.1; at corpus scale the difference is
-    # the whole path set crossing the wire vs one row per (src, dst)).
+        return acc
+    return max_length_paths(acc)
+
+
+def max_length_paths(paths: DataFrame) -> DataFrame:
+    """keep="max" as a standalone step: one surviving path per
+    (src, dst) — longest, with the (path, labels) lexicographic
+    tie-break. A min(struct(...)) aggregate selects the identical row a
+    row_number window would, but partial (map-side) aggregation
+    collapses most candidates before the shuffle, where the window shape
+    must shuffle+sort EVERY accumulated path row (2.1M rows → ~5s saved
+    at sf0.1; at corpus scale the difference is the whole path set
+    crossing the wire vs one row per (src, dst)). Public so a cached
+    keep='all' walk can feed both the flow scanners (path predicates)
+    and the max-path queries without walking twice."""
     pick = F.struct(
         (-F.col("depth")).alias("nd"),
         F.array_join("path", "->").alias("pj"),
@@ -375,7 +383,7 @@ def expand_paths_hetero(
         F.col("labels").alias("labels"),
     )
     return (
-        acc.groupBy("src", "dst")
+        paths.groupBy("src", "dst")
         .agg(F.min(pick).alias("_s"))
         .select(
             "src", "dst", "_s.depth", "_s.crossings", "_s.path", "_s.labels"

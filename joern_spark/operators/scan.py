@@ -1884,19 +1884,29 @@ def _fused_leak_findings(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def run_scan(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
+def run_scan(
+    transcripts: DataFrame,
+    entities: DataFrame,
+    flow_paths: DataFrame | None = None,
+) -> DataFrame:
     """findings(query_name, evidence, score) — the full battery as one
     unioned plan over SHARED rule slices: `build_slices` materializes
     one filtered extraction pass per rule (lazily checkpointed) and
     every rule-based scanner reads its slice, so the battery costs ~8
     corpus text-passes instead of one per scanner (~25). The three
     mention-statistics scanners additionally branch off ONE shared
-    `_mention_counts` aggregation."""
+    `_mention_counts` aggregation. `flow_paths` lets a session that has
+    already walked the heterogeneous graph (queries._all_paths) hand the
+    keep='all' path set in instead of walking again."""
     sl = build_slices(transcripts, materialize=True)
     mc = _mention_counts(transcripts, slices=sl)
     # one heterogeneous walk shared by all five flow scanners (the
     # per-scanner forms each rebuild it; the battery pays it once)
-    fp = _flow_paths(transcripts).localCheckpoint(eager=False)
+    fp = (
+        flow_paths
+        if flow_paths is not None
+        else _flow_paths(transcripts).localCheckpoint(eager=False)
+    )
     shared = {
         "hub-entity": _hub_findings(mc),
         "lone-mention": _lone_findings(mc),

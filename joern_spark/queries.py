@@ -423,14 +423,17 @@ def _hetero_edges(spark, sf_dir):
 
 
 # The depth-4 cross-layer walk is the most expensive plan in the pack and
-# TWO registered queries consume its result (tpg_cross_paths, and its
-# sink-restricted projection tpg_flows) — same per-(session, sf_dir)
-# checkpoint discipline as the findings battery. The path set is ~1% of
-# corpus rows (bounded by seeds × fan), not a corpus-sized intermediate.
+# THREE registered queries consume its result (tpg_cross_paths, its
+# sink-restricted projection tpg_flows, and the five flow scanners inside
+# tpg_findings) — same per-(session, sf_dir) checkpoint discipline as the
+# findings battery. The cache holds the keep='all' path set (bounded by
+# seeds × fan, ~1% of corpus rows, not a corpus-sized intermediate);
+# tpg_cross_paths derives keep='max' from it with one aggregation, so the
+# battery walks the graph ONCE for all seven consumers.
 _PATHS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _cross_paths(spark, sf_dir):
+def _all_paths(spark, sf_dir):
     from joern_spark.functions.hetero import expand_paths_hetero
 
     def build():
@@ -446,10 +449,20 @@ def _cross_paths(spark, sf_dir):
             .dropDuplicates()
         )
         return expand_paths_hetero(
-            seeds, _hetero_edges(spark, sf_dir), max_depth=4, max_crossings=2
+            seeds,
+            _hetero_edges(spark, sf_dir),
+            max_depth=4,
+            max_crossings=2,
+            keep="all",
         )
 
     return _session_memo(_PATHS_CACHE, spark, sf_dir, build)
+
+
+def _cross_paths(spark, sf_dir):
+    from joern_spark.functions.hetero import max_length_paths
+
+    return max_length_paths(_all_paths(spark, sf_dir))
 
 
 def q_cross_paths(spark, sf_dir):
@@ -542,11 +555,17 @@ _FINDINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _findings(spark, sf_dir):
+    # the flow scanners reuse the session's cached keep='all' walk — the
+    # battery pays one heterogeneous walk for cross_paths/flows/findings
     return _session_memo(
         _FINDINGS_CACHE,
         spark,
         sf_dir,
-        lambda: scan.run_scan(_t(spark, sf_dir), read_entities(spark)),
+        lambda: scan.run_scan(
+            _t(spark, sf_dir),
+            read_entities(spark),
+            flow_paths=_all_paths(spark, sf_dir),
+        ),
     )
 
 
