@@ -13,6 +13,13 @@ One window, one shuffle on conv_id, no iteration needed. "Querying the
 current database …" turns (rule `dbcur`) resolve their subject through the
 live binding — the kill/gen fixture fx_kill asserts a mid-conversation
 rebind redirects later triples to the new binding.
+
+For BRANCHING conversation graphs (tool retries, regenerations), use
+`dbcur_triples_general`: the same use-resolution driven by the general
+gen/kill worklist kernel (operators/dataflow.reaching_definitions) — on
+linear chains it is provably identical to the window form (tested), on
+DAGs an ambiguous merge yields one triple per reaching binding, exactly
+like the reference's reachableBy enumerating every reaching definition.
 """
 
 from __future__ import annotations
@@ -53,3 +60,75 @@ def dbcur_triples(transcripts: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
     )
+
+
+def dbcur_triples_general(
+    transcripts: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
+    """Use-resolution through the GENERAL reaching-definitions kernel:
+    (current_db, queried_about, city) where `current_db` is every rebind
+    binding whose definition reaches the dbcur turn over an arbitrary
+    per-conversation CFG (operators/dataflow.reaching_definitions).
+
+    `edges` defaults to the linear NEXT_TURN chain, where this is
+    provably row-identical to `dbcur_triples` (tested); pass a branching
+    edge table to resolve regenerated/retried dialogue graphs — a use at
+    a merge point emits one triple per reaching binding. Uses with NO
+    reaching definition fall back to DEFAULT_DB, matching the window
+    form's coalesce."""
+    from pyspark.sql import Window
+
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    rebind_pat = RULES_BY_NAME["rebind"].pattern
+    dbcur_pat = RULES_BY_NAME["dbcur"].pattern
+    if edges is None:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        edges = (
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.lead("turn_idx").over(w).alias("next_idx"),
+            )
+            .where(F.col("next_idx").isNotNull())
+            .select(
+                "conv_id",
+                F.col("turn_idx").alias("src_idx"),
+                F.col("next_idx").alias("dst_idx"),
+            )
+        )
+    defs = transcripts.where(
+        (F.col("role") == "user") & F.col("text").rlike(rebind_pat)
+    ).select("conv_id", "turn_idx", F.lit("db").alias("var"))
+    reaching = reaching_definitions(edges, defs)
+    # definition values live on the def turns: join them back by def_idx
+    def_vals = transcripts.where(
+        (F.col("role") == "user") & F.col("text").rlike(rebind_pat)
+    ).select(
+        F.col("conv_id").alias("d_conv"),
+        F.col("turn_idx").alias("def_idx"),
+        F.regexp_extract("text", rebind_pat, 1).alias("live_db"),
+    )
+    uses = transcripts.where(
+        (F.col("role") == "assistant") & F.col("text").rlike(dbcur_pat)
+    ).select(
+        F.col("conv_id").alias("u_conv"),
+        F.col("turn_idx").alias("u_idx"),
+        F.regexp_extract("text", dbcur_pat, 1).alias("cur_city"),
+    )
+    resolved = uses.join(
+        reaching.where(F.col("var") == "db"),
+        (F.col("u_conv") == F.col("conv_id")) & (F.col("u_idx") == F.col("turn_idx")),
+        "left",
+    ).join(
+        def_vals,
+        (F.col("u_conv") == F.col("d_conv")) & (reaching["def_idx"] == def_vals["def_idx"]),
+        "left",
+    )
+    return resolved.select(
+        F.coalesce("live_db", F.lit(DEFAULT_DB)).alias("subj"),
+        F.lit("queried_about").alias("pred"),
+        F.col("cur_city").alias("obj"),
+        F.col("u_conv").alias("conv_id"),
+        F.col("u_idx").alias("turn_idx"),
+    ).dropDuplicates()

@@ -268,8 +268,10 @@ def test_multimodal_plumbing(docs):
     assert math.isclose(feats[0].mean_byte, arr.mean())
     assert feats[0].max_byte == int(arr.max())
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(docs)
+    # decode_image is a REAL stdlib PNG decode since round 4 — covered by
+    # test_decode_image_matches_fixture_gradient + the mm_decode_png oracle
+    decoded = multimodal.decode_image(docs.limit(1)).collect()
+    assert len(decoded) == 1 and decoded[0].n_pixels > 0
 
     frames = multimodal.frame_sample(docs, every_n=2)
     f0 = frames.where(F.col("doc_id") == 0).collect()

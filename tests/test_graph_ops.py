@@ -479,3 +479,45 @@ def test_reaching_defs_size_guard(monkeypatch):
     monkeypatch.setattr(dfm, "MAX_GROUP_CELLS", 4)
     with pytest.raises(ValueError, match="too large"):
         _rd_set([(0, 1), (1, 2), (2, 3)], defs=[0, 1, 2])
+
+
+def test_dbcur_general_equals_window_on_linear(spark, make_transcripts):
+    """Use-resolution through the general RD kernel is row-identical to
+    the last-writer-wins window on linear conversations, and enumerates
+    every reaching binding at a branching merge."""
+    from joern_spark.operators.rebind import dbcur_triples, dbcur_triples_general
+
+    t = make_transcripts(
+        [
+            ("c1", 0, "assistant",
+             "Querying the current database for records about Lima.", None),
+            ("c1", 1, "user", "From now on use staging_db instead of prod_db.", None),
+            ("c1", 2, "assistant",
+             "Querying the current database for records about Oslo.", None),
+            ("c2", 0, "user", "From now on use dev_db instead of prod_db.", None),
+            ("c2", 1, "assistant",
+             "Querying the current database for records about Cairo.", None),
+        ]
+    )
+    want = {tuple(r) for r in dbcur_triples(t).collect()}
+    got = {tuple(r) for r in dbcur_triples_general(t).collect()}
+    assert got == want and len(got) == 3
+
+    # branching: two rebinds on parallel branches both reach the merge use
+    edges = spark.createDataFrame(
+        [("b", 0, 1), ("b", 0, 2), ("b", 1, 3), ("b", 2, 3)],
+        "conv_id string, src_idx int, dst_idx int",
+    )
+    tb = make_transcripts(
+        [
+            ("b", 0, "user", "hello", None),
+            ("b", 1, "user", "From now on use left_db instead of prod_db.", None),
+            ("b", 2, "user", "From now on use right_db instead of prod_db.", None),
+            ("b", 3, "assistant",
+             "Querying the current database for records about Lima.", None),
+        ]
+    )
+    got_b = {
+        (r.subj, r.obj) for r in dbcur_triples_general(tb, edges).collect()
+    }
+    assert got_b == {("left_db", "Lima"), ("right_db", "Lima")}
