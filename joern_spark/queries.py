@@ -112,6 +112,17 @@ def q_reaching_defs(spark, sf_dir):
     return reaching_definitions(edges, defs)
 
 
+def q_dbcur_general(spark, sf_dir):
+    """dbcur use-resolution driven by the GENERAL gen/kill worklist kernel
+    (operators/dataflow.reaching_definitions) instead of the last-writer
+    window. On the linear corpus both forms are provably row-identical
+    (tests/test_graph_ops.py proves equality on chains AND enumerates
+    per-branch bindings at a DAG merge), so the oracle is the same SQL
+    window form — a genuine cross-algorithm check: worklist fixpoint on
+    the Spark side vs closed-form window on the DuckDB side."""
+    return rebind.dbcur_triples_general(_t(spark, sf_dir))
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -991,6 +1002,7 @@ TPG_QUERIES = {
     # round-4 additions (must sit inside the first-50 driver gate window)
     "tpg_reaching_defs": q_reaching_defs,
     "mm_decode_png": q_mm_decode_png,
+    "tpg_dbcur_general": q_dbcur_general,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = {
     # round-4 additions
     "tpg_reaching_defs",
     "mm_decode_png",
+    "tpg_dbcur_general",
 }
 
 
