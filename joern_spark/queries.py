@@ -1030,12 +1030,16 @@ TPG_QUERIES = {
     "emb_triplets": q_emb_triplets,
     "mm_image_meta": q_mm_image_meta,
     "mm_decode_features": q_mm_decode_features,
+    # cross_paths runs FIRST among the shared-walk consumers so the
+    # session walk's one-time cost lands on the same query as r3 —
+    # keeping per-query bench times comparable round-over-round
+    # (findings then times the 56-scanner battery, not battery+walk)
+    "tpg_cross_paths": q_cross_paths,
+    "tpg_flows": q_flows_ask_to_result,
     "tpg_starting_points": q_starting_points,
     "tpg_findings": q_findings,
     "tpg_tag_readback": q_tag_readback,
     "tpg_tagged_by": q_tagged_by,
-    "tpg_cross_paths": q_cross_paths,
-    "tpg_flows": q_flows_ask_to_result,
     # (4) middle
     "tpg_linked_mentions": q_linked_mentions,
     "tpg_canonical_map": q_canonical_map,
