@@ -325,3 +325,98 @@ def props_typed(events: DataFrame) -> DataFrame:
         "event_type",
         parsed.getField("k").alias("k"),
     )
+
+
+SESSION_GAP_S = 1800  # classic 30-minute inactivity gap
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, session_idx, session_start, session_end, n_events,
+    duration_us): gap-based sessionization — consecutive events by the
+    same user belong to one session while the inter-event gap is AT MOST
+    `gap_s`; only a gap strictly greater than gap_s starts a new
+    session. This is Spark's session-window merge semantics (sessions
+    [a, a+gap] and [b, b+gap] merge when b <= a+gap — the boundary is
+    inclusive, asserted by test_sessionize_gap_boundary), computed here
+    with Spark's native `session_window` aggregate, so the batch query
+    and a `writeStream` twin share one definition.
+
+    Reference analog: conversations ARE the reference's session unit
+    (AstCreator groups turns by conv_id); sessionization derives that
+    grouping from timestamps alone — the training-data-pipeline step for
+    event logs that arrive without conversation ids.
+
+    Scale shape: `session_window` is one shuffle on user_id followed by
+    a partition-local merge of overlapping windows — no self-join, no
+    per-user quadratic work, state O(open sessions). `session_idx` is a
+    per-user row_number over the handful of session rows (bounded by
+    events-per-user), NOT over raw events. The DuckDB oracle uses the
+    genuinely different lag+cumsum formulation (`sessionize_lag` is the
+    tested Spark twin of that formulation), so the window-merge
+    implementation is cross-checked against a second algorithm.
+    """
+    sess = (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_s} seconds").alias("_sw")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .drop("_sw")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        F.expr(
+            "timestampdiff(MICROSECOND, session_start, session_end)"
+        ).cast("long").alias("duration_us"),
+    )
+
+
+def sessionize_lag(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """The lag+cumsum formulation of `sessionize` — a session break is a
+    row whose gap to the previous event EXCEEDS gap_s; session_idx is the
+    running count of breaks. Kept as the cross-algorithm twin (the DuckDB
+    oracle is this exact shape); tests assert bit-equality with the
+    session_window path."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(wo)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+            > F.lit(gap_s) * F.lit(1_000_000)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("_prev_ts", prev)
+        .withColumn("_new", is_new)
+        .withColumn("session_idx", F.sum("_new").over(wrun).cast("long"))
+    )
+    return (
+        tagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end)"
+            ).cast("long").alias("duration_us"),
+        )
+    )

@@ -1540,6 +1540,43 @@ GROUP BY cohort, "offset"
 """
 
 
+def ev_sessions_sql() -> str:
+    """Lag+cumsum mirror of events.sessionize — the Spark side merges
+    native session_window aggregates, the oracle derives the same
+    sessions from break flags, so the two engines disagree on ANY
+    boundary-semantics bug (only a gap STRICTLY greater than the gap
+    parameter starts a new session — Spark's inclusive-boundary merge)."""
+    from joern_spark.operators.events import SESSION_GAP_S
+
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('microsecond', prev_ts, ts) > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def ev_props_sql() -> str:
     """Oracle mirror of events.props_typed (DuckDB JSON path extraction;
     malformed JSON → NULL on both engines)."""

@@ -862,6 +862,13 @@ def q_ev_props(spark, sf_dir):
     return events.props_typed(read_events(spark, sf_dir))
 
 
+def q_ev_sessions(spark, sf_dir):
+    """Gap-based sessionization via Spark's NATIVE session_window merge
+    (30 min inactivity gap); oracle = the lag+cumsum formulation in
+    DuckDB — a genuinely different algorithm for the same sessions."""
+    return events.sessionize(read_events(spark, sf_dir))
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
@@ -1011,6 +1018,7 @@ TPG_QUERIES = {
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
     "ev_props": q_ev_props,
+    "ev_sessions": q_ev_sessions,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_lp": q_doc_unigram_lp,
     "doc_keywords": q_doc_keywords,

@@ -199,3 +199,61 @@ def test_props_typed_malformed_is_null(spark):
     df = spark.createDataFrame(rows, "event_id long, props string, event_type string")
     got = {r.event_id: r.k for r in events.props_typed(df).collect()}
     assert got == {1: 7, 2: None, 3: None}
+
+
+def test_sessionize_gap_boundary(spark):
+    """Events with gaps <= 30min merge — INCLUDING an exactly-30:00
+    gap (Spark's session merge boundary is inclusive); only a strictly
+    larger gap starts a new session."""
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    evs = _ev(
+        spark,
+        [
+            (1, t("2024-01-01 09:00:00"), 1, "view"),
+            (2, t("2024-01-01 09:29:59"), 1, "click"),   # <30min → same
+            (3, t("2024-01-01 09:59:59"), 1, "view"),    # chain extends
+            (4, t("2024-01-01 10:29:59"), 1, "view"),    # 30:00 exactly → SAME
+            (6, t("2024-01-01 11:00:00"), 1, "view"),    # 30:01 gap → NEW
+            (5, t("2024-01-01 12:00:00"), 2, "view"),    # other user isolated
+        ],
+    )
+    # (4) is exactly 1800s after (3): boundary-inclusive → same session;
+    # (6) is 1801s after (4) → new session
+    out = {
+        (r.user_id, r.session_idx): r
+        for r in events.sessionize(evs, gap_s=1800).collect()
+    }
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 4 and s1.duration_us == 5399 * 1_000_000
+    s2 = out[(1, 2)]
+    assert s2.n_events == 1 and s2.duration_us == 0
+    assert out[(2, 1)].n_events == 1
+
+
+def test_sessionize_native_equals_lag_twin(spark):
+    """The session_window merge and the lag+cumsum formulation (the
+    oracle's algorithm) produce identical sessions on an adversarial
+    fixture: duplicate timestamps, exact-gap boundaries, singletons."""
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    rows, eid = [], 0
+    for u in range(1, 6):
+        base = datetime.fromisoformat("2024-02-01 00:00:00")
+        for k in range(12):
+            eid += 1
+            # mix of sub-gap, exact-gap, super-gap, and duplicate ts
+            offset_s = k * 700 * u + (0 if k % 3 else 1800 * k)
+            rows.append(
+                (eid, t("2024-02-01 00:00:00"), u, "view")
+                if k % 5 == 0
+                else (
+                    eid,
+                    base.fromtimestamp(base.timestamp() + offset_s),
+                    u,
+                    "view",
+                )
+            )
+    evs = _ev(spark, rows)
+    a = events.sessionize(evs).orderBy("user_id", "session_idx")
+    b = events.sessionize_lag(evs).orderBy("user_id", "session_idx")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

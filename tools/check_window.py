@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_reaching_defs",
     "mm_decode_png",
     "tpg_dbcur_general",
+    "ev_sessions",
 }
 
 
