@@ -210,6 +210,7 @@ def flows_between(
     max_depth: int = 4,
     max_crossings: int = 1,
     id_col: str = "id",
+    max_nesting: int = 1,
 ) -> DataFrame:
     """reachableBy(source, sink) — the reference's two-ended flow query
     (Engine.scala:81-107 runs the solver per SINK against the source
@@ -231,6 +232,7 @@ def flows_between(
         max_depth=max_depth,
         max_crossings=max_crossings,
         id_col=id_col,
+        max_nesting=max_nesting,
     )
     sk = sinks.select(F.col(id_col).alias("dst")).dropDuplicates()
     return paths.join(sk, "dst", "left_semi").select(
@@ -249,6 +251,7 @@ def expand_paths_hetero(
     checkpoint_every: int | None = None,
     broadcast_frontier: bool | None = None,
     realizable: bool = True,
+    max_nesting: int = 1,
 ) -> DataFrame:
     """Bounded cross-layer path search: one row per surviving flow
     `(src, dst, depth, crossings, path, labels)` with node AND step-label
@@ -262,20 +265,31 @@ def expand_paths_hetero(
     and die when it would exceed `max_crossings` (maxCallDepth,
     Engine.scala:309-326).
 
-    `realizable=True` adds the call-stack realizability discipline
-    (TaskCreator.scala:33-60: return flows must re-enter the context
-    they left): each path carries its ORIGIN conversation (frame 0) and
-    its CURRENT conversation — both O(1) columns, the frame prefix
-    before the first ':' of a turn node id (opaque ids without ':' act
-    as their own frame). A crossing hop that lands in the current
-    conversation is intra-frame flow and always allowed; from the origin
-    it is a call (any target); away from the origin it is a return and
-    must re-enter the origin — A→entity→B→entity→C dies, A→…→B→…→A
-    lives. At budget ≤1 no path can attempt a non-call crossing, so the
-    filter is provably a no-op there (tested); at budget ≥2 it excludes
-    exactly the unrealizable multi-crossing paths. Multiple out-and-back
-    excursions (A→B→A→C→A…) remain realizable, like repeated calls from
-    one caller.
+    `realizable=True` adds the call-stack realizability discipline as a
+    bounded LIFO call-site stack — the full callSiteStack semantics of
+    the reference engine (TaskCreator.scala:33-60 pushes the call site
+    when a task descends into a callee and HeldTask completion unwinds
+    it; ReachableByTask.scala carries the stack on every task): each
+    path carries `stack` (the conversations it has called OUT of, most
+    recent last) and `cur_conv` (the frame prefix before the first ':'
+    of a turn id; opaque ids without ':' act as their own frame). A
+    crossing hop to conversation X is then
+      * intra-frame  (X == cur_conv)       — always allowed, no change;
+      * a RETURN     (X == top of stack)   — pop, like a flow going back
+        to the call site that produced it;
+      * a CALL       (anything else)       — push cur_conv, allowed only
+        while the stack holds fewer than `max_nesting` frames.
+    Returns must unwind in LIFO order: after A→B→C (two nested calls)
+    the only legal return target is B, never A directly — the
+    mismatched-return exclusion that makes multi-crossing paths
+    realizable. `max_nesting=1` (the default, used by the registered
+    queries) restricts to one open frame: every escape must re-enter
+    its origin before calling elsewhere (A→entity→B→entity→C dies,
+    A→…→B→…→A lives). At budget ≤1 no path can attempt a non-call
+    crossing, so the filter is provably a no-op there (tested); multiple
+    out-and-back excursions (A→B→A→C→A…) remain realizable, like
+    repeated calls from one caller. The stack column is O(max_nesting)
+    strings per row, bounded by the crossing budget.
 
     Frontier strategy auto-selection and mid-walk downgrade are
     identical to `expand_paths` (FRONTIER_BROADCAST_MAX rule)."""
@@ -291,7 +305,7 @@ def expand_paths_hetero(
             F.lit(0).alias("crossings"),
             F.array(F.col(id_col)).alias("path"),
             F.array().cast("array<string>").alias("labels"),
-            seed_conv.alias("origin"),
+            F.array().cast("array<string>").alias("stack"),
             seed_conv.alias("cur_conv"),
         )
         .dropDuplicates(["src"])
@@ -318,16 +332,19 @@ def expand_paths_hetero(
             .where(~F.array_contains(F.col("c.path"), F.col("e.dst")))
             .where(F.col("c.crossings") + F.col("e.crossing") <= max_crossings)
         )
+        stack, cur_conv = F.col("c.stack"), F.col("c.cur_conv")
+        top = F.element_at(stack, -1)
+        is_intra = cur_conv.isNull() | (conv_new == cur_conv)
+        is_return = (F.size(stack) > 0) & (conv_new == top)
         if realizable:
-            # survive unless this crossing is a RETURN (current frame is
-            # away from origin) that re-enters neither the current nor
-            # the origin conversation
+            # a crossing is intra-frame, a LIFO return to the stack top,
+            # or a call with a free frame — anything else is an
+            # unrealizable mismatched return and dies here
             joined = joined.where(
                 (~is_cross)
-                | F.col("c.origin").isNull()
-                | (conv_new == F.col("c.cur_conv"))
-                | (F.col("c.cur_conv") == F.col("c.origin"))
-                | (conv_new == F.col("c.origin"))
+                | is_intra
+                | is_return
+                | (F.size(stack) < max_nesting)
             )
         nxt = joined.select(
             F.col("c.src").alias("src"),
@@ -336,12 +353,11 @@ def expand_paths_hetero(
             (F.col("c.crossings") + F.col("e.crossing")).alias("crossings"),
             F.array_append(F.col("c.path"), F.col("e.dst")).alias("path"),
             F.array_append(F.col("c.labels"), F.col("e.lbl")).alias("labels"),
-            F.when(
-                is_cross, F.coalesce(F.col("c.origin"), conv_new)
-            ).otherwise(F.col("c.origin")).alias("origin"),
-            F.when(is_cross, conv_new)
-            .otherwise(F.col("c.cur_conv"))
-            .alias("cur_conv"),
+            F.when(~is_cross | is_intra, stack)
+            .when(is_return, F.slice(stack, F.lit(1), F.size(stack) - 1))
+            .otherwise(F.array_append(stack, cur_conv))
+            .alias("stack"),
+            F.when(is_cross, conv_new).otherwise(cur_conv).alias("cur_conv"),
         )
         if (i + 1) % checkpoint_every == 0 or i == max_depth - 1:
             nxt = nxt.localCheckpoint(eager=True)
@@ -355,7 +371,7 @@ def expand_paths_hetero(
         cur = nxt
     if acc is None:
         return frontier.sparkSession.createDataFrame([], CROSS_PATHS_SCHEMA)
-    # origin/cur_conv are internal realizability state, not evidence
+    # stack/cur_conv are internal realizability state, not evidence
     acc = acc.select("src", "dst", "depth", "crossings", "path", "labels")
     if keep == "all":
         return acc

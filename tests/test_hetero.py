@@ -290,3 +290,49 @@ def test_hetero_realizability_noop_at_budget_one(spark):
         seeds(spark, ["A:1"]), e, max_depth=4, max_crossings=1, keep="all",
         realizable=False))
     assert on == off
+
+
+NESTED_EDGES = REALIZABILITY_EDGES + [
+    # extend conv C so a path can flow onward to E3, which both B:3
+    # (legal LIFO return) and A:2 (illegal stack-skipping return) mention
+    ("C:1", "C:2", "NEXT_TURN"),
+    ("C:2", "E3", "LINKS_TO"),
+    ("B:3", "E3", "LINKS_TO"),
+    ("A:2", "E3", "LINKS_TO"),
+]
+
+
+def test_hetero_nested_calls_at_nesting_two(spark):
+    """max_nesting=2 opens a second frame: the A→E1→B→E2→C double
+    crossing that nesting 1 kills is two NESTED calls (stack [A, B]) and
+    survives — TaskCreator's callSiteStack allows arbitrary nesting up
+    to the budget."""
+    e = ledges(spark, NESTED_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=8, max_crossings=2, keep="all",
+        max_nesting=2))
+    assert any(r[1].startswith("C:") for r in got), sorted(got)
+
+
+def test_hetero_lifo_return_order_enforced(spark):
+    """After two nested calls (stack [A, B]) the only legal return is to
+    the stack TOP: ...→E3→B:3 pops to B and lives; ...→E3→A:2 skips
+    frame B and dies — the mismatched-return exclusion."""
+    e = ledges(spark, NESTED_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=8, max_crossings=3, keep="all",
+        max_nesting=2))
+    deep = [r for r in got if "E3" in r[4]]
+    assert any(r[1] == "B:3" for r in deep), sorted(deep)
+    assert not any(r[1] == "A:2" for r in deep), sorted(deep)
+
+
+def test_hetero_nesting_default_unchanged(spark):
+    """The registered-query configuration (max_nesting=1) is unaffected
+    by the stack generalization: same path set as the origin-re-entry
+    rule — C stays unreachable at budget 2, the A→B→A return lives."""
+    e = ledges(spark, NESTED_EDGES)
+    got = pkey(expand_paths_hetero(
+        seeds(spark, ["A:1"]), e, max_depth=8, max_crossings=2, keep="all"))
+    assert not any(r[1].startswith("C:") for r in got)
+    assert any(r[1] == "A:0" and r[3] == 2 for r in got)
