@@ -792,15 +792,11 @@ SELECT src, dst, depth, path FROM ranked WHERE rn = 1
 """
 
 
-def _hetero_walk_ctes(sf: float, k: int, max_crossings: int) -> str:
-    """The heterogeneous keep='all' realizable walk as a reusable CTE
-    block (lt/nt/sap/ltr/steps/fseeds/walk) — the functions/hetero.py
-    twin shared by cross_paths_sql and the flow-scanner branches of
-    findings_sql. Step semantics (labels, directions, crossing costs,
-    fan k) are generated from the same constants the Spark engine
-    consumes; origin/cur_conv are the call-stack realizability frames
-    (TaskCreator analog): a crossing away from the origin must re-enter
-    the current or the origin conversation."""
+def _hetero_step_ctes(sf: float) -> str:
+    """The lt/nt/sap/ltr/steps CTE block — the step_edges twin shared by
+    every hetero-walk oracle. Step semantics (labels, directions,
+    crossing costs, fan k) are generated from the same constants the
+    Spark engine consumes."""
     from joern_spark.functions.hetero import CROSS_FAN_K
 
     alias = next(r for r in RULES if r.name == "alias")
@@ -829,7 +825,18 @@ steps AS (
   UNION ALL SELECT a AS src, b AS dst, 'SAME_AS', 0 FROM sap
   UNION ALL SELECT b AS src, a AS dst, 'SAME_AS_REV', 0 FROM sap
   UNION ALL SELECT src, dst, 'LINKS_TO_REV', 1 FROM ltr
-),
+)"""
+
+
+def _hetero_walk_ctes(sf: float, k: int, max_crossings: int) -> str:
+    """The heterogeneous keep='all' realizable walk as a reusable CTE
+    block (steps + fseeds/walk) — the functions/hetero.py twin shared by
+    cross_paths_sql and the flow-scanner branches of findings_sql.
+    origin/cur_conv are the single-frame call-stack realizability columns
+    (TaskCreator analog): a crossing away from the origin must re-enter
+    the current or the origin conversation — provably the max_nesting=1
+    LIFO stack (the one possible frame IS the origin)."""
+    return f"""{_hetero_step_ctes(sf)},
 fseeds AS (
   SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
   FROM ({triples_raw_sql(sf)}) WHERE pred = 'queried_about'
@@ -875,6 +882,75 @@ SELECT src, dst, depth, crossings, path, labels FROM (
   SELECT *, row_number() OVER (PARTITION BY src, dst
                                ORDER BY depth DESC, path ASC, labels ASC) AS rn
   FROM ranked
+) WHERE rn = 1
+"""
+
+
+def cross_paths_nested_sql(
+    sf: float,
+    k: int = 5,
+    max_crossings: int = 2,
+    max_nesting: int = 2,
+    seed_mod: int = 16,
+) -> str:
+    """Two-frame LIFO call-site-stack walk twin (expand_paths_hetero with
+    max_nesting=2 — TaskCreator.scala:33-60 push-on-descent /
+    pop-on-return carried as a list column). The recursive CTE carries
+    `stack VARCHAR[]` and `cur_conv` with the SAME CASE precedence as the
+    Spark column expressions: non-crossing-or-intra keeps the stack, a
+    hop to the stack top pops (LIFO return), anything else pushes while a
+    frame is free — a mismatched return (A→B→C then back to A) matches
+    no branch of the admission filter and dies. Seeds are the md5
+    1/seed_mod sample of distinct asking turns, the identical pure-hash
+    filter as the Spark side."""
+    h = "(('0x' || substr(md5(s.id), 1, 15))::BIGINT)"
+    conv_new = "split_part(e.dst, ':', 1)"
+    top = "w.stack[len(w.stack)]"
+    return f"""
+WITH RECURSIVE
+{_hetero_step_ctes(sf)},
+fseeds AS (
+  SELECT id FROM (
+    SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
+    FROM ({triples_raw_sql(sf)}) WHERE pred = 'queried_about'
+  ) s WHERE {h} % {seed_mod} = 0
+),
+walk(src, dst, depth, crossings, path, labels, stack, cur_conv) AS (
+  SELECT s.id, e.dst, 1, e.crossing, [s.id, e.dst], [e.lbl],
+         CASE WHEN e.crossing = 0
+                   OR {conv_new} = split_part(s.id, ':', 1)
+              THEN CAST([] AS VARCHAR[])
+              ELSE [split_part(s.id, ':', 1)] END,
+         CASE WHEN e.crossing = 1 THEN {conv_new}
+              ELSE split_part(s.id, ':', 1) END
+  FROM fseeds s JOIN steps e ON e.src = s.id
+  WHERE e.dst <> s.id AND e.crossing <= {max_crossings}
+  UNION ALL
+  SELECT w.src, e.dst, w.depth + 1, w.crossings + e.crossing,
+         list_append(w.path, e.dst), list_append(w.labels, e.lbl),
+         CASE WHEN e.crossing = 0 OR {conv_new} = w.cur_conv
+              THEN w.stack
+              WHEN len(w.stack) > 0 AND {conv_new} = {top}
+              THEN list_slice(w.stack, 1, len(w.stack) - 1)
+              ELSE list_append(w.stack, w.cur_conv) END,
+         CASE WHEN e.crossing = 1 THEN {conv_new} ELSE w.cur_conv END
+  FROM walk w JOIN steps e ON e.src = w.dst
+  WHERE w.depth < {k} AND NOT list_contains(w.path, e.dst)
+    AND w.crossings + e.crossing <= {max_crossings}
+    AND (e.crossing = 0
+         OR {conv_new} = w.cur_conv
+         OR (len(w.stack) > 0 AND {conv_new} = {top})
+         OR len(w.stack) < {max_nesting})
+)
+SELECT src, dst, depth, crossings, path, labels FROM (
+  SELECT src, dst, depth, crossings,
+         array_to_string(path, '->') AS path,
+         array_to_string(labels, '->') AS labels,
+         row_number() OVER (
+             PARTITION BY src, dst
+             ORDER BY depth DESC, array_to_string(path, '->') ASC,
+                      array_to_string(labels, '->') ASC) AS rn
+  FROM walk
 ) WHERE rn = 1
 """
 

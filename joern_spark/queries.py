@@ -525,6 +525,50 @@ def q_flows_ask_to_result(spark, sf_dir):
     )
 
 
+def q_cross_paths_nested(spark, sf_dir):
+    """Nested-call realizable flows — the callSiteStack at depth 2
+    (TaskCreator.scala:33-60 pushes a frame per descent,
+    ReachableByTask.scala carries the stack; the registered
+    tpg_cross_paths walk uses one frame). With `max_nesting=2` a path
+    may descend A→B and B→C without first unwinding, but every return
+    crossing must go to the LIFO stack top — A→B→C→A (a mismatched
+    return skipping B) stays dead. Seeds are a deterministic md5 1/16
+    sample of asking turns (bounds the deeper walk at every scale —
+    the sample is a pure per-row hash filter, no shuffle) and depth 5
+    so a second descent is reachable: each crossing costs two hops,
+    into the entity layer and out."""
+    from joern_spark.functions.hashing import md5_long
+    from joern_spark.functions.hetero import expand_paths_hetero
+
+    t = _t(spark, sf_dir)
+    seeds = (
+        extract_triples_raw(t)
+        .where(F.col("pred") == "queried_about")
+        .select(
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("id")
+        )
+        .dropDuplicates()
+        .where(F.pmod(md5_long(F.col("id")), F.lit(16)) == 0)
+    )
+    return expand_paths_hetero(
+        seeds,
+        _hetero_edges(spark, sf_dir),
+        max_depth=5,
+        max_crossings=2,
+        keep="max",
+        max_nesting=2,
+    ).select(
+        "src",
+        "dst",
+        "depth",
+        "crossings",
+        F.array_join("path", "->").alias("path"),
+        F.array_join("labels", "->").alias("labels"),
+    )
+
+
 def q_starting_points(spark, sf_dir):
     """Source normalization (SourcesToStartingPoints.scala:19-102 analog,
     functions/hetero.sources_to_starting_points): every entity in the
@@ -1044,6 +1088,9 @@ TPG_QUERIES = {
     # (findings then times the 56-scanner battery, not battery+walk)
     "tpg_cross_paths": q_cross_paths,
     "tpg_flows": q_flows_ask_to_result,
+    # round-4: two-frame call-site stack (seeded 1/16, depth 5) — its own
+    # walk, NOT the shared session cache (different depth/nesting)
+    "tpg_cross_paths_nested": q_cross_paths_nested,
     "tpg_starting_points": q_starting_points,
     "tpg_findings": q_findings,
     "tpg_tag_readback": q_tag_readback,

@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "mm_decode_png",
     "tpg_dbcur_general",
     "ev_sessions",
+    "tpg_cross_paths_nested",
 }
 
 
