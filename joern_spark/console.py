@@ -98,6 +98,78 @@ def run_script(spark: SparkSession, g, path: str):
     return scope.get("result")
 
 
+def repl(
+    spark: SparkSession,
+    g,
+    lines: "list[str] | None" = None,
+    banner: str | None = None,
+) -> dict:
+    """Interactive shell (BridgeBase.scala:247-259 boots the embedded
+    REPL with the console predef already imported): a stdlib
+    `code.interact` session whose namespace is the same scope
+    `run_script` gives batch scripts — `spark`, `g` (the GraphResult),
+    `F`, the registered `tpg_*` SQL views, plus `sql(starter, **params)`
+    and `man()` bound to this session. `lines` replaces stdin for tests
+    and piped scripts (each element is one source line; exhaustion is
+    EOF/exit); None reads the real terminal. Returns the final namespace
+    so a caller can pick up whatever the session assigned."""
+    import code as _code
+
+    from pyspark.sql import functions as F_
+
+    register_views(g)
+    ns: dict = {
+        "spark": spark,
+        "g": g,
+        "F": F_,
+        "sql": lambda starter, **p: sql(spark, starter, **p),
+        "man": man,
+    }
+    if banner is None:
+        banner = (
+            "joern_spark console — spark, g, F, sql(starter, **params), "
+            "man()\nstarters:\n" + man()
+        )
+    it = iter(lines) if lines is not None else None
+
+    def readfunc(prompt: str = "") -> str:
+        if it is None:
+            return input(prompt)
+        try:
+            return next(it)
+        except StopIteration:
+            raise EOFError from None
+
+    _code.interact(banner=banner, readfunc=readfunc, local=ns, exitmsg="")
+    return ns
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    """`python -m joern_spark.console [--sf F] [--script PATH]` — the
+    `joern` / `joern --script` CLI analog (BridgeBase.scala:247-259 vs
+    :403-418): build the graph at --sf, then drop into the interactive
+    shell or run one trusted script and show its `result`."""
+    import argparse
+
+    from joern_spark.pipeline import run_pipeline
+    from joern_spark.session import get_spark
+
+    p = argparse.ArgumentParser(prog="python -m joern_spark.console")
+    p.add_argument("--sf", type=float, default=0.001)
+    p.add_argument("--script", help="run a script file instead of the shell")
+    a = p.parse_args(argv)
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    g = run_pipeline(spark, a.sf)
+    if a.script:
+        out = run_script(spark, g, a.script)
+        if out is not None:
+            out.show(20, truncate=False)
+        return 0
+    repl(spark, g)
+    return 0
+
+
 def man(starter: str | None = None) -> str:
     """Console help surface (the reference's `help`/`browse` listing,
     console/src/main/scala/io/joern/console/Help.scala renders a table
@@ -116,3 +188,7 @@ def man(starter: str | None = None) -> str:
             f"{name}({params}) — reads {table.group(1) if table else '?'}"
         )
     return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -150,6 +150,34 @@ def test_run_script(spark, make_transcripts, entities, tmp_path):
     assert (row.n, row.tag) == (2, "ok")
 
 
+def test_repl_interactive_session(spark, make_transcripts, entities, capsys):
+    """Interactive shell (BridgeBase REPL analog): a scripted session
+    drives the same namespace run_script gets, statement by statement,
+    and the final namespace comes back for inspection."""
+    t = make_transcripts(
+        [
+            ("c1", 0, "user", "Please check the weather in Paris.", None),
+            ("c1", 1, "assistant", "Calling weather_api for Paris.", "weather_api"),
+            ("c1", 2, "tool", "Paris: 12C, sunny.", "weather_api"),
+        ]
+    )
+    g = build_graph(t, entities)
+    ns = console.repl(
+        spark,
+        g,
+        lines=[
+            "n = spark.sql('SELECT count(*) AS c FROM tpg_turns').first().c",
+            "calls = sql('calls_of_tool', tool='weather_api').count()",
+            "print('REPL-RESULT', n, calls)",
+            "help_text = man()",
+        ],
+        banner="",
+    )
+    assert "REPL-RESULT 3 1" in capsys.readouterr().out
+    assert (ns["n"], ns["calls"]) == (3, 1)
+    assert "calls_of_tool" in ns["help_text"]
+
+
 def test_dense_index_and_edge_index(spark):
     """dense_index assigns contiguous 0..n-1 ids in key sort order (the
     partitioned-window + offset path must equal the global dense rank);
