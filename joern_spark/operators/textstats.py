@@ -754,3 +754,110 @@ def _kmv_overlap_from(sk: DataFrame, k: int) -> DataFrame:
         union_est.alias("union_est"),
         (jaccard * union_est).alias("inter_est"),
     )
+
+
+# Okapi BM25 retrieval constants. The query set is a fixed dimension
+# table (a retrieval benchmark is a handful of queries against the whole
+# corpus); terms are drawn from the corpus's vocabulary so every query
+# has matches at every scale.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: list[tuple[str, str]] = [
+    ("q_hash_join", "hash join table"),
+    ("q_window_agg", "window agg order"),
+    ("q_stream_batch", "stream batch spark"),
+    ("q_scan_filter", "fast scan filter"),
+]
+
+
+def bm25_topk(
+    documents: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — Okapi BM25 top-k retrieval of
+    documents per query: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    b + b·dl/avgdl)) with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    The lexical-retrieval baseline every RAG / hard-negative pipeline
+    starts from (the reference's property starters `name(re)`/`code(re)`
+    are its one-term boolean ancestor — querydb regex matching,
+    DangerousFunctions.scala:25; BM25 is the ranked generalization).
+
+    Scale shape: per-(doc, token) term frequencies and per-doc lengths
+    aggregate FIRST (map-side combined); the query-term table is a
+    broadcast probe that prunes the tf table BEFORE any scoring, so the
+    scored set is (query terms ∩ corpus) rows, never the corpus; df is
+    one row per token and N/avgdl join as one-row broadcasts. The final
+    per-query top-k is the salted two-stage window (salted.py
+    discipline): per-(query, salt) top-k first, then top-k over the
+    ≤ k·n_salts survivors — a query whose terms match 10^10 documents
+    never funnels them through one reducer. Exact: every global winner
+    is a winner within its own salt.
+
+    Float discipline (rank.py): identical expression tree in the DuckDB
+    oracle (constants substituted as the same Python literals), and the
+    per-(query, doc) term contributions fold in ascending sorted order,
+    so the IEEE additions happen identically and hashes match."""
+    toks = tokens_col(F.col("text"))
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = queries.select(
+        "query_id", F.explode(tokens_col(F.col("qtext"))).alias("tok")
+    ).dropDuplicates()
+    idf = F.ln(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    tfn = (
+        tfd
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", (idf * tfn).alias("w"))
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(sorted_sum.alias("score"))
+    from joern_spark.functions.salted import N_SALTS
+
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -244,6 +244,58 @@ SELECT doc_id, tok, tf::BIGINT AS tf, score, rank FROM (
 """
 
 
+def bm25_topk_sql() -> str:
+    """Mirror of textstats.bm25_topk: identical Okapi BM25 expression
+    tree — idf = ln((N − df + 0.5)/(df + 0.5) + 1.0) times the
+    length-normalized tf term, constants substituted as the SAME Python
+    float literals both engines parse to the same doubles — with the
+    ascending-sorted per-(query, doc) fold and (score DESC, doc_id ASC)
+    ranking."""
+    from joern_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+    )
+
+    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES)
+    k1p1, k1, omb, b = repr(BM25_K1 + 1.0), repr(BM25_K1), repr(1.0 - BM25_B), repr(BM25_B)
+    return f"""
+WITH {TOKS},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs,
+              sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM q
+),
+w AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln((st.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5)
+            / (dfreq.df::DOUBLE + 0.5) + 1.0)
+         * (tf.tf::DOUBLE * {k1p1}
+            / (tf.tf::DOUBLE
+               + {k1} * ({omb} + {b} * dl.dl::DOUBLE / st.avgdl))) AS w
+  FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+       JOIN dl USING (doc_id), st
+),
+s AS (SELECT query_id, doc_id, list_sum(list_sort(list(w))) AS score
+      FROM w GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+) WHERE rank <= {BM25_TOP_K}
+"""
+
+
 def fingerprints_sql(ngram: int = 4, window: int = 5) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
     return f"""

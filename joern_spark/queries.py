@@ -841,6 +841,17 @@ def q_doc_keywords(spark, sf_dir):
     return textstats.doc_keywords(read_documents(spark, sf_dir))
 
 
+def q_doc_bm25(spark, sf_dir):
+    """Okapi BM25 top-k retrieval per benchmark query (fixed query
+    dimension table, salted two-stage per-query top-k, sorted-fold float
+    discipline)."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
+    return textstats.bm25_topk(read_documents(spark, sf_dir), q)
+
+
 def q_doc_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail split by unigram log-prob terciles."""
     return textstats.lm_buckets(read_documents(spark, sf_dir))
@@ -1066,6 +1077,7 @@ TPG_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_unigram_lp": q_doc_unigram_lp,
     "doc_keywords": q_doc_keywords,
+    "doc_bm25": q_doc_bm25,
     "doc_bpe_merges": q_doc_bpe_merges,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multi": q_sim_topk_lsh_multi,

@@ -609,6 +609,39 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1][1] > got[0][1] > got[2][1]
 
 
+def test_bm25_hand_computed(spark):
+    """Okapi BM25 on a 3-doc corpus, one 2-term query: per-term
+    contributions recomputed by hand; the doc matching both terms
+    outranks the one matching one, and a doc with no query term is
+    absent."""
+    d = spark.createDataFrame(
+        [(0, "x y x z"), (1, "x q"), (2, "q r s t")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q0", "x y")], "query_id string, qtext string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in textstats.bm25_topk(d, q, k=10).collect()
+    }
+    k1, b = 1.2, 0.75
+    n_docs, avgdl = 3, (4 + 2 + 4) / 3
+
+    def idf(df):
+        return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def tfn(tf, dl):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp0 = idf(2) * tfn(2, 4) + idf(1) * tfn(1, 4)  # x(tf 2) + y(tf 1)
+    exp1 = idf(2) * tfn(1, 2)  # x only, short doc
+    assert got[("q0", 0)][0] == pytest.approx(exp0, abs=1e-12)
+    assert got[("q0", 1)][0] == pytest.approx(exp1, abs=1e-12)
+    assert got[("q0", 0)][1] == 1 and got[("q0", 1)][1] == 2
+    assert {k[1] for k in got} == {0, 1}  # doc 2 shares no query term
+
+
 def test_unigram_logprob_empty_doc_absent(spark):
     d = spark.createDataFrame(
         [(0, "hello world"), (1, "   ")], "doc_id long, text string"

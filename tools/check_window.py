@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_dbcur_general",
     "ev_sessions",
     "tpg_cross_paths_nested",
+    "doc_bm25",
 }
 
 
