@@ -35,6 +35,23 @@ def test_kmv_prunes_mink_before_exchange(docs):
     assert ", Partial" in plan and ", Final" in plan, plan
 
 
+def test_bm25_topk_is_salted_and_query_pruned(spark, docs):
+    from joern_spark.operators.textstats import bm25_topk
+
+    q = spark.createDataFrame(
+        [("q0", "w1 w2"), ("q1", "w5")], "query_id string, qtext string"
+    )
+    plan = _plan(bm25_topk(docs, q))
+    # the two-stage salted per-query top-k must keep its partial→final
+    # WindowGroupLimit pair (a stop-word query term matching the whole
+    # corpus must never funnel one reducer)...
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert ", Partial" in plan and ", Final" in plan, plan
+    # ...and the query-term probe must broadcast (prunes tf BEFORE the
+    # scoring joins — the corpus never shuffles toward a 2-row table)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_weighted_sample_is_takeordered_not_global_sort(docs):
     from joern_spark.operators.curate import weighted_sample
 
