@@ -252,6 +252,7 @@ def expand_paths_hetero(
     broadcast_frontier: bool | None = None,
     realizable: bool = True,
     max_nesting: int = 1,
+    steps: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded cross-layer path search: one row per surviving flow
     `(src, dst, depth, crossings, path, labels)` with node AND step-label
@@ -292,8 +293,17 @@ def expand_paths_hetero(
     strings per row, bounded by the crossing budget.
 
     Frontier strategy auto-selection and mid-walk downgrade are
-    identical to `expand_paths` (FRONTIER_BROADCAST_MAX rule)."""
-    steps = step_edges(edges, sems)
+    identical to `expand_paths` (FRONTIER_BROADCAST_MAX rule).
+
+    `steps` lets a session that runs SEVERAL walks over the same corpus
+    (different depth/nesting budgets) pass one shared, already-
+    materialized step table instead of re-deriving + re-deduping the
+    label bases per walk — the step table IS the graph, so a battery
+    should build it once. When provided it must be the `step_edges`
+    output for the same `sems`; the builder path is unchanged."""
+    own_steps = steps is None
+    if own_steps:
+        steps = step_edges(edges, sems)
     seed_conv = F.when(
         F.col(id_col).contains(":"), F.substring_index(F.col(id_col), ":", 1)
     )
@@ -316,8 +326,11 @@ def expand_paths_hetero(
     if auto:
         broadcast_frontier = n_live <= FRONTIER_BROADCAST_MAX
     if not broadcast_frontier:
-        steps = steps.repartition(F.col("src"))
-    steps = steps.localCheckpoint(eager=False)
+        steps = steps.repartition(F.col("src")).localCheckpoint(eager=False)
+    elif own_steps:
+        # a caller-shared table is already checkpointed by its memo;
+        # re-checkpointing would copy every partition per walk
+        steps = steps.localCheckpoint(eager=False)
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
     if checkpoint_every is None:
         checkpoint_every = 1 if broadcast_frontier else 4

@@ -443,6 +443,24 @@ def _hetero_edges(spark, sf_dir):
 # battery walks the graph ONCE for all seven consumers.
 _PATHS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# The hetero STEP TABLE (per-label deduped + fan-capped edge slices) is
+# the graph every walk joins against — the battery runs two walks with
+# different depth/nesting budgets (the shared depth-4 walk and the
+# two-frame tpg_cross_paths_nested), so the table is memoized once per
+# (session, sf_dir) and passed into both.
+_STEPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _hetero_steps(spark, sf_dir):
+    from joern_spark.functions.hetero import step_edges
+
+    return _session_memo(
+        _STEPS_CACHE,
+        spark,
+        sf_dir,
+        lambda: step_edges(_hetero_edges(spark, sf_dir)),
+    )
+
 
 def _all_paths(spark, sf_dir):
     from joern_spark.functions.hetero import expand_paths_hetero
@@ -465,6 +483,7 @@ def _all_paths(spark, sf_dir):
             max_depth=4,
             max_crossings=2,
             keep="all",
+            steps=_hetero_steps(spark, sf_dir),
         )
 
     return _session_memo(_PATHS_CACHE, spark, sf_dir, build)
@@ -559,6 +578,7 @@ def q_cross_paths_nested(spark, sf_dir):
         max_crossings=2,
         keep="max",
         max_nesting=2,
+        steps=_hetero_steps(spark, sf_dir),
     ).select(
         "src",
         "dst",
