@@ -336,3 +336,131 @@ def test_hetero_nesting_default_unchanged(spark):
         seeds(spark, ["A:1"]), e, max_depth=8, max_crossings=2, keep="all"))
     assert not any(r[1].startswith("C:") for r in got)
     assert any(r[1] == "A:0" and r[3] == 2 for r in got)
+
+
+# ------------------------------------------- randomized brute-force oracle
+
+
+def _brute_walk(seed_ids, steps, max_depth, max_crossings, max_nesting):
+    """Pure-Python reference of expand_paths_hetero(keep='all',
+    realizable=True): explicit DFS carrying the SAME LIFO stack rules —
+    per-hop cycle exclusion, crossing budget, intra/return/call
+    precedence — so the distributed walk is checked against an
+    independent sequential algorithm on arbitrary graphs."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, l, c in steps:
+        adj[s].append((d, l, c))
+
+    def conv(x):
+        return x.split(":", 1)[0] if ":" in x else None
+
+    out = set()
+
+    def rec(src, cur, depth, crossings, path, labels, stack, cur_conv):
+        if depth == max_depth:
+            return
+        for d, l, c in sorted(adj[cur]):
+            if d in path or crossings + c > max_crossings:
+                continue
+            if c == 1:
+                cn = d.split(":", 1)[0] if ":" in d else d
+                intra = cur_conv is None or cn == cur_conv
+                ret = bool(stack) and cn == stack[-1]
+                if not (intra or ret or len(stack) < max_nesting):
+                    continue
+                ns = (
+                    stack
+                    if intra
+                    else (stack[:-1] if ret else stack + [cur_conv])
+                )
+                ncc = cn
+            else:
+                ns, ncc = stack, cur_conv
+            np_, nl = path + [d], labels + [l]
+            out.add(
+                (src, d, depth + 1, crossings + c, tuple(np_), tuple(nl))
+            )
+            rec(src, d, depth + 1, crossings + c, np_, nl, ns, ncc)
+
+    for s in set(seed_ids):
+        rec(s, s, 0, 0, [s], [], [], conv(s))
+    return out
+
+
+def test_hetero_walk_matches_brute_force_on_random_graphs(spark):
+    """Property: on random heterogeneous graphs (turn chains, random
+    entity links, crossing reverse links), the distributed walk's full
+    path set equals the sequential brute-force enumeration — for both
+    nesting budgets — and keep='max' picks exactly the brute reduction's
+    representative per (src, dst)."""
+    import random
+
+    from joern_spark.functions.hetero import max_length_paths
+
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        convs = ["A", "B", "C", "D"]
+        turns = [
+            f"{c}:{i}" for c in convs for i in range(rng.randint(3, 4))
+        ]
+        ents = [f"E{i}" for i in range(4)]
+        steps = []
+        for c in convs:
+            ct = [t for t in turns if t.startswith(c)]
+            steps += [
+                (a, b, "NEXT_TURN", 0) for a, b in zip(ct, ct[1:])
+            ]
+        for t in turns:
+            for e in ents:
+                if rng.random() < 0.25:
+                    steps.append((t, e, "LINKS_TO", 0))
+        links = [(s, d) for s, d, l, _ in steps if l == "LINKS_TO"]
+        for t, e in links:
+            if rng.random() < 0.6:
+                steps.append((e, t, "LINKS_TO_REV", 1))
+        seed_ids = rng.sample(turns, 2) + [rng.choice(ents)]
+        sdf = spark.createDataFrame(
+            steps, "src string, dst string, lbl string, crossing int"
+        )
+        fr = seeds(spark, seed_ids)
+        for nesting in (1, 2):
+            got = pkey(
+                expand_paths_hetero(
+                    fr,
+                    None,
+                    max_depth=4,
+                    max_crossings=2,
+                    keep="all",
+                    max_nesting=nesting,
+                    steps=sdf,
+                )
+            )
+            want = _brute_walk(seed_ids, steps, 4, 2, nesting)
+            assert got == want, (trial, nesting, got ^ want)
+            # keep='max' representative: longest, then (path, labels)
+            by_pair = {}
+            for src, dst, dep, cr, p, l in want:
+                key = (src, dst)
+                cand = (-dep, "->".join(p), "->".join(l), dep, cr, p, l)
+                if key not in by_pair or cand < by_pair[key]:
+                    by_pair[key] = cand
+            want_max = {
+                (k[0], k[1], v[3], v[4], v[5], v[6])
+                for k, v in by_pair.items()
+            }
+            got_max = pkey(
+                max_length_paths(
+                    expand_paths_hetero(
+                        fr,
+                        None,
+                        max_depth=4,
+                        max_crossings=2,
+                        keep="all",
+                        max_nesting=nesting,
+                        steps=sdf,
+                    )
+                )
+            )
+            assert got_max == want_max, (trial, nesting)
