@@ -37,6 +37,20 @@ def read_transcript_stream(
     return reader.load(landing_dir)
 
 
+# The columns sessionization needs from an event landing table; extra
+# columns in a real lake table are pruned by the reader schema.
+EVENT_STREAM_SCHEMA = "event_id bigint, ts timestamp_ntz, user_id string"
+
+
+def read_event_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.format("parquet").schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
 def run_increment(
     spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -85,6 +85,72 @@ def run_windowed_counts(
     q.awaitTermination()
 
 
+def session_stream(
+    stream: DataFrame, gap_s: int | None = None, late: str = "2 hours"
+) -> DataFrame:
+    """(user_id, session_start, session_end, n_events, duration_us) per
+    CLOSED session — the streaming twin of events.sessionize: the SAME
+    native `session_window` aggregate, under a watermark, so a session
+    is emitted exactly once when the watermark passes its end + gap.
+    `session_idx` is deliberately absent: a per-user ordinal over all
+    sessions is a batch construct (every new session would renumber the
+    suffix); streaming consumers key on (user_id, session_start), which
+    is stable. Same NTZ→LTZ watermark discipline (and UTC session-tz
+    requirement, enforced by run_session_stream) as
+    windowed_turn_counts. State is O(open sessions) — the session-window
+    merge evicts a user's session the moment the watermark closes it."""
+    from joern_spark.operators.events import SESSION_GAP_S
+
+    gap_s = SESSION_GAP_S if gap_s is None else gap_s
+    return (
+        stream.withColumn("_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("_evt", late)
+        .groupBy(
+            "user_id",
+            F.session_window("_evt", f"{gap_s} seconds").alias("_sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("_evt").alias("_s"),
+            F.max("_evt").alias("_e"),
+        )
+        .select(
+            "user_id",
+            F.col("_s").cast("timestamp_ntz").alias("session_start"),
+            F.col("_e").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            F.expr("timestampdiff(MICROSECOND, _s, _e)")
+            .cast("long")
+            .alias("duration_us"),
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str,
+    gap_s: int | None = None, late: str = "2 hours",
+) -> None:
+    """Drain available event files; append every session the advancing
+    watermark has closed. Re-invoking after later data lands finalizes
+    (and emits) the earlier sessions exactly once."""
+    from joern_spark.streaming.ingest import read_event_stream
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":  # state is TZ-keyed, see windowed_turn_counts
+        raise ValueError(f"session stream requires session timeZone UTC, got {tz}")
+    stream = read_event_stream(spark, landing_dir)
+    q = (
+        session_stream(stream, gap_s, late)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _rebind_state_fn(key, pdfs, state: GroupState):
     """Vectorized per-conversation state transition: forward-fill the
     binding within the batch, seeded from (and updating) the carried

@@ -108,6 +108,72 @@ def test_windowed_counts_watermark_finalization(spark, tmp_path_factory):
     assert rows == {(t0, "user"): 4}  # hour-0 window closed once, late row counted
 
 
+def test_session_stream_closes_sessions_once_and_matches_batch(
+    spark, tmp_path_factory
+):
+    """Watermarked session windows emit exactly once, when later arrivals
+    push the watermark past session_end + gap — and the finalized rows
+    equal the batch sessionize output for those sessions (sans the batch
+    ordinal session_idx). A re-drain with no new data appends nothing."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from joern_spark.operators import events as EV
+    from joern_spark.streaming import stateful
+
+    root = tmp_path_factory.mktemp("sstream")
+    landing, out, ckpt = (str(root / k) for k in ("landing", "out", "ckpt"))
+    os.makedirs(landing)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    schema = "event_id long, ts timestamp_ntz, user_id string"
+    # sessions (gap 60s): A = u1 {0s, 30s}; C = u2 {5s};
+    # B = u1 {600s, 620s}; pusher = u2 {3600s} (stays open)
+    b1 = [(0, sec(0), "u1"), (1, sec(30), "u1"), (2, sec(5), "u2")]
+    b2 = [(3, sec(600), "u1"), (4, sec(620), "u1"), (5, sec(3600), "u2")]
+
+    def land(rows, name):
+        staging = f"{landing}/../_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+            shutil.move(f, f"{landing}/{name}_{i}.parquet")
+        shutil.rmtree(staging)
+
+    read = lambda: spark.read.schema(  # noqa: E731
+        "user_id string, session_start timestamp_ntz, "
+        "session_end timestamp_ntz, n_events long, duration_us long"
+    ).parquet(out)
+
+    land(b1, "b1")
+    stateful.run_session_stream(spark, landing, out, ckpt, gap_s=60, late="1 minute")
+    assert read().count() == 0  # watermark has not passed any session yet
+
+    land(b2, "b2")
+    stateful.run_session_stream(spark, landing, out, ckpt, gap_s=60, late="1 minute")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+        for r in read().collect()
+    }
+    batch = EV.sessionize(
+        spark.createDataFrame(b1 + b2, schema), gap_s=60
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+        for r in batch.collect()
+        # the pusher's session is still open in the stream
+        if r.session_start < sec(3600)
+    }
+    assert got == want and len(got) == 3
+
+    # no new data: a re-drain must append nothing (exactly-once)
+    stateful.run_session_stream(spark, landing, out, ckpt, gap_s=60, late="1 minute")
+    assert read().count() == 3
+
+
 def test_rebind_state_across_increments(spark, tmp_path_factory):
     """applyInPandasWithState carries the live binding across drains: a
     rebind ingested in increment 1 resolves a dbcur ingested in
