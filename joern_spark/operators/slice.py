@@ -78,3 +78,57 @@ def conversation_vectors(linked: DataFrame) -> DataFrame:
     return linked.groupBy("conv_id", "entity_key").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+DDG_SLICE_DEPTH = 3
+
+
+def ddg_backward_slice(
+    reaching: DataFrame, sinks: DataFrame, depth: int = DDG_SLICE_DEPTH
+) -> DataFrame:
+    """(conv_id, sink_idx, hop, turn_idx) — transitive `ddgIn`: the
+    definition chain feeding each sink over REACHING_DEF edges
+    (ExtendedCfgNode.scala:17-38 — `ddgIn` is the 1-hop backward step,
+    `reachableBy` its closure; the closure here is depth-bounded like
+    the engine's k-limits). Hop 1 is the definition reaching the sink,
+    hop 2 the definition reaching THAT definition, and so on — the
+    def-use provenance a user asks for with "what rebind chain produced
+    this answer".
+
+    reaching: (conv_id, turn_idx, var, def_idx) from
+    operators/dataflow.reaching_definitions (any CFG shape — the walk
+    composes with the general worklist kernel, not just chains).
+    sinks: (conv_id, turn_idx).
+
+    Scale shape: the reaching projection is checkpointed once; each hop
+    is ONE equi-join on (conv_id, turn) whose fan-out is bounded by the
+    per-turn variable vocabulary (1 for a single tracked variable), and
+    the frontier can only shrink (turns without a reaching def leave the
+    walk). Work is linear in |sinks|·depth — never corpus²."""
+    edges = (
+        reaching.select("conv_id", F.col("turn_idx").alias("cur"), "def_idx")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    cur = sinks.select(
+        "conv_id",
+        F.col("turn_idx").alias("sink_idx"),
+        F.col("turn_idx").alias("cur"),
+    ).dropDuplicates()
+    out = None
+    for h in range(1, depth + 1):
+        cur = (
+            cur.join(edges, ["conv_id", "cur"])
+            .select(
+                "conv_id", "sink_idx", F.col("def_idx").alias("cur")
+            )
+            .dropDuplicates()
+        )
+        rows = cur.select(
+            "conv_id",
+            "sink_idx",
+            F.lit(h).alias("hop"),
+            F.col("cur").alias("turn_idx"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out

@@ -734,6 +734,33 @@ FROM x WHERE def_idx IS NOT NULL
 """
 
 
+def ddg_slice_sql(sf: float, depth: int = 3) -> str:
+    """Transitive ddgIn twin (slice.ddg_backward_slice): the hops
+    unrolled as joins against the closed-form reaching table — hop h+1
+    resolves the definition reaching hop h's turn."""
+    dbcur = RULES_BY_NAME["dbcur"]
+    ctes, selects, prev = [], [], "s"
+    for h in range(1, depth + 1):
+        src_idx = "sink_idx" if prev == "s" else "turn_idx"
+        ctes.append(
+            f"h{h} AS (SELECT DISTINCT {prev}.conv_id, {prev}.sink_idx, "
+            f"{h} AS hop, r.def_idx AS turn_idx FROM {prev} "
+            f"JOIN r ON r.conv_id = {prev}.conv_id "
+            f"AND r.turn_idx = {prev}.{src_idx})"
+        )
+        selects.append(f"SELECT * FROM h{h}")
+        prev = f"h{h}"
+    return f"""
+WITH r AS ({reaching_defs_sql(sf)}),
+s AS (
+  SELECT conv_id, turn_idx AS sink_idx FROM {t_src(sf)}
+  WHERE {_rule_where(dbcur)}
+),
+{", ".join(ctes)}
+{" UNION ALL ".join(selects)}
+"""
+
+
 def cdg_sql(sf: float) -> str:
     """Linear chains have an empty post-dominance frontier — zero CDG
     edges, asserted literally."""

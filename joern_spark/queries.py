@@ -123,6 +123,25 @@ def q_dbcur_general(spark, sf_dir):
     return rebind.dbcur_triples_general(_t(spark, sf_dir))
 
 
+def q_ddg_slice(spark, sf_dir):
+    """Backward data-flow slice over REACHING_DEF edges — transitive
+    `ddgIn` (ExtendedCfgNode.scala:17-38): from every dbcur-use turn,
+    follow the reaching-definition chain backward up to 3 hops. Composes
+    the general gen/kill kernel's output with a bounded closure walk, so
+    it answers "what rebind chain produced this answer" on any CFG
+    shape; the oracle unrolls the same hops over the closed-form
+    reaching table (provably equal on the linear corpus)."""
+    from joern_spark.operators.slice import ddg_backward_slice
+
+    t = _t(spark, sf_dir)
+    r = RULES_BY_NAME["dbcur"]
+    cond = F.col("text").rlike(r.pattern)
+    if r.role:
+        cond = (F.col("role") == r.role) & cond
+    sinks = t.where(cond).select("conv_id", "turn_idx")
+    return ddg_backward_slice(q_reaching_defs(spark, sf_dir), sinks)
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -1085,6 +1104,7 @@ TPG_QUERIES = {
     "tpg_reaching_defs": q_reaching_defs,
     "mm_decode_png": q_mm_decode_png,
     "tpg_dbcur_general": q_dbcur_general,
+    "tpg_ddg_slice": q_ddg_slice,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -521,3 +521,38 @@ def test_dbcur_general_equals_window_on_linear(spark, make_transcripts):
         (r.subj, r.obj) for r in dbcur_triples_general(tb, edges).collect()
     }
     assert got_b == {("left_db", "Lima"), ("right_db", "Lima")}
+
+
+def test_ddg_backward_slice_diamond_and_chain(spark):
+    """Transitive ddgIn over the kernel's reaching table: on a diamond a
+    sink's hop-1 set holds BOTH branch definitions; on a chain the hops
+    walk the rebind chain backward and stop when no def reaches."""
+    from joern_spark.operators.dataflow import reaching_definitions
+    from joern_spark.operators.slice import ddg_backward_slice
+
+    edges = spark.createDataFrame(
+        # br: diamond 0→{1,2}→3; lin: 0→1→2→3 chain
+        [("br", 0, 1), ("br", 0, 2), ("br", 1, 3), ("br", 2, 3),
+         ("lin", 0, 1), ("lin", 1, 2), ("lin", 2, 3)],
+        "conv_id string, src_idx int, dst_idx int",
+    )
+    defs = spark.createDataFrame(
+        [("br", 0, "db"), ("br", 1, "db"), ("br", 2, "db"),
+         ("lin", 0, "db"), ("lin", 2, "db")],
+        "conv_id string, turn_idx int, var string",
+    )
+    reaching = reaching_definitions(edges, defs)
+    sinks = spark.createDataFrame(
+        [("br", 3), ("lin", 3)], "conv_id string, turn_idx int"
+    )
+    got = {
+        (r.conv_id, r.sink_idx, r.hop, r.turn_idx)
+        for r in ddg_backward_slice(reaching, sinks, depth=3).collect()
+    }
+    assert got == {
+        # diamond: both branch defs at hop 1 (0 is killed on both paths),
+        # their common feeder at hop 2, nothing reaches turn 0
+        ("br", 3, 1, 1), ("br", 3, 1, 2), ("br", 3, 2, 0),
+        # chain: def at 2, then the def at 0 that fed it
+        ("lin", 3, 1, 2), ("lin", 3, 2, 0),
+    }

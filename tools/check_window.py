@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = {
     "ev_sessions",
     "tpg_cross_paths_nested",
     "doc_bm25",
+    "tpg_ddg_slice",
 }
 
 
