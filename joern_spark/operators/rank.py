@@ -374,3 +374,74 @@ def entity_triangles(edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+CLOSENESS_LANDMARKS = 4
+CLOSENESS_DEPTH = 4
+
+
+def entity_closeness(
+    edges: DataFrame,
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    depth: int = CLOSENESS_DEPTH,
+) -> DataFrame:
+    """(entity_key, n_reached, closeness) — landmark-approximated
+    closeness centrality over the co-mention graph: BFS from the
+    n_landmarks hash-smallest entities to `depth`, then closeness(v) =
+    Σ over reached landmarks of 1/dist(landmark, v). Exact closeness is
+    all-pairs shortest paths — quadratic even on the vocabulary-bounded
+    entity graph — so the landmark sweep is the standard scale move: L
+    bounded BFS expansions, with the landmark choice a deterministic
+    hash order (reproducible at any scale, mergeable across runs).
+
+    Scale shape: each BFS level is one frontier⋈edges join + a
+    (landmark, node) anti-join against the visited set (≤ L·|V| rows,
+    vocabulary-bounded); the symmetric edge table is materialized once;
+    per-level lineage is truncated with eager checkpoints and the sweep
+    stops early when a level adds nothing. The landmark pick compiles
+    to TakeOrderedAndProject (per-partition heaps, never a global
+    sort).
+
+    Float discipline: the 1/dist contributions fold in ascending sorted
+    order, mirroring the DuckDB oracle's unrolled-BFS fold exactly."""
+    from joern_spark.functions.hashing import md5_long
+
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    lms = (
+        sym.select("src")
+        .dropDuplicates()
+        .orderBy(md5_long(F.col("src")), F.col("src"))
+        .limit(n_landmarks)
+        .select(F.col("src").alias("lm"))
+    )
+    visited = lms.select(
+        "lm", F.col("lm").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("lm", F.col("dst").alias("node"), F.lit(d).alias("dist"))
+            .dropDuplicates(["lm", "node"])
+            .join(visited, ["lm", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    contrib = visited.where(F.col("dist") > 0).select(
+        "node", (F.lit(1.0) / F.col("dist").cast("double")).alias("w")
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return contrib.groupBy(F.col("node").alias("entity_key")).agg(
+        F.count(F.lit(1)).alias("n_reached"), sorted_sum.alias("closeness")
+    )

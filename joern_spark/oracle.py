@@ -513,6 +513,52 @@ FROM cmap c JOIN sizes s USING (community)
 """
 
 
+def entity_closeness_sql(sf: float) -> str:
+    """Landmark-closeness twin (rank.entity_closeness): BFS levels
+    unrolled as CTEs with the same (landmark, node) visited-set
+    exclusion, identical hash-ordered landmark choice, and the
+    ascending-sorted 1/dist fold."""
+    from joern_spark.operators.rank import (
+        CLOSENESS_DEPTH,
+        CLOSENESS_LANDMARKS,
+    )
+
+    key = NORM.format(x="m.surface")
+    h = "(('0x' || substr(md5(src), 1, 15))::BIGINT)"
+    levels = []
+    for d in range(1, CLOSENESS_DEPTH + 1):
+        levels.append(
+            f"""d{d} AS (
+  SELECT DISTINCT f.lm, s.dst AS node, {d} AS dist
+  FROM d{d - 1} f JOIN sym s ON s.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v
+                    WHERE v.lm = f.lm AND v.node = s.dst)
+),
+v{d} AS (SELECT * FROM v{d - 1} UNION ALL SELECT * FROM d{d})"""
+        )
+    levels_sql = ",\n".join(levels)
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e
+),
+lm AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM sym)
+       ORDER BY {h}, src LIMIT {CLOSENESS_LANDMARKS}),
+d0 AS (SELECT lm, lm AS node, 0 AS dist FROM lm),
+v0 AS (SELECT * FROM d0),
+{levels_sql}
+SELECT node AS entity_key, count(*) AS n_reached,
+       list_sum(list_sort(list(1.0 / dist::DOUBLE))) AS closeness
+FROM v{CLOSENESS_DEPTH} WHERE dist > 0 GROUP BY node
+"""
+
+
 def entity_kcore_sql(sf: float) -> str:
     """Fixed-round k-core peeling, rounds unrolled as chained CTEs from
     the same constants the Spark operator uses. Every survivor CTE is

@@ -282,6 +282,14 @@ def q_entity_kcore(spark, sf_dir):
     return entity_kcore(_comention_edges(spark, sf_dir))
 
 
+def q_entity_closeness(spark, sf_dir):
+    """Landmark-approximated closeness centrality over the co-mention
+    graph (hash-chosen landmarks, bounded BFS, sorted 1/dist fold)."""
+    from joern_spark.operators.rank import entity_closeness
+
+    return entity_closeness(_comention_edges(spark, sf_dir))
+
+
 def q_sft_pairs(spark, sf_dir):
     """SFT training pairs: adjacent user→assistant (prompt, response)
     extraction — one conv-keyed window."""
@@ -1096,6 +1104,7 @@ TPG_QUERIES = {
     # fundamentals so CORRECTNESS_r04 gives them driver rows.
     "tpg_entity_communities": q_entity_communities,
     "tpg_entity_kcore": q_entity_kcore,
+    "tpg_entity_closeness": q_entity_closeness,
     "doc_kmv_distinct": q_doc_kmv,
     "doc_kmv_overlap": q_doc_kmv_overlap,
     "doc_weighted_sample": q_weighted_sample,

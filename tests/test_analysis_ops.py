@@ -654,3 +654,48 @@ def test_entity_kcore_local_equals_distributed(spark, monkeypatch):
     slow = {(r.entity_key, r.core_degree)
             for r in R.entity_kcore(edges, k=2, rounds=4).collect()}
     assert fast == slow and fast
+
+
+def test_entity_closeness_matches_python_bfs(spark):
+    """Landmark closeness equals a sequential Python BFS reference on a
+    two-component graph — same hash-ordered landmark choice, same
+    1/dist contributions, unreached nodes absent on both sides."""
+    import collections
+
+    import pytest
+
+    from joern_spark.functions.hashing import md5_long_py
+    from joern_spark.operators.rank import entity_closeness
+
+    pairs = [("e1", "e2"), ("e2", "e3"), ("e3", "e4"), ("e5", "e6"), ("e1", "e3")]
+    df = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "a string, b string, n_convs long"
+    )
+    got = {
+        r.entity_key: (r.n_reached, r.closeness)
+        for r in entity_closeness(df, n_landmarks=3, depth=4).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lms = sorted(adj, key=lambda s: (md5_long_py(s), s))[:3]
+    contrib = collections.defaultdict(list)
+    for lm in lms:
+        dist, frontier = {lm: 0}, [lm]
+        for d in range(1, 5):
+            nf = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nf.append(v)
+            frontier = nf
+        for v, dd in dist.items():
+            if dd > 0:
+                contrib[v].append(1.0 / dd)
+    want = {v: (len(ws), sum(sorted(ws))) for v, ws in contrib.items()}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v][0] == want[v][0]
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-12)

@@ -36,6 +36,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_cross_paths_nested",
     "doc_bm25",
     "tpg_ddg_slice",
+    "tpg_entity_closeness",
 }
 
 
