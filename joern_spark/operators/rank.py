@@ -445,3 +445,90 @@ def entity_closeness(
     return contrib.groupBy(F.col("node").alias("entity_key")).agg(
         F.count(F.lit(1)).alias("n_reached"), sorted_sum.alias("closeness")
     )
+
+
+SUGGEST_TOP_K = 5
+SUGGEST_SUPPORT_Q = 0.9
+
+
+def entity_common_neighbors(
+    edges: DataFrame,
+    k: int = SUGGEST_TOP_K,
+    support_quantile: float = SUGGEST_SUPPORT_Q,
+) -> DataFrame:
+    """(entity_key, suggestion, n_common, rank) — link prediction by
+    common-neighbor count over the STRONG co-mention graph: for each
+    entity, the top-k entities it is not strongly co-mentioned with,
+    ranked by how many strong neighbors they share (the classic
+    missing-edge / KG-completion signal — which facts probably belong
+    together but rarely co-occur). "Strong" = edge support at or above
+    the exact `support_quantile` of n_convs — a RELATIVE threshold, so
+    the definition is invariant under corpus growth (absolute support
+    scales linearly with corpus size; on a small-vocabulary corpus the
+    raw graph is complete and missing-edge prediction would be vacuous).
+
+    Scale shape: wedges generate through each middle node (Σ deg² rows)
+    — bounded because the co-mention graph is vocabulary-bounded (its
+    size is a property of the entity vocabulary, not the corpus, and
+    CONV_KEY_CAP bounds per-conversation contributions upstream); the
+    quantile is one exact-percentile aggregate over the EDGE table (not
+    the corpus) broadcast as one row; existing strong edges leave via
+    one anti-join; the per-entity top-k is the salted two-stage window
+    (bm25_topk discipline). Deterministic (n_common DESC, suggestion
+    ASC) ranking; exact `percentile` has proven cross-engine parity
+    (doc_quantiles discipline)."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.salted import N_SALTS
+
+    thr = edges.agg(
+        F.expr(f"percentile(n_convs, {support_quantile!r})").alias("thr")
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(thr))
+        .where(F.col("n_convs").cast("double") >= F.col("thr"))
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    sym = strong.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        strong.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    pairs = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.nb") == F.col("y.nb"))
+        .where(F.col("x.node") < F.col("y.node"))
+        .groupBy(
+            F.col("x.node").alias("a"), F.col("y.node").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .join(strong, ["a", "b"], "left_anti")
+    )
+    sugg = pairs.select(
+        F.col("a").alias("entity_key"),
+        F.col("b").alias("suggestion"),
+        "n_common",
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("entity_key"),
+            F.col("a").alias("suggestion"),
+            "n_common",
+        )
+    )
+    w1 = Window.partitionBy("entity_key", "_salt").orderBy(
+        F.desc("n_common"), F.asc("suggestion")
+    )
+    w2 = Window.partitionBy("entity_key").orderBy(
+        F.desc("n_common"), F.asc("suggestion")
+    )
+    return (
+        sugg.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("suggestion")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("entity_key", "suggestion", "n_common", "rank")
+    )

@@ -559,6 +559,53 @@ FROM v{CLOSENESS_DEPTH} WHERE dist > 0 GROUP BY node
 """
 
 
+def entity_suggest_sql(sf: float) -> str:
+    """Common-neighbor link-prediction twin (rank.entity_common_neighbors):
+    the same exact-quantile strong-edge cut, wedge counts through each
+    middle node, strong-edge exclusion, and the identical (n_common
+    DESC, suggestion ASC) per-entity top-k."""
+    from joern_spark.operators.rank import SUGGEST_SUPPORT_Q, SUGGEST_TOP_K
+
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+ew AS MATERIALIZED (
+  SELECT x.k AS a, y.k AS b, count(*)::BIGINT AS n_convs
+  FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+thr AS (SELECT quantile_cont(n_convs, {SUGGEST_SUPPORT_Q!r}) AS thr FROM ew),
+e AS MATERIALIZED (
+  SELECT a, b FROM ew, thr WHERE n_convs::DOUBLE >= thr
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b AS node, a AS nb FROM e
+),
+pairs AS (
+  SELECT x.node AS a, y.node AS b, count(*)::BIGINT AS n_common
+  FROM sym x JOIN sym y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY 1, 2
+),
+missing AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+),
+sugg AS (
+  SELECT a AS entity_key, b AS suggestion, n_common FROM missing
+  UNION ALL
+  SELECT b AS entity_key, a AS suggestion, n_common FROM missing
+)
+SELECT entity_key, suggestion, n_common, rank FROM (
+  SELECT entity_key, suggestion, n_common,
+         row_number() OVER (PARTITION BY entity_key
+                            ORDER BY n_common DESC, suggestion ASC) AS rank
+  FROM sugg
+) WHERE rank <= {SUGGEST_TOP_K}
+"""
+
+
 def entity_kcore_sql(sf: float) -> str:
     """Fixed-round k-core peeling, rounds unrolled as chained CTEs from
     the same constants the Spark operator uses. Every survivor CTE is

@@ -290,6 +290,15 @@ def q_entity_closeness(spark, sf_dir):
     return entity_closeness(_comention_edges(spark, sf_dir))
 
 
+def q_entity_suggest(spark, sf_dir):
+    """Common-neighbor link prediction over the co-mention graph
+    (KG-completion candidates: top-k non-adjacent entities sharing the
+    most neighbors, salted per-entity top-k)."""
+    from joern_spark.operators.rank import entity_common_neighbors
+
+    return entity_common_neighbors(_comention_edges(spark, sf_dir))
+
+
 def q_sft_pairs(spark, sf_dir):
     """SFT training pairs: adjacent user→assistant (prompt, response)
     extraction — one conv-keyed window."""
@@ -1105,6 +1114,7 @@ TPG_QUERIES = {
     "tpg_entity_communities": q_entity_communities,
     "tpg_entity_kcore": q_entity_kcore,
     "tpg_entity_closeness": q_entity_closeness,
+    "tpg_entity_suggest": q_entity_suggest,
     "doc_kmv_distinct": q_doc_kmv,
     "doc_kmv_overlap": q_doc_kmv_overlap,
     "doc_weighted_sample": q_weighted_sample,

@@ -699,3 +699,20 @@ def test_entity_closeness_matches_python_bfs(spark):
     for v in want:
         assert got[v][0] == want[v][0]
         assert got[v][1] == pytest.approx(want[v][1], abs=1e-12)
+
+
+def test_entity_common_neighbors_strong_graph(spark):
+    """Strong-edge cut (exact 0.9 support quantile) keeps the two
+    heavy edges; the weak edge drops; the one missing strong pair is
+    suggested in both directions with its shared-neighbor count."""
+    from joern_spark.operators.rank import entity_common_neighbors
+
+    edges = spark.createDataFrame(
+        [("x", "m", 10), ("m", "y", 10), ("x", "z", 1)],
+        "a string, b string, n_convs long",
+    )
+    got = {
+        (r.entity_key, r.suggestion, r.n_common, r.rank)
+        for r in entity_common_neighbors(edges).collect()
+    }
+    assert got == {("x", "y", 1, 1), ("y", "x", 1, 1)}

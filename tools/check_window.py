@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "doc_bm25",
     "tpg_ddg_slice",
     "tpg_entity_closeness",
+    "tpg_entity_suggest",
 }
 
 
