@@ -82,6 +82,12 @@ def q_rebind_current_db(spark, sf_dir):
     return rebind.dbcur_triples(_t(spark, sf_dir))
 
 
+# The reaching-defs table feeds two registered queries
+# (tpg_reaching_defs and the tpg_ddg_slice closure over it) — memoized
+# per (session, sf_dir) like the other shared layers.
+_REACHING_CACHE: dict = {}
+
+
 def q_reaching_defs(spark, sf_dir):
     """General gen/kill reaching definitions over the NEXT_TURN CFG with
     rebind turns as definitions of variable 'db'. The corpus is linear,
@@ -93,23 +99,30 @@ def q_reaching_defs(spark, sf_dir):
 
     from joern_spark.operators.dataflow import reaching_definitions
 
-    t = _t(spark, sf_dir)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    edges = (
-        t.select("conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx"))
-        .where(F.col("next_idx").isNotNull())
-        .select(
-            "conv_id",
-            F.col("turn_idx").alias("src_idx"),
-            F.col("next_idx").alias("dst_idx"),
+    def build():
+        t = _t(spark, sf_dir)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        edges = (
+            t.select(
+                "conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx")
+            )
+            .where(F.col("next_idx").isNotNull())
+            .select(
+                "conv_id",
+                F.col("turn_idx").alias("src_idx"),
+                F.col("next_idx").alias("dst_idx"),
+            )
         )
-    )
-    r = RULES_BY_NAME["rebind"]
-    cond = F.col("text").rlike(r.pattern)
-    if r.role:
-        cond = (F.col("role") == r.role) & cond
-    defs = t.where(cond).select("conv_id", "turn_idx", F.lit("db").alias("var"))
-    return reaching_definitions(edges, defs)
+        r = RULES_BY_NAME["rebind"]
+        cond = F.col("text").rlike(r.pattern)
+        if r.role:
+            cond = (F.col("role") == r.role) & cond
+        defs = t.where(cond).select(
+            "conv_id", "turn_idx", F.lit("db").alias("var")
+        )
+        return reaching_definitions(edges, defs)
+
+    return _session_memo(_REACHING_CACHE, spark, sf_dir, build)
 
 
 def q_dbcur_general(spark, sf_dir):
