@@ -532,3 +532,31 @@ def entity_common_neighbors(
         .where(F.col("rank") <= k)
         .select("entity_key", "suggestion", "n_common", "rank")
     )
+
+
+def merge_comention_edges(
+    base: DataFrame, delta_mentions: DataFrame, cap: int = CONV_KEY_CAP
+) -> DataFrame:
+    """Incremental co-mention maintenance: fold the mentions of NEWLY
+    ARRIVED conversations into an existing (a, b, n_convs) edge table
+    without re-reading the historical corpus — the graph-analytics
+    analog of canonicalize.merge_canonical_map / materialize
+    merge_triples. Per-conversation distinct pair counts are additive
+    ACROSS conversations, so under the ingest contract the streaming
+    path already guarantees (conversations land whole; the landing
+    dedup stream scrubs duplicate turn keys) the merge is exact: build
+    the delta's own edges, union, one groupBy-sum. Proven equal to the
+    one-shot entity_cooccurrence over the unioned corpus
+    (property-tested on random conversation splits).
+
+    Scale shape: the carried state is the vocabulary-bounded EDGE table
+    — never the corpus; the delta pays exactly its own conversations'
+    per-conv distinct + capped self-join. Every downstream consumer
+    (PageRank, communities, k-core, closeness, link prediction) reads
+    the merged table unchanged."""
+    delta = entity_cooccurrence(delta_mentions, cap=cap)
+    return (
+        base.unionByName(delta)
+        .groupBy("a", "b")
+        .agg(F.sum("n_convs").cast("long").alias("n_convs"))
+    )

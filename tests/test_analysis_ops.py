@@ -716,3 +716,32 @@ def test_entity_common_neighbors_strong_graph(spark):
         for r in entity_common_neighbors(edges).collect()
     }
     assert got == {("x", "y", 1, 1), ("y", "x", 1, 1)}
+
+
+def test_merge_comention_edges_equals_oneshot(spark):
+    """Incremental co-mention merge on a random conversation split is
+    row-identical to the one-shot build over the whole corpus."""
+    import random
+
+    from joern_spark.operators.rank import (
+        entity_cooccurrence,
+        merge_comention_edges,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(12):
+        for _ in range(rng.randint(2, 10)):
+            rows.append((f"c{c}", f"e{rng.randint(0, 6)}"))
+    df = spark.createDataFrame(rows, "conv_id string, surface string")
+    base_convs = [f"c{c}" for c in range(7)]
+    base = entity_cooccurrence(df.where(F.col("conv_id").isin(base_convs)))
+    delta_m = df.where(~F.col("conv_id").isin(base_convs))
+    merged = {
+        (r.a, r.b, r.n_convs)
+        for r in merge_comention_edges(base, delta_m).collect()
+    }
+    oneshot = {
+        (r.a, r.b, r.n_convs) for r in entity_cooccurrence(df).collect()
+    }
+    assert merged == oneshot and merged
