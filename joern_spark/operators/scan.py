@@ -256,6 +256,43 @@ def scan_stale_binding_use(
     )
 
 
+DEEP_REBIND_MIN = 2
+
+
+def scan_deep_rebind_provenance(
+    transcripts: DataFrame, slices: TurnSlices | None = None
+) -> DataFrame:
+    """dbcur queries whose reaching-definition chain is at least
+    DEEP_REBIND_MIN rebinds deep — the answer's binding is the result of
+    stacked overrides and the asker has likely lost track of which
+    database is live. This is the ddgIn-DEPTH predicate
+    (slice.ddg_backward_slice computes the chain on arbitrary CFGs); on
+    the linear transcript CFG "chain depth ≥ k" collapses exactly to
+    "≥ k rebinds strictly before the use", so the scanner is the closed
+    form. Scored by count of such uses per conversation; only the two
+    tiny rule slices shuffle, and the per-use join fan-out is bounded by
+    rebinds-per-conversation."""
+    s = _slices(transcripts, slices)
+    uses = s.dbcur.select("conv_id", F.col("turn_idx").alias("use_idx"))
+    rebinds = s.rebind.select("conv_id", F.col("turn_idx").alias("rb_idx"))
+    deep = (
+        uses.join(rebinds, "conv_id")
+        .where(F.col("rb_idx") < F.col("use_idx"))
+        .groupBy("conv_id", "use_idx")
+        .agg(F.count(F.lit(1)).alias("n_rb"))
+        .where(F.col("n_rb") >= DEEP_REBIND_MIN)
+    )
+    return (
+        deep.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("deep-rebind-provenance").alias("query_name"),
+            F.col("conv_id").alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 def scan_alias_chains(transcripts: DataFrame) -> DataFrame:
     """SAME_AS components of ≥ 3 surfaces — alias chains like
     Big Apple → NYC → New York City that force multi-hop resolution
@@ -1717,6 +1754,7 @@ SCANNERS: dict[str, Callable] = {
     "rebind-conversation": scan_rebind_conversations,
     "temperature-contradiction": scan_temperature_contradictions,
     "stale-binding-use": scan_stale_binding_use,
+    "deep-rebind-provenance": scan_deep_rebind_provenance,
     "alias-chain": scan_alias_chains,
     "hub-entity": scan_hub_entities,
     "tool-fanout": scan_tool_fanout,

@@ -1256,6 +1256,7 @@ def findings_sql(sf: float) -> str:
         FLOW_DEPTH,
         DB_MIX_MIN,
         DEAD_REBIND_SENTINEL,
+        DEEP_REBIND_MIN,
         ENTITY_SPREAD_MIN,
         ENTITY_SPREAD_PCT,
         HANDOFF_GAP_S,
@@ -1337,6 +1338,16 @@ JOIN (SELECT conv_id, min(turn_idx) AS fr FROM t
       WHERE {_rule_where(rebind)} GROUP BY 1) r
   ON d.conv_id = r.conv_id AND d.turn_idx < r.fr
 GROUP BY d.conv_id
+UNION ALL
+SELECT 'deep-rebind-provenance', conv_id, count(*)::BIGINT FROM (
+  SELECT d.conv_id, d.turn_idx
+  FROM (SELECT conv_id, turn_idx FROM t WHERE {_rule_where(dbcur)}) d
+  JOIN (SELECT conv_id, turn_idx AS rb FROM t
+        WHERE {_rule_where(rebind)}) r
+    ON d.conv_id = r.conv_id AND r.rb < d.turn_idx
+  GROUP BY d.conv_id, d.turn_idx
+  HAVING count(*) >= {DEEP_REBIND_MIN}
+) GROUP BY conv_id
 UNION ALL
 SELECT 'alias-chain', canon, count(*)::BIGINT
 FROM cmap GROUP BY canon HAVING count(*) >= 3

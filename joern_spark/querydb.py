@@ -162,6 +162,41 @@ QUERY_DB: list[Query] = [
         ],
     ),
     Query(
+        name="deep-rebind-provenance",
+        author=_A,
+        title="Query whose live binding is the result of stacked rebinds",
+        description="dbcur turns whose reaching-definition chain is at "
+        "least two rebinds deep — the live binding is an override of an "
+        "override, the state the asker most easily loses track of (the "
+        "ddgIn-depth predicate; on linear conversations chain depth k = "
+        "k rebinds strictly before the use).",
+        score=4.0,
+        scanner=scan.scan_deep_rebind_provenance,
+        tags=["dataflow"],
+        positive_examples=[
+            [
+                ("c1", 0, "user",
+                 "From now on use staging_db instead of prod_db.", None),
+                ("c1", 1, "user",
+                 "From now on use archive_db instead of staging_db.", None),
+                ("c1", 2, "assistant",
+                 "Querying the current database for records about Lima.", "db_query"),
+            ]
+        ],
+        negative_examples=[
+            [
+                ("c1", 0, "user",
+                 "From now on use staging_db instead of prod_db.", None),
+                ("c1", 1, "assistant",
+                 "Querying the current database for records about Lima.", "db_query"),
+            ],
+            [
+                ("c2", 0, "assistant",
+                 "Querying the current database for records about Oslo.", "db_query"),
+            ],
+        ],
+    ),
+    Query(
         name="alias-chain",
         author=_A,
         title="Alias component needs multi-hop resolution",
@@ -1644,6 +1679,7 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     "dataflow": (
         "rebind-conversation", "stale-binding-use", "dead-rebind",
         "default-binding-use", "mixed-db-query", "rebind-churn",
+        "deep-rebind-provenance",
     ),
     # request/response completeness and call hygiene
     "callgraph": (
