@@ -70,6 +70,13 @@ STARTERS: dict[str, str] = {
     "facts_about": (
         "SELECT * FROM tpg_triples_final WHERE subj = :key OR obj = :key"
     ),
+    # co-mention neighborhood of one entity (the graph-analytics probe
+    # behind rank/communities/closeness/link-prediction)
+    "comentions_of": (
+        "SELECT DISTINCT l2.entity_key AS other "
+        "FROM tpg_linked l1 JOIN tpg_linked l2 ON l1.conv_id = l2.conv_id "
+        "WHERE l1.entity_key = :key AND l2.entity_key <> :key"
+    ),
 }
 
 

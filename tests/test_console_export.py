@@ -25,6 +25,10 @@ def test_console_and_export(spark, make_transcripts, entities, tmp_path):
     facts = console.sql(spark, "facts_about", key="paris").collect()
     preds = {r.pred for r in facts}
     assert {"has_temperature", "has_condition"} <= preds
+    others = {
+        r.other for r in console.sql(spark, "comentions_of", key="paris").collect()
+    }
+    assert "weather_api" in others and "paris" not in others
 
     counts = export_neo4j_csv(g, str(tmp_path / "neo"))
     assert counts["nodes_turn"] == 4
