@@ -745,3 +745,52 @@ def test_merge_comention_edges_equals_oneshot(spark):
         (r.a, r.b, r.n_convs) for r in entity_cooccurrence(df).collect()
     }
     assert merged == oneshot and merged
+
+
+def test_round4_ops_degenerate_inputs(spark):
+    """Empty/degenerate inputs flow through the new graph ops without
+    errors and with the documented results: empty graphs yield empty
+    outputs with the right schemas, an empty delta merge is the
+    identity, and a no-match BM25 query set yields nothing."""
+    from joern_spark.operators.rank import (
+        entity_closeness,
+        entity_common_neighbors,
+        entity_cooccurrence,
+        merge_comention_edges,
+    )
+    from joern_spark.operators.slice import ddg_backward_slice
+    from joern_spark.operators.textstats import bm25_topk
+
+    empty_edges = spark.createDataFrame(
+        [], "a string, b string, n_convs long"
+    )
+    out = entity_closeness(empty_edges)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == [
+        "entity_key", "n_reached", "closeness",
+    ]
+    assert entity_common_neighbors(empty_edges).count() == 0
+
+    base = entity_cooccurrence(
+        spark.createDataFrame(
+            [("c1", "x"), ("c1", "y")], "conv_id string, surface string"
+        )
+    )
+    empty_m = spark.createDataFrame([], "conv_id string, surface string")
+    merged = {
+        (r.a, r.b, r.n_convs)
+        for r in merge_comention_edges(base, empty_m).collect()
+    }
+    assert merged == {(r.a, r.b, r.n_convs) for r in base.collect()}
+
+    reaching = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, var string, def_idx int"
+    )
+    sinks = spark.createDataFrame([("c1", 3)], "conv_id string, turn_idx int")
+    assert ddg_backward_slice(reaching, sinks).count() == 0
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    q = spark.createDataFrame(
+        [("q0", "nomatch")], "query_id string, qtext string"
+    )
+    assert bm25_topk(docs, q).count() == 0
