@@ -346,7 +346,10 @@ def expand_paths_hetero(
             .where(F.col("c.crossings") + F.col("e.crossing") <= max_crossings)
         )
         stack, cur_conv = F.col("c.stack"), F.col("c.cur_conv")
-        top = F.element_at(stack, -1)
+        # try_element_at: NULL on an empty stack instead of the ANSI
+        # INVALID_ARRAY_INDEX error — the (size > 0) conjunct below does
+        # NOT contractually short-circuit under Catalyst reordering
+        top = F.try_element_at(stack, F.lit(-1))
         is_intra = cur_conv.isNull() | (conv_new == cur_conv)
         is_return = (F.size(stack) > 0) & (conv_new == top)
         if realizable:

@@ -74,8 +74,12 @@ def _rd_group(conv_id: str, var: str, edges_pdf, def_turns: list[int]):
     all_bits = (1 << len(defs)) - 1
     kill = {t: (all_bits if t in bit else 0) for t in nodes}
 
-    # reverse post-order from all entry nodes (iterative DFS)
-    entries = sorted(n for n in nodes if n not in preds) or [min(nodes)]
+    # reverse post-order from all entry nodes (iterative DFS), then from a
+    # representative of every still-unvisited component — a cycle-only
+    # component has no pred-less entry and would otherwise never make the
+    # worklist (empty IN sets forever)
+    entries = sorted(n for n in nodes if n not in preds)
+    entries += sorted(nodes - set(entries))
     rpo: list[int] = []
     seen: set[int] = set()
     for e in entries:
@@ -171,8 +175,19 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("src_idx").alias("ns"),
             F.countDistinct("dst_idx").alias("nd"),
+            # a pure ring or an index-decreasing chain has uniform degree 1
+            # but the "latest def strictly before by index" closed form is
+            # wrong for it — any edge running against turn_idx order (or a
+            # self-loop) routes the conversation to the worklist kernel
+            F.max(
+                (F.col("src_idx") >= F.col("dst_idx")).cast("int")
+            ).alias("back"),
         )
-        .where((F.col("n") > F.col("ns")) | (F.col("n") > F.col("nd")))
+        .where(
+            (F.col("n") > F.col("ns"))
+            | (F.col("n") > F.col("nd"))
+            | (F.col("back") == 1)
+        )
         .select("conv_id")
     )
 
@@ -216,8 +231,12 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
         .select("n.conv_id", "n.turn_idx", "da.var", "da.dts")
         .withColumn(
             "def_idx",
-            F.element_at(
-                F.filter("dts", lambda d: d < F.col("turn_idx")), -1
+            # try_element_at: the filtered array is EMPTY for any node with
+            # no preceding def, and plain element_at(…, -1) on an empty
+            # array throws under Spark 4's default ANSI mode (the driver
+            # runs ANSI-on even though session.py pins it off)
+            F.try_element_at(
+                F.filter("dts", lambda d: d < F.col("turn_idx")), F.lit(-1)
             ),
         )
         .where(F.col("def_idx").isNotNull())

@@ -736,7 +736,9 @@ def _kmv_overlap_from(sk: DataFrame, k: int) -> DataFrame:
     agg = topk.groupBy("lang_a", "lang_b").agg(
         F.count("*").alias("k_used"),
         F.max("h").alias("kth_hash"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        # DuckDB sum(int) is HUGEINT (the driver canonicalizes it as a
+        # float); both engines pin BIGINT so the value hashes agree
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
     )
     union_est = F.when(
         F.col("k_used") < k, F.col("k_used").cast("double")

@@ -1464,7 +1464,7 @@ topk AS (
 )
 SELECT lang_a, lang_b,
        count(*) AS k_used,
-       sum(in_a * in_b) AS n_both,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
        {jac} AS jaccard,
        {union_est} AS union_est,
        ({jac}) * ({union_est}) AS inter_est

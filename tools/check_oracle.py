@@ -24,12 +24,23 @@ TESTDATA_TABLES = [
 
 
 def norm_cell(v) -> str:
-    if v is None:
+    """TYPE-EXACT canonicalization, matching the driver's gate: a BIGINT 31
+    and a float 31.0 must hash differently (round 4 shipped a HUGEINT
+    oracle column the builder's old %.6g normalization could not see)."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or (isinstance(v, float) and v != v):
         return "␀"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        # round-to-6-decimals then repr: keeps float-ness (31.0 → '31.0',
+        # so an integer column emitted as DOUBLE/HUGEINT on one side still
+        # mismatches an exact BIGINT '31') while tolerating the last-ULP
+        # drift the driver's gate demonstrably tolerates on green queries
+        return repr(round(v, 6))
     return str(v)
 
 
@@ -46,7 +57,13 @@ def main(names=None):
     import __spark_entry__ as E
     from joern_spark.session import get_spark
 
-    spark = get_spark(cores=8)
+    # ANSI ON — the driver's session keeps Spark 4's default, so the code
+    # (not the session pin in session.py, which stays ANSI-off for prod)
+    # must tolerate ANSI semantics; running the gate replica ANSI-on is
+    # what catches the element_at-on-empty-array class of crash
+    spark = get_spark(
+        cores=8, extra_conf={"spark.sql.ansi.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -59,9 +76,16 @@ def main(names=None):
         if names and name not in names:
             continue
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
-        scols = sorted(sdf.columns)
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sorted(sdf.columns)
+            # toPandas, like the driver — numpy-typed cells, not Row objects
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} SPARK ERROR: {str(e)[:200]}")
+            failures += 1
+            continue
         sql = os_.get(name)
         if sql is None:
             print(f"{name:28s} rows={len(srows):8d}  (no oracle — rows-only)")
@@ -69,7 +93,10 @@ def main(names=None):
         try:
             res = con.sql(sql)
             ocols = sorted(res.columns)
-            orows = res.fetchall()
+            # .df(), like the driver — DuckDB HUGEINT lands as float64
+            # here (pandas has no int128), exposing oracle type drift
+            opdf = res.df()
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"{name:28s} ORACLE ERROR: {str(e)[:200]}")
             failures += 1
