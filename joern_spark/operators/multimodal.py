@@ -173,6 +173,77 @@ def frame_sample(documents: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 RESIZE_MAX = 64
+# Resample target for the pixel path: small enough that most fixture
+# images (≤13×11) genuinely downscale, mirrored literally by the oracle.
+RESIZE_PIXELS_SIDE = 4
+RESIZE_PNG_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int, "
+    "n_pixels bigint, pixel_hex string"
+)
+
+
+def _nn_resample(px: bytes, w: int, h: int, ch: int, ow: int, oh: int) -> bytes:
+    """Nearest-neighbor resample (floor mapping src = (dst·in)//out) —
+    the integer form both engines reproduce exactly."""
+    out = bytearray(ow * oh * ch)
+    j = 0
+    for y in range(oh):
+        sy = (y * h) // oh
+        row = sy * w
+        for x in range(ow):
+            i = (row + (x * w) // ow) * ch
+            out[j : j + ch] = px[i : i + ch]
+            j += ch
+    return bytes(out)
+
+
+def resize_pixels(
+    documents: DataFrame, max_side: int = RESIZE_PIXELS_SIDE
+) -> DataFrame:
+    """REAL pixel resample through the real codec — the completion of the
+    decode work (joern-cli's export pipeline renders per-method images of
+    dot dumps; the transcript analog is thumbnailing multimodal payloads
+    before feature extraction). Decode the PNG with the stdlib codec
+    (functions/png.py), nearest-neighbor resample to the aspect-preserving
+    geometry `resize_dims` plans (floor mapping, never upscaling), and
+    emit the resampled buffer as hex. Because the fixture pixels have a
+    closed form, the oracle recomputes every OUTPUT byte without a codec:
+    out(x,y,c) = gradient((((y·h)//oh)·w + (x·w)//ow)·ch + c) — one wrong
+    unfilter OR one wrong resample index fails the hash.
+
+    Scale shape: mapInPandas end-to-end — encode→decode→resample per row
+    inside one Arrow batch, no shuffle at all; a task holds at most
+    maxRecordsPerBatch thumbnails."""
+    import pandas as pd  # noqa: PLC0415 — executor-side
+
+    from joern_spark.functions.png import decode_png
+
+    pngs = with_png(documents)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "out_w": [],
+                   "out_h": [], "n_pixels": [], "pixel_hex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, w, h, ct = decode_png(bytes(payload))
+                ch = {0: 1, 2: 3, 6: 4}[ct]
+                longest = max(w, h)
+                if longest <= max_side:
+                    ow, oh = w, h
+                else:
+                    ow = max(w * max_side // longest, 1)
+                    oh = max(h * max_side // longest, 1)
+                rp = _nn_resample(px, w, h, ch, ow, oh)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["n_pixels"].append(len(rp))
+                out["pixel_hex"].append(rp.hex())
+            yield pd.DataFrame(out)
+
+    return pngs.mapInPandas(run, schema=RESIZE_PNG_SCHEMA)
 
 
 def resize_dims(documents: DataFrame, max_side: int = RESIZE_MAX) -> DataFrame:

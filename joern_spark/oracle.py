@@ -827,6 +827,62 @@ FROM x WHERE def_idx IS NOT NULL
 """
 
 
+def reaching_cyclic_sql(sf: float) -> str:
+    """Cyclic closed form for queries.q_reaching_cyclic: on a ring built
+    from a chain plus one last→first back-edge, every node has in-degree
+    exactly 1, so IN(n) = OUT(pred) = the latest definition strictly
+    before n in CYCLIC order — i.e. the window closed form, wrapping to
+    the conversation's last definition when no earlier one exists. Chain
+    conversations (odd md5) keep the plain strictly-preceding form."""
+    rebind = RULES_BY_NAME["rebind"]
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN {_rule_where(rebind)} THEN turn_idx END AS def_at,
+         (('0x' || substr(md5(conv_id), 1, 15))::BIGINT) % 2 = 0 AS ring
+  FROM t
+),
+x AS (
+  SELECT conv_id, turn_idx, ring,
+         last_value(def_at IGNORE NULLS) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_def,
+         max(def_at) OVER (PARTITION BY conv_id) AS wrap_def
+  FROM d
+)
+SELECT conv_id, turn_idx, 'db' AS var,
+       (CASE WHEN ring THEN coalesce(prev_def, wrap_def)
+             ELSE prev_def END)::INTEGER AS def_idx
+FROM x
+WHERE (CASE WHEN ring THEN coalesce(prev_def, wrap_def)
+            ELSE prev_def END) IS NOT NULL
+"""
+
+
+def reaching_multi_sql(sf: float) -> str:
+    """Per-variable window closed form, unioned across the two tracked
+    variables ('db' ← rebind, 'city' ← ask) — the multi-var twin of
+    reaching_defs_sql."""
+    branches = []
+    for rule_name, var in (("rebind", "db"), ("ask", "city")):
+        rule = RULES_BY_NAME[rule_name]
+        branches.append(f"""
+SELECT conv_id, turn_idx, '{var}' AS var, def_idx::INTEGER AS def_idx
+FROM (
+  SELECT conv_id, turn_idx,
+         last_value(CASE WHEN {_rule_where(rule)} THEN turn_idx END
+                    IGNORE NULLS) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS def_idx
+  FROM t
+) WHERE def_idx IS NOT NULL""")
+    return (
+        f"WITH t AS (SELECT * FROM {t_src(sf)})"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 def ddg_slice_sql(sf: float, depth: int = 3) -> str:
     """Transitive ddgIn twin (slice.ddg_backward_slice): the hops
     unrolled as joins against the closed-form reaching table — hop h+1

@@ -1002,6 +1002,55 @@ GROUP BY d.doc_id
 """
 
 
+def resize_pixels_sql() -> str:
+    """Closed-form twin of multimodal.resize_pixels: output byte j of the
+    nearest-neighbor thumbnail maps to source index
+    i = ((y·h//oh)·w + (x·w//ow))·ch + c with (y, x, c) decomposed from j,
+    and the source byte is the gradient (doc_id·131 + i·7) mod 256 — so
+    the oracle recomputes every RESAMPLED byte with no codec and no
+    resampler; a wrong unfilter path OR a wrong resample index fails."""
+    from joern_spark.operators.multimodal import (
+        PNG_MOD_H,
+        PNG_MOD_W,
+        RESIZE_PIXELS_SIDE,
+    )
+
+    m = RESIZE_PIXELS_SIDE
+    max_j = m * m * 3  # downscaled dims never exceed m; RGB ch = 3
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % {PNG_MOD_W} AS w,
+         1 + (doc_id >> 3) % {PNG_MOD_H} AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h, ch,
+         CASE WHEN greatest(w, h) <= {m} THEN w
+              ELSE greatest((w * {m}) // greatest(w, h), 1) END AS ow,
+         CASE WHEN greatest(w, h) <= {m} THEN h
+              ELSE greatest((h * {m}) // greatest(w, h), 1) END AS oh
+  FROM d
+)
+SELECT g.doc_id,
+       any_value(g.w)::INT AS width,
+       any_value(g.h)::INT AS height,
+       any_value(g.ow)::INT AS out_w,
+       any_value(g.oh)::INT AS out_h,
+       any_value(g.ow * g.oh * g.ch)::BIGINT AS n_pixels,
+       string_agg(printf('%02x',
+         (g.doc_id * 131 +
+          (((t.j // (g.ow * g.ch)) * g.h // g.oh) * g.w
+           + ((t.j % (g.ow * g.ch)) // g.ch) * g.w // g.ow) * g.ch * 7
+          + (t.j % g.ch) * 7) % 256),
+         '' ORDER BY t.j) AS pixel_hex
+FROM g, range(0, {max_j}) t(j)
+WHERE t.j < g.ow * g.oh * g.ch
+GROUP BY g.doc_id
+"""
+
+
 def image_meta_sql() -> str:
     h = H.format(x="text")
     return f"""

@@ -155,6 +155,73 @@ def q_ddg_slice(spark, sf_dir):
     return ddg_backward_slice(q_reaching_defs(spark, sf_dir), sinks)
 
 
+def _next_turn_cfg(t):
+    """(conv_id, src_idx, dst_idx) — the linear NEXT_TURN CFG."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.select(
+            "conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx")
+        )
+        .where(F.col("next_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("src_idx"),
+            F.col("next_idx").alias("dst_idx"),
+        )
+    )
+
+
+def _rule_defs(t, rule_name: str, var: str):
+    r = RULES_BY_NAME[rule_name]
+    cond = F.col("text").rlike(r.pattern)
+    if r.role:
+        cond = (F.col("role") == r.role) & cond
+    return t.where(cond).select("conv_id", "turn_idx", F.lit(var).alias("var"))
+
+
+def q_reaching_cyclic(spark, sf_dir):
+    """Reaching definitions on a corpus where HALF the conversations are
+    real rings: conversations with an even md5 hash get a back-edge from
+    their last turn to their first (a retry/replay loop — the transcript
+    analog of a loop header). Those conversations route to the worklist
+    kernel (the shape-split sends any src_idx ≥ dst_idx edge there); the
+    rest stay on the window closed form. The oracle's ring branch is the
+    cyclic closed form — latest def strictly before, wrapping to the
+    conversation's LAST def when none precedes — so the kernel's fixpoint
+    on genuine cycles is driver-gated, not just pytest-gated."""
+    from joern_spark.functions.hashing import md5_long
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    t = _t(spark, sf_dir)
+    edges = _next_turn_cfg(t)
+    back = (
+        t.groupBy("conv_id")
+        .agg(F.min("turn_idx").alias("dst_idx"), F.max("turn_idx").alias("src_idx"))
+        .where(md5_long(F.col("conv_id")) % 2 == 0)
+        .select("conv_id", "src_idx", "dst_idx")
+    )
+    defs = _rule_defs(t, "rebind", "db")
+    return reaching_definitions(edges.unionByName(back), defs)
+
+
+def q_reaching_multi(spark, sf_dir):
+    """Multi-variable reaching definitions over the linear CFG: rebind
+    turns define 'db', ask turns define 'city' — two independent
+    (conv, var) sub-problems per conversation, exercising the kernel's
+    per-variable group split (the salting that replaces the reference's
+    4000-def bail-out). Oracle: the same per-var window closed form,
+    unioned."""
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    t = _t(spark, sf_dir)
+    defs = _rule_defs(t, "rebind", "db").unionByName(
+        _rule_defs(t, "ask", "city")
+    )
+    return reaching_definitions(_next_turn_cfg(t), defs)
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -1062,6 +1129,14 @@ def q_mm_resize_dims(spark, sf_dir):
     return multimodal.resize_dims(read_documents(spark, sf_dir))
 
 
+def q_mm_resize_pixels(spark, sf_dir):
+    """Nearest-neighbor thumbnail THROUGH the real stdlib PNG codec:
+    encode → zlib/unfilter decode → integer-floor resample, all inside
+    one Arrow batch; the oracle recomputes every resampled byte from the
+    fixture gradient's closed form."""
+    return multimodal.resize_pixels(read_documents(spark, sf_dir))
+
+
 def q_mm_frame_sample(spark, sf_dir):
     """Every-2nd 16-byte frame per payload (pure JVM substring explode);
     frames compared as hex so the oracle stays in VARCHAR space (DuckDB
@@ -1137,6 +1212,10 @@ TPG_QUERIES = {
     "mm_decode_png": q_mm_decode_png,
     "tpg_dbcur_general": q_dbcur_general,
     "tpg_ddg_slice": q_ddg_slice,
+    # round-5 additions (must sit inside the first-50 driver gate window)
+    "tpg_reaching_cyclic": q_reaching_cyclic,
+    "tpg_reaching_multi": q_reaching_multi,
+    "mm_resize_pixels": q_mm_resize_pixels,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

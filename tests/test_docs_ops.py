@@ -1255,3 +1255,58 @@ def test_decode_image_matches_fixture_gradient(spark):
         r = got[d]
         assert (r.width, r.height, r.n_pixels) == (w, h, len(exp))
         assert r.pixel_hex == exp.hex()
+
+
+def test_nn_resample_kernel_exact():
+    """Pure-Python resample kernel vs a naive per-pixel reference, over
+    every (w, h, ow, oh, ch) combination small enough to enumerate —
+    including identity (ow=w), 1-pixel targets, and channel preservation."""
+    from joern_spark.operators.multimodal import _nn_resample
+
+    for w in (1, 2, 5, 13):
+        for h in (1, 3, 11):
+            for ch in (1, 3):
+                px = bytes((i * 7 + 3) % 256 for i in range(w * h * ch))
+                for ow in (1, 2, min(4, w), w):
+                    for oh in (1, min(4, h), h):
+                        got = _nn_resample(px, w, h, ch, ow, oh)
+                        exp = bytearray()
+                        for y in range(oh):
+                            for x in range(ow):
+                                sy, sx = (y * h) // oh, (x * w) // ow
+                                i = (sy * w + sx) * ch
+                                exp += px[i : i + ch]
+                        assert got == bytes(exp), (w, h, ch, ow, oh)
+
+
+def test_resize_pixels_through_codec(spark):
+    """resize_pixels drives the REAL codec end-to-end: dims follow the
+    aspect-preserving plan (never upscaling, floor ≥ 1) and every output
+    byte equals the gradient at the nearest-neighbor source index."""
+    from joern_spark.operators.multimodal import resize_pixels
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(40)], "doc_id long, text string"
+    )
+    m = 4
+    got = {r.doc_id: r for r in resize_pixels(docs, max_side=m).collect()}
+    assert len(got) == 40
+    for d in range(40):
+        w = 1 + d % 13
+        h = 1 + (d >> 3) % 11
+        ch = 1 if d % 2 == 0 else 3
+        longest = max(w, h)
+        if longest <= m:
+            ow, oh = w, h
+        else:
+            ow, oh = max(w * m // longest, 1), max(h * m // longest, 1)
+        r = got[d]
+        assert (r.width, r.height, r.out_w, r.out_h) == (w, h, ow, oh)
+        assert r.out_w <= max(w, m) and r.out_h <= max(h, m)
+        exp = bytearray()
+        for y in range(oh):
+            for x in range(ow):
+                i = (((y * h) // oh) * w + (x * w) // ow) * ch
+                exp += bytes((d * 131 + (i + c) * 7) % 256 for c in range(ch))
+        assert r.n_pixels == len(exp)
+        assert r.pixel_hex == bytes(exp).hex(), d

@@ -472,6 +472,44 @@ def test_reaching_defs_kernel_equals_window_on_chains(spark):
     assert kernel == operator
 
 
+def test_reaching_defs_routes_rings_and_backwards_chains(spark):
+    """Uniform-degree-1 shapes the window closed form would get WRONG
+    must reach the kernel: a pure ring (every node in/out-degree 1, def
+    flows around the back-edge), a backwards chain (2→1→0, def at the
+    index-largest node reaches the smaller ones), a self-loop, and a
+    cycle-only second component next to a normal chain."""
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    edges = spark.createDataFrame(
+        [
+            # ring: 0→1→2→0, def at 1 — reaches 2, 0 and itself
+            ("ring", 0, 1), ("ring", 1, 2), ("ring", 2, 0),
+            # backwards chain: 5→2→0, def at 5
+            ("back", 5, 2), ("back", 2, 0),
+            # self-loop single node with a def
+            ("self", 0, 0),
+            # mixed: forward chain 0→1 plus a disjoint 2-cycle 8↔9
+            ("mix", 0, 1), ("mix", 8, 9), ("mix", 9, 8),
+        ],
+        "conv_id string, src_idx int, dst_idx int",
+    )
+    defs = spark.createDataFrame(
+        [("ring", 1, "v"), ("back", 5, "v"), ("self", 0, "v"),
+         ("mix", 0, "v"), ("mix", 8, "v")],
+        "conv_id string, turn_idx int, var string",
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.var, r.def_idx)
+        for r in reaching_definitions(edges, defs).collect()
+    }
+    assert got == {
+        ("ring", 0, "v", 1), ("ring", 1, "v", 1), ("ring", 2, "v", 1),
+        ("back", 0, "v", 5), ("back", 2, "v", 5),
+        ("self", 0, "v", 0),
+        ("mix", 1, "v", 0), ("mix", 8, "v", 8), ("mix", 9, "v", 8),
+    }
+
+
 def test_reaching_defs_size_guard(monkeypatch):
     import joern_spark.operators.dataflow as dfm
     import pytest

@@ -19,25 +19,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
-# Names that must have a driver row in CORRECTNESS_r04: never covered in
-# r1-r3 plus every round-4 addition.
+# Names that must have a driver row in CORRECTNESS_r05: the four queries
+# with no driver-green row in any round (red in r4 — ANSI crash / HUGEINT
+# oracle type, both fixed this round) plus every round-5 addition.
 MUST_BE_IN_WINDOW = {
-    "tpg_entity_communities",
-    "tpg_entity_kcore",
-    "doc_kmv_distinct",
-    "doc_kmv_overlap",
-    "doc_weighted_sample",
-    "doc_dsir",
-    # round-4 additions
+    # never-green (r4 reds, fixed in r5)
     "tpg_reaching_defs",
-    "mm_decode_png",
     "tpg_dbcur_general",
-    "ev_sessions",
-    "tpg_cross_paths_nested",
-    "doc_bm25",
     "tpg_ddg_slice",
-    "tpg_entity_closeness",
-    "tpg_entity_suggest",
+    "doc_kmv_overlap",
+    # round-5 additions
+    "tpg_reaching_cyclic",
+    "tpg_reaching_multi",
+    "mm_resize_pixels",
 }
 
 
