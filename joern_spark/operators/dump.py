@@ -1,0 +1,207 @@
+"""Per-conversation, per-representation debug dumps — the
+`joern-export --repr ast|cfg|ddg|cdg|pdg` analog.
+
+The reference emits one dot file per method and representation via
+DumpAst/DumpCfg/DumpDdg/DumpPdg (joern-cli/src/main/scala/io/joern/
+joerncli/JoernExport.scala:97-131); the transcript analog is one dot
+dump per CONVERSATION: ast = CONTAINS, cfg = NEXT_TURN, ddg =
+REACHING_DEF (from the general gen/kill kernel, any CFG shape), cdg =
+control dependence, pdg = ddg ∪ cdg — the first thing a user debugging
+one conversation's dataflow reaches for.
+
+Everything is declarative line-building (concat over the edge tables —
+whole-stage codegen, no Python), so a dump of ONE conversation prunes
+to that conversation's partitions, and a dump of the whole corpus is an
+embarrassingly parallel projection. Node and edge identifiers here are
+turn indexes / rule variables (alphanumeric by construction), so lines
+need no dot escaping and the DuckDB oracle rebuilds them with plain
+string concatenation.
+
+Line table shape: (conv_id, section, line) with section 0=header,
+1=nodes, 2=edges, 3=footer — sorting by (section, line) inside a
+conversation yields a valid dot document; only conversations with at
+least one edge in the representation produce a dump.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DUMP_REPRS = ("ast", "cfg", "ddg", "cdg", "pdg")
+
+
+def _dot_lines(
+    name: str, edges: DataFrame, roles: DataFrame, label_col: str | None
+) -> DataFrame:
+    """Assemble (conv_id, section, line) dot lines from an edge table
+    (conv_id, src_idx, dst_idx[, label]) + per-turn roles
+    (conv_id, turn_idx, role)."""
+    e = edges.select(
+        "conv_id",
+        F.col("src_idx").cast("string").alias("src"),
+        F.col("dst_idx").cast("string").alias("dst"),
+        (F.col(label_col) if label_col else F.lit(None).cast("string")).alias(
+            "lbl"
+        ),
+    )
+    # four line branches re-read this edge table; pin it once — it IS the
+    # dump content (bounded by the dump size), and the shared lineage
+    # otherwise trips Spark's PartitioningCollection numPartitions check
+    # when the reaching-defs union (window ∪ kernel partitionings) feeds
+    # the union-of-branches plan
+    e = e.localCheckpoint(eager=False)
+    convs = e.select("conv_id").distinct()
+    header = convs.select(
+        "conv_id",
+        F.lit(0).alias("section"),
+        F.concat(
+            F.lit(f'digraph "{name}_'), F.col("conv_id"), F.lit('" {')
+        ).alias("line"),
+    )
+    # explode, not union-of-projections: one lineage (a union of two
+    # differently-partitioned children feeding the roles join trips
+    # Spark's PartitioningCollection numPartitions check), one scan
+    nodes = (
+        e.select(
+            "conv_id",
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("idx"),
+        )
+        .distinct()
+    )
+    node_roles = nodes.alias("n").join(
+        roles.select(
+            "conv_id", F.col("turn_idx").cast("string").alias("idx"), "role"
+        ).alias("r"),
+        ["conv_id", "idx"],
+        "left",
+    )
+    node_lines = node_roles.select(
+        "conv_id",
+        F.lit(1).alias("section"),
+        F.concat(
+            F.lit('  "'),
+            F.col("idx"),
+            F.lit('" [label="'),
+            F.coalesce(F.col("role"), F.lit("conv")),
+            F.lit(" "),
+            F.col("idx"),
+            F.lit('"];'),
+        ).alias("line"),
+    )
+    edge_lines = e.select(
+        "conv_id",
+        F.lit(2).alias("section"),
+        F.concat(
+            F.lit('  "'),
+            F.col("src"),
+            F.lit('" -> "'),
+            F.col("dst"),
+            F.when(
+                F.col("lbl").isNotNull(),
+                F.concat(F.lit('" [label="'), F.col("lbl"), F.lit('"];')),
+            ).otherwise(F.lit('";')),
+        ).alias("line"),
+    ).distinct()
+    footer = convs.select(
+        "conv_id", F.lit(3).alias("section"), F.lit("}").alias("line")
+    )
+    return (
+        header.unionByName(node_lines)
+        .unionByName(edge_lines)
+        .unionByName(footer)
+    )
+
+
+def dump_repr(
+    transcripts: DataFrame,
+    repr_name: str,
+    conv_ids: list[str] | None = None,
+    rule: str = "rebind",
+    var: str = "db",
+    cfg_edges: DataFrame | None = None,
+) -> DataFrame:
+    """(conv_id, section, line): the dot dump of one representation for
+    every conversation (or the given subset — the filter lands on the
+    transcripts scan, so a single-conversation dump reads one
+    conversation).
+
+    ddg edges come from the general reaching-definitions kernel
+    (operators/dataflow.py — any CFG shape), with `rule` turns defining
+    `var`; pdg = ddg ∪ cdg with layer labels, the PdgGenerator union
+    (joern-cli JoernExport.scala:120-126). `cfg_edges` overrides the
+    NEXT_TURN chain with a custom control-flow table (conv_id, src_idx,
+    dst_idx) — branching/cyclic shapes flow through the same dump."""
+    if repr_name not in DUMP_REPRS:
+        raise ValueError(f"unknown repr {repr_name!r}; one of {DUMP_REPRS}")
+    if conv_ids is not None:
+        transcripts = transcripts.where(F.col("conv_id").isin(list(conv_ids)))
+        if cfg_edges is not None:
+            cfg_edges = cfg_edges.where(
+                F.col("conv_id").isin(list(conv_ids))
+            )
+    roles = transcripts.select("conv_id", "turn_idx", "role")
+    edges, label_col = _repr_edges(transcripts, repr_name, rule, var, cfg_edges)
+    return _dot_lines(repr_name, edges, roles, label_col)
+
+
+def _repr_edges(transcripts, repr_name, rule, var, cfg_edges=None):
+    from joern_spark.operators.cfg import cdg_from_edges
+    from joern_spark.operators.dataflow import reaching_definitions
+    from joern_spark.queries import _next_turn_cfg, _rule_defs
+
+    def _cfg():
+        return cfg_edges if cfg_edges is not None else _next_turn_cfg(transcripts)
+
+    if repr_name == "cfg":
+        return _cfg(), None
+    if repr_name == "ast":
+        # depth-1 containment: conversation root rendered as node -1
+        return (
+            transcripts.select(
+                "conv_id",
+                F.lit(-1).alias("src_idx"),
+                F.col("turn_idx").alias("dst_idx"),
+            ),
+            None,
+        )
+    if repr_name == "cdg":
+        return cdg_from_edges(_cfg()), None
+    ddg = reaching_definitions(
+        _cfg(), _rule_defs(transcripts, rule, var)
+    ).select(
+        "conv_id",
+        F.col("def_idx").alias("src_idx"),
+        F.col("turn_idx").alias("dst_idx"),
+        F.col("var").alias("lbl"),
+    )
+    if repr_name == "ddg":
+        return ddg, "lbl"
+    cdg = cdg_from_edges(_cfg()).select(
+        "conv_id", "src_idx", "dst_idx", F.lit("cdg").alias("lbl")
+    )
+    return ddg.unionByName(cdg), "lbl"
+
+
+def export_repr_dot(
+    transcripts: DataFrame,
+    repr_name: str,
+    out_dir: str,
+    conv_ids: list[str] | None = None,
+    **kwargs,
+) -> int:
+    """Write one dot document per conversation under
+    out_dir/conv_id=<id>/ (partitioned text write — each conversation's
+    lines land in its own directory, the distributed analog of the
+    reference's one-file-per-method dump tree). Returns the number of
+    conversations dumped."""
+    lines = dump_repr(transcripts, repr_name, conv_ids, **kwargs)
+    (
+        lines.repartition("conv_id")
+        .sortWithinPartitions("conv_id", "section", "line")
+        .select("conv_id", "line")
+        .write.mode("overwrite")
+        .partitionBy("conv_id")
+        .text(out_dir)
+    )
+    return lines.select("conv_id").distinct().count()

@@ -860,6 +860,55 @@ WHERE (CASE WHEN ring THEN coalesce(prev_def, wrap_def)
 """
 
 
+def ddg_dot_sql(sf: float) -> str:
+    """Dot-dump twin (operators/dump.dump_repr 'ddg'): the closed-form
+    reaching table rebuilt as the same header/node/edge/footer lines the
+    Spark side concatenates — identifiers are turn indexes and the rule
+    variable, alphanumeric by construction, so plain concatenation is
+    parity-exact."""
+    rebind = RULES_BY_NAME["rebind"]
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+x AS (
+  SELECT conv_id, turn_idx,
+         last_value(CASE WHEN {_rule_where(rebind)} THEN turn_idx END
+                    IGNORE NULLS) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS def_idx
+  FROM t
+),
+e AS (
+  SELECT conv_id, def_idx AS src, turn_idx AS dst
+  FROM x WHERE def_idx IS NOT NULL
+),
+c AS (SELECT DISTINCT conv_id FROM e),
+n AS (
+  SELECT conv_id, src AS idx FROM e
+  UNION
+  SELECT conv_id, dst AS idx FROM e
+),
+nr AS (
+  SELECT n.conv_id, n.idx, t.role
+  FROM n JOIN t ON t.conv_id = n.conv_id AND t.turn_idx = n.idx
+)
+SELECT conv_id, 0 AS section,
+       'digraph "ddg_' || conv_id || '" {{' AS line
+FROM c
+UNION ALL
+SELECT conv_id, 1,
+       '  "' || idx::VARCHAR || '" [label="' || role || ' '
+           || idx::VARCHAR || '"];'
+FROM nr
+UNION ALL
+SELECT DISTINCT conv_id, 2,
+       '  "' || src::VARCHAR || '" -> "' || dst::VARCHAR
+           || '" [label="db"];'
+FROM e
+UNION ALL
+SELECT conv_id, 3, '}}' FROM c
+"""
+
+
 def reaching_multi_sql(sf: float) -> str:
     """Per-variable window closed form, unioned across the two tracked
     variables ('db' ← rebind, 'city' ← ask) — the multi-var twin of

@@ -222,6 +222,17 @@ def q_reaching_multi(spark, sf_dir):
     return reaching_definitions(_next_turn_cfg(t), defs)
 
 
+def q_ddg_dot(spark, sf_dir):
+    """Per-conversation DDG dot dump — the `joern-export --repr ddg`
+    analog (JoernExport.scala:97-131): (conv_id, section, line) rows that
+    sort into one dot document per conversation; edges are the general
+    kernel's REACHING_DEF table. Pure concat projection (whole-stage
+    codegen), no Python."""
+    from joern_spark.operators.dump import dump_repr
+
+    return dump_repr(_t(spark, sf_dir), "ddg")
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -1216,6 +1227,7 @@ TPG_QUERIES = {
     "tpg_reaching_cyclic": q_reaching_cyclic,
     "tpg_reaching_multi": q_reaching_multi,
     "mm_resize_pixels": q_mm_resize_pixels,
+    "tpg_ddg_dot": q_ddg_dot,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

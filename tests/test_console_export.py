@@ -228,3 +228,73 @@ def test_console_man_lists_starters_and_params():
         assert name in listing
     assert "calls_of_tool(tool) — reads tpg_turns" in listing
     assert C.man("facts_about") == C.STARTERS["facts_about"]
+
+
+def test_repr_dump_round_trip_branching(spark, make_transcripts, tmp_path):
+    """joern-export --repr analog over a branching fixture: ddg edges
+    come from the general kernel on a diamond CFG, cdg from the
+    post-dominance kernel, pdg is their labeled union; the partitioned
+    dot write reads back into exactly the dump lines, one balanced dot
+    document per conversation."""
+    from joern_spark.operators.dump import dump_repr, export_repr_dot
+
+    t = make_transcripts(
+        [
+            ("b", 0, "user", "From now on use dev_db instead of prod_db.", None),
+            ("b", 1, "user", "From now on use test_db instead of dev_db.", None),
+            ("b", 2, "assistant", "ok", None),
+            ("b", 3, "assistant", "ok", None),
+            ("b", 4, "assistant", "done", None),
+        ]
+    )
+    diamond = spark.createDataFrame(
+        [("b", 0, 1), ("b", 0, 2), ("b", 1, 3), ("b", 2, 3), ("b", 3, 4)],
+        "conv_id string, src_idx int, dst_idx int",
+    )
+
+    def lines(repr_name):
+        return {
+            r.line
+            for r in dump_repr(t, repr_name, cfg_edges=diamond).collect()
+            if r.section == 2
+        }
+
+    ddg = lines("ddg")
+    assert ddg == {
+        f'  "{s}" -> "{d}" [label="db"];'
+        for s, d in [(0, 1), (0, 2), (0, 3), (1, 3), (0, 4), (1, 4)]
+    }
+    cdg = lines("cdg")
+    assert cdg == {'  "0" -> "1";', '  "0" -> "2";'}
+    pdg = lines("pdg")
+    assert pdg == ddg | {'  "0" -> "1" [label="cdg"];',
+                         '  "0" -> "2" [label="cdg"];'}
+
+    # cfg/ast reprs come straight from the transcripts
+    cfg_l = {
+        r.line for r in dump_repr(t, "cfg").collect() if r.section == 2
+    }
+    assert cfg_l == {f'  "{i}" -> "{i+1}";' for i in range(4)}
+    ast_l = {
+        r.line for r in dump_repr(t, "ast").collect() if r.section == 2
+    }
+    assert ast_l == {f'  "-1" -> "{i}";' for i in range(5)}
+
+    # round-trip: partitioned write per conversation, read back identical
+    n = export_repr_dot(t, "pdg", str(tmp_path / "pdg"), cfg_edges=diamond)
+    assert n == 1
+    back = (tmp_path / "pdg" / "conv_id=b")
+    text = "".join(
+        p.read_text() for p in sorted(back.glob("part-*"))
+    )
+    assert text.splitlines()[0] == 'digraph "pdg_b" {'
+    assert text.splitlines()[-1] == "}"
+    expected = {
+        r.line for r in dump_repr(t, "pdg", cfg_edges=diamond).collect()
+    }
+    assert set(text.splitlines()) == expected
+
+    # unknown repr refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dump_repr(t, "nope")
