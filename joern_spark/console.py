@@ -85,6 +85,46 @@ def sql(spark: SparkSession, starter: str, **params: str) -> DataFrame:
     return spark.sql(query, args=params) if params else spark.sql(query)
 
 
+def flows(
+    g: GraphResult,
+    src_pattern: str,
+    dst_pattern: str,
+    max_depth: int = 4,
+    max_crossings: int = 1,
+    max_nesting: int = 1,
+) -> DataFrame:
+    """`joern-flow` analog (JoernFlow.scala:21-56: regex-selected
+    sources/sinks + reachableByFlows from the CLI): turns whose text
+    matches `src_pattern` flow to turns matching `dst_pattern` over the
+    NEXT_TURN/LINKS_TO/SAME_AS union — patterns in, evidence paths out
+    (src, dst, depth, crossings, path, labels), no DataFrame composition
+    required. The walk budget is the standard console budget; heavier
+    runs go through functions/hetero.named_flows directly (which can
+    also reuse a cached keep='all' walk)."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark import schemas as S
+    from joern_spark.functions.hetero import named_flows
+
+    edges = g.edges.where(F_.col("label") != S.CONTAINS)
+    return named_flows(
+        g.transcripts,
+        src_pattern,
+        dst_pattern,
+        edges=edges,
+        max_depth=max_depth,
+        max_crossings=max_crossings,
+        max_nesting=max_nesting,
+    ).select(
+        "src",
+        "dst",
+        "depth",
+        "crossings",
+        F_.array_join("path", "->").alias("path"),
+        F_.array_join("labels", "->").alias("labels"),
+    )
+
+
 def run_script(spark: SparkSession, g, path: str):
     """`joern --script` analog (JoernConsole script lifecycle,
     joern-cli/src/main/scala/io/joern/joerncli/console/..., §3.2 of
@@ -131,11 +171,12 @@ def repl(
         "F": F_,
         "sql": lambda starter, **p: sql(spark, starter, **p),
         "man": man,
+        "flows": lambda *a, **k: flows(g, *a, **k),
     }
     if banner is None:
         banner = (
             "joern_spark console — spark, g, F, sql(starter, **params), "
-            "man()\nstarters:\n" + man()
+            "man(), flows(src_pattern, dst_pattern)\nstarters:\n" + man()
         )
     it = iter(lines) if lines is not None else None
 

@@ -211,6 +211,7 @@ def flows_between(
     max_crossings: int = 1,
     id_col: str = "id",
     max_nesting: int = 1,
+    steps: DataFrame | None = None,
 ) -> DataFrame:
     """reachableBy(source, sink) — the reference's two-ended flow query
     (Engine.scala:81-107 runs the solver per SINK against the source
@@ -233,10 +234,78 @@ def flows_between(
         max_crossings=max_crossings,
         id_col=id_col,
         max_nesting=max_nesting,
+        steps=steps,
     )
     sk = sinks.select(F.col(id_col).alias("dst")).dropDuplicates()
     return paths.join(sk, "dst", "left_semi").select(
         "src", "dst", "depth", "crossings", "path", "labels"
+    )
+
+
+def named_flows(
+    transcripts: DataFrame,
+    src_pattern: str,
+    dst_pattern: str,
+    edges: DataFrame | None = None,
+    sems: "list[StepSem] | None" = None,
+    max_depth: int = 4,
+    max_crossings: int = 1,
+    max_nesting: int = 1,
+    steps: DataFrame | None = None,
+    paths: DataFrame | None = None,
+) -> DataFrame:
+    """`joern-flow`-style NAMED flow query (JoernFlow.scala:21-56 selects
+    sources/sinks by regex over parameters and runs reachableByFlows):
+    source turns are those whose text matches `src_pattern`, sink turns
+    those matching `dst_pattern`; the walk itself is flows_between over
+    the heterogeneous edge union. This is the starter a user reaches for
+    from the console/HTTP surface — patterns in, evidence paths out,
+    no DataFrame composition required.
+
+    `paths` short-circuits the walk with a cached keep='all' path set
+    (the session/workspace walk cache): seeds semi-join the cache's src,
+    depth re-budgets by filter, keep='max' re-selects, sinks semi-join —
+    PRECONDITION: the cache's seed set must cover every pattern-matched
+    turn and its depth/crossing budgets must be ≥ the requested ones
+    (the registered query pairs it with the session walk whose seeds are
+    exactly the asking turns). At 100 TB the cached derivation is three
+    semi-joins against an already-materialized table instead of a
+    corpus-wide multi-round walk."""
+    tid = F.concat(
+        F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+    )
+    sources = (
+        transcripts.where(F.col("text").rlike(src_pattern))
+        .select(tid.alias("id"))
+        .dropDuplicates()
+    )
+    sinks = (
+        transcripts.where(F.col("text").rlike(dst_pattern))
+        .select(tid.alias("id"))
+        .dropDuplicates()
+    )
+    if paths is not None:
+        pruned = (
+            paths.where(F.col("depth") <= max_depth)
+            .where(F.col("crossings") <= max_crossings)
+            .join(
+                sources.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+        )
+        return max_length_paths(pruned).join(
+            sinks.select(F.col("id").alias("dst")), "dst", "left_semi"
+        ).select("src", "dst", "depth", "crossings", "path", "labels")
+    if edges is None:
+        raise ValueError("named_flows needs `edges` when no cached `paths`")
+    return flows_between(
+        sources,
+        sinks,
+        edges,
+        sems=sems,
+        max_depth=max_depth,
+        max_crossings=max_crossings,
+        max_nesting=max_nesting,
+        steps=steps,
     )
 
 

@@ -1053,18 +1053,27 @@ steps AS (
 )"""
 
 
-def _hetero_walk_ctes(sf: float, k: int, max_crossings: int) -> str:
+def _hetero_walk_ctes(
+    sf: float, k: int, max_crossings: int, seeds_sql: str | None = None
+) -> str:
     """The heterogeneous keep='all' realizable walk as a reusable CTE
     block (steps + fseeds/walk) — the functions/hetero.py twin shared by
     cross_paths_sql and the flow-scanner branches of findings_sql.
     origin/cur_conv are the single-frame call-stack realizability columns
     (TaskCreator analog): a crossing away from the origin must re-enter
     the current or the origin conversation — provably the max_nesting=1
-    LIFO stack (the one possible frame IS the origin)."""
+    LIFO stack (the one possible frame IS the origin). `seeds_sql`
+    overrides the default queried_about seed set (one column `id`) —
+    the named-flow twin walks from regex-selected turns."""
+    if seeds_sql is None:
+        seeds_sql = (
+            "SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+            f" AS id FROM ({triples_raw_sql(sf)})"
+            " WHERE pred = 'queried_about'"
+        )
     return f"""{_hetero_step_ctes(sf)},
 fseeds AS (
-  SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id
-  FROM ({triples_raw_sql(sf)}) WHERE pred = 'queried_about'
+  {seeds_sql}
 ),
 walk(src, dst, depth, crossings, path, labels, origin, cur_conv) AS (
   -- seeds are turn ids, so origin = split_part(id, ':', 1)
@@ -1192,6 +1201,49 @@ FROM ({cross_paths_sql(sf, k, max_crossings)}) p
 JOIN (SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst
       FROM {t_src(sf)} WHERE {_rule_where(result)}) s
   ON p.dst = s.dst
+"""
+
+
+def flows_named_sql(
+    sf: float,
+    src_pattern: str,
+    dst_pattern: str,
+    k: int = 4,
+    max_crossings: int = 2,
+) -> str:
+    """Named-flow twin (JoernFlow.scala:21-56 / hetero.named_flows): the
+    cross-paths walk seeded from turns whose text matches `src_pattern`,
+    restricted AFTER the max-length selection to paths ending at turns
+    matching `dst_pattern` — the Spark side derives the identical result
+    from the session's cached keep='all' walk, so this is a genuine
+    cross-implementation check (direct regex-seeded recursive CTE vs
+    cache-derived semi-joins)."""
+    seeds = (
+        "SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS id"
+        f" FROM {t_src(sf)} WHERE regexp_matches(text, '{src_pattern}')"
+    )
+    return f"""
+WITH RECURSIVE
+{_hetero_walk_ctes(sf, k, max_crossings, seeds_sql=seeds)},
+ranked AS (
+  SELECT src, dst, depth, crossings,
+         array_to_string(path, '->') AS path,
+         array_to_string(labels, '->') AS labels
+  FROM walk
+),
+best AS (
+  SELECT src, dst, depth, crossings, path, labels FROM (
+    SELECT *, row_number() OVER (PARTITION BY src, dst
+                                 ORDER BY depth DESC, path ASC,
+                                          labels ASC) AS rn
+    FROM ranked
+  ) WHERE rn = 1
+)
+SELECT b.src, b.dst, b.depth, b.crossings, b.path, b.labels
+FROM best b
+JOIN (SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst
+      FROM {t_src(sf)} WHERE regexp_matches(text, '{dst_pattern}')) s
+  ON b.dst = s.dst
 """
 
 

@@ -671,6 +671,35 @@ def q_flows_ask_to_result(spark, sf_dir):
     )
 
 
+def q_flows_named(spark, sf_dir):
+    """Named flow query (JoernFlow.scala:21-56 analog): sources/sinks
+    selected by REGEX over turn text — db-query turns flowing to
+    summary-pattern turns. The Spark side derives the result from the
+    session's cached keep='all' walk (hetero.named_flows with `paths=`,
+    three semi-joins against the checkpointed path set — the walk-cache
+    consumption path); the oracle re-walks from the regex seeds with a
+    recursive CTE, a genuine cross-implementation check of the cache
+    derivation. Seed-coverage precondition holds because the db pattern
+    is exactly the rule that emits the queried_about seeds."""
+    from joern_spark.functions.hetero import named_flows
+
+    return named_flows(
+        _t(spark, sf_dir),
+        RULES_BY_NAME["db"].pattern,
+        RULES_BY_NAME["summary"].pattern,
+        max_depth=4,
+        max_crossings=2,
+        paths=_all_paths(spark, sf_dir),
+    ).select(
+        "src",
+        "dst",
+        "depth",
+        "crossings",
+        F.array_join("path", "->").alias("path"),
+        F.array_join("labels", "->").alias("labels"),
+    )
+
+
 def q_cross_paths_nested(spark, sf_dir):
     """Nested-call realizable flows — the callSiteStack at depth 2
     (TaskCreator.scala:33-60 pushes a frame per descent,
@@ -1228,6 +1257,7 @@ TPG_QUERIES = {
     "tpg_reaching_multi": q_reaching_multi,
     "mm_resize_pixels": q_mm_resize_pixels,
     "tpg_ddg_dot": q_ddg_dot,
+    "tpg_flows_named": q_flows_named,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -10,6 +10,10 @@ Endpoints (JSON in/out):
   POST /open   {"name"}     — open/switch the active project
   POST /query  {"starter", "params"?, "limit"?}
                             — run a named console starter
+  POST /flows  {"src_pattern", "dst_pattern", "max_depth"?,
+                "max_crossings"?, "max_nesting"?, "limit"?}
+                            — joern-flow analog: regex-selected
+                              sources/sinks + reachableByFlows
   POST /sql    {"sql", "limit"?}
                             — run SQL over the registered tpg_*/name_*
                               views (TRUSTED surface, exactly like
@@ -120,6 +124,20 @@ class QueryServer:
                     elif self.path == "/sql":
                         ws.project()  # 400s cleanly when nothing is active
                         df = ws.spark.sql(req["sql"])
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/flows":
+                        # joern-flow analog: regex-selected sources/sinks
+                        # + reachableByFlows over the active project
+                        from joern_spark.console import flows as _flows
+
+                        df = _flows(
+                            ws.cpg,
+                            req["src_pattern"],
+                            req["dst_pattern"],
+                            max_depth=int(req.get("max_depth", 4)),
+                            max_crossings=int(req.get("max_crossings", 1)),
+                            max_nesting=int(req.get("max_nesting", 1)),
+                        )
                         self._send(_df_payload(df, limit))
                     else:
                         self._send({"error": f"unknown path {self.path}"}, 404)

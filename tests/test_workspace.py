@@ -141,5 +141,29 @@ def test_http_query_server(spark, tmp_path):
         assert status == 400 and "unknown starter" in out["error"]
         status, out = get("/nope")
         assert status == 404
+
+        # joern-flow analog: pattern-selected sources/sinks over HTTP —
+        # db-query turns flowing to summary turns, evidence paths back
+        status, out = post(
+            "/flows",
+            {
+                "src_pattern": r"^Querying ([a-z_]+) for records about",
+                "dst_pattern": r"^It is (-?[0-9]+)C and",
+                "max_depth": 3,
+                "limit": 10,
+            },
+        )
+        assert status == 200 and out["n"] > 0
+        assert out["columns"] == [
+            "src", "dst", "depth", "crossings", "path", "labels"
+        ]
+        # every returned path starts at a source turn and ends at a sink
+        i_src = out["columns"].index("src")
+        i_path = out["columns"].index("path")
+        for row in out["rows"]:
+            assert row[i_path].split("->")[0] == row[i_src]
+        # missing pattern → 400
+        status, out = post("/flows", {"src_pattern": "^x"})
+        assert status == 400
     finally:
         srv.shutdown()
