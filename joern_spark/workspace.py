@@ -70,6 +70,8 @@ class Workspace:
         self._active: str | None = None
         if self.path is not None and self.path.exists():
             for name, sf_dir in json.loads(self.path.read_text()).items():
+                if name.startswith("_"):  # manifest metadata (_flow_cache)
+                    continue
                 self._projects[name] = Project(name, sf_dir)
 
     # -- registry ------------------------------------------------------
@@ -137,6 +139,151 @@ class Workspace:
         del self._projects[name]
         self._save()
 
+    # -- flow-path walk cache -------------------------------------------
+    #
+    # The reference holds flow results across repeated queries in one
+    # session (Engine.scala:133-143 dispatches solver tasks against a
+    # shared result table; HeldTaskCompletion finishes outstanding ones).
+    # Here the expensive shared artifact is the keep='all' realizable
+    # walk; the session memo (queries._PATHS_CACHE) already dedups it
+    # within one process, and this cache persists it ACROSS sessions:
+    # parquet under <workspace>_flowcache/<key>/, keyed in the manifest
+    # by (edge-table fingerprint, walk budgets, semantics), so tomorrow's
+    # console reopens today's corpus and flow queries skip the walk.
+
+    def walk_key(
+        self,
+        max_depth: int = 4,
+        max_crossings: int = 2,
+        max_nesting: int = 1,
+    ) -> str:
+        """Cache key: md5 over the edge-table fingerprint (count +
+        order-insensitive bit_xor of row hashes — one scan, no overflow,
+        ANSI-safe) and the walk budgets. A corpus or semantics change
+        flips the fingerprint and misses cleanly."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from joern_spark.functions.hashing import md5_long
+
+        g = self.cpg
+        row = g.edges.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                md5_long(F.concat_ws("|", "src", "dst", "label"))
+            ).alias("x"),
+        ).collect()[0]
+        raw = f"{row['n']}:{row['x']}:{max_depth}:{max_crossings}:{max_nesting}"
+        return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+    def cached_walk(
+        self,
+        max_depth: int = 4,
+        max_crossings: int = 2,
+        max_nesting: int = 1,
+    ) -> tuple[DataFrame, bool]:
+        """(keep='all' walk, cache_hit): the canonical realizable walk
+        from the queried_about starting points — read back from the
+        workspace flow cache when the key matches, else computed once,
+        written, and recorded in the manifest. Without a manifest path
+        the walk is computed uncached (a scratch workspace)."""
+        from pyspark.sql import functions as F
+
+        from joern_spark import schemas as S
+        from joern_spark.functions.hetero import expand_paths_hetero
+
+        key = self.walk_key(max_depth, max_crossings, max_nesting)
+        cache_dir = (
+            None
+            if self.path is None
+            else self.path.parent / f"{self.path.stem}_flowcache" / key
+        )
+        if cache_dir is not None and (cache_dir / "_SUCCESS").exists():
+            return self.spark.read.parquet(str(cache_dir)), True
+        g = self.cpg
+        seeds = (
+            g.triples_raw.where(F.col("pred") == "queried_about")
+            .select(
+                F.concat(
+                    "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+                ).alias("id")
+            )
+            .dropDuplicates()
+        )
+        walk = expand_paths_hetero(
+            seeds,
+            g.edges.where(F.col("label") != S.CONTAINS),
+            max_depth=max_depth,
+            max_crossings=max_crossings,
+            max_nesting=max_nesting,
+            keep="all",
+        )
+        if cache_dir is not None:
+            walk.write.mode("overwrite").parquet(str(cache_dir))
+            manifest = (
+                json.loads(self.path.read_text()) if self.path.exists() else {}
+            )
+            caches = manifest.setdefault("_flow_cache", {})
+            caches[key] = str(cache_dir)
+            self.path.write_text(json.dumps(manifest, indent=1))
+            return self.spark.read.parquet(str(cache_dir)), False
+        return walk, False
+
+    def flows(
+        self,
+        src_pattern: str,
+        dst_pattern: str,
+        max_depth: int = 4,
+        max_crossings: int = 2,
+        max_nesting: int = 1,
+    ) -> DataFrame:
+        """Named flow over the persistent walk cache: when every
+        src_pattern-matched turn is covered by the cached walk's seed
+        set (one cheap anti-join probe), the result derives from the
+        cache with three semi-joins; otherwise it falls back to a fresh
+        regex-seeded walk (console.flows semantics)."""
+        from pyspark.sql import functions as F
+
+        from joern_spark import console
+        from joern_spark.functions.hetero import named_flows
+
+        g = self.cpg
+        tid = F.concat(
+            F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        )
+        wanted = (
+            g.transcripts.where(F.col("text").rlike(src_pattern))
+            .select(tid.alias("id"))
+            .dropDuplicates()
+        )
+        covered = (
+            g.triples_raw.where(F.col("pred") == "queried_about")
+            .select(tid.alias("id"))
+            .dropDuplicates()
+        )
+        uncovered = wanted.join(covered, "id", "left_anti").limit(1).count()
+        if uncovered == 0:
+            paths, _ = self.cached_walk(max_depth, max_crossings, max_nesting)
+            return named_flows(
+                g.transcripts,
+                src_pattern,
+                dst_pattern,
+                max_depth=max_depth,
+                max_crossings=max_crossings,
+                paths=paths,
+            ).select(
+                "src",
+                "dst",
+                "depth",
+                "crossings",
+                F.array_join("path", "->").alias("path"),
+                F.array_join("labels", "->").alias("labels"),
+            )
+        return console.flows(
+            g, src_pattern, dst_pattern, max_depth, max_crossings, max_nesting
+        )
+
     # -- queries -------------------------------------------------------
 
     def sql(self, starter: str, **params: str) -> DataFrame:
@@ -148,6 +295,12 @@ class Workspace:
 
     def _save(self) -> None:
         if self.path is not None:
-            self.path.write_text(
-                json.dumps({p.name: p.sf_dir for p in self.projects}, indent=1)
-            )
+            meta = {}
+            if self.path.exists():
+                meta = {
+                    k: v
+                    for k, v in json.loads(self.path.read_text()).items()
+                    if k.startswith("_")
+                }
+            meta.update({p.name: p.sf_dir for p in self.projects})
+            self.path.write_text(json.dumps(meta, indent=1))

@@ -167,3 +167,58 @@ def test_http_query_server(spark, tmp_path):
         assert status == 400
     finally:
         srv.shutdown()
+
+
+def test_flow_walk_cache_across_sessions(spark, tmp_path):
+    """Flow-path result cache (Engine's held-task reuse analog, made
+    durable): the first cached_walk computes and persists the keep-all
+    walk under the workspace; a SECOND workspace over the same manifest
+    gets a cache HIT and returns identical rows without re-walking; a
+    changed corpus flips the fingerprint and misses; ws.flows derives
+    pattern flows from the cache and matches the fresh-walk console
+    result exactly."""
+    from joern_spark.console import flows as console_flows
+
+    manifest = tmp_path / "ws.json"
+    ws1 = Workspace(spark, manifest)
+    ws1.import_code(SF_B, "cachep")
+    walk1, hit1 = ws1.cached_walk(max_depth=3, max_crossings=1)
+    assert hit1 is False
+    n1 = walk1.count()
+    assert n1 > 0
+    # manifest records the cache; projects survive alongside it
+    import json as _json
+
+    m = _json.loads(manifest.read_text())
+    assert "_flow_cache" in m and len(m["_flow_cache"]) == 1
+    assert "cachep" in m
+
+    # a second session over the same manifest: HIT, identical rows
+    ws2 = Workspace(spark, manifest)
+    ws2.open("cachep")
+    walk2, hit2 = ws2.cached_walk(max_depth=3, max_crossings=1)
+    assert hit2 is True
+    assert walk2.count() == n1
+    assert walk1.exceptAll(walk2).count() == 0
+
+    # different budgets → different key → miss
+    _, hit3 = ws2.cached_walk(max_depth=2, max_crossings=1)
+    assert hit3 is False
+
+    # pattern flows derived from the cache == fresh-walk console flows
+    src_p = r"^Querying ([a-z_]+) for records about"
+    dst_p = r"^It is (-?[0-9]+)C and"
+    via_cache = ws2.flows(src_p, dst_p, max_depth=3, max_crossings=1)
+    fresh = console_flows(ws2.cpg, src_p, dst_p, max_depth=3,
+                          max_crossings=1)
+    assert via_cache.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(via_cache).count() == 0
+    assert via_cache.count() > 0
+
+    # a pattern OUTSIDE the cached seed set falls back to a fresh walk
+    ask_p = r"^Please check the weather in"
+    fallback = ws2.flows(ask_p, dst_p, max_depth=3, max_crossings=1)
+    direct = console_flows(ws2.cpg, ask_p, dst_p, max_depth=3,
+                           max_crossings=1)
+    assert fallback.exceptAll(direct).count() == 0
+    assert direct.exceptAll(fallback).count() == 0
