@@ -1,0 +1,171 @@
+"""External graph-snapshot import — the `cpg.bin` interchange shim.
+
+The reference round-trips flatgraph `cpg.bin` files (JoernParse.scala:15
+writes one; CpgBasedTool.loadFromFile reopens it), a closed code-generated
+schema of typed nodes/edges (SURVEY.md §1.2-1.3). The binary container
+itself is a proprietary in-memory format with no value on a cluster; the
+scale-correct interchange is the SAME closed schema as columnar tables —
+an offline converter (flatgraph's own export, or any script walking the
+node/edge arrays) dumps `nodes/` and `edges/` parquet (or JSONL), and
+this reader maps them into the workspace with the label vocabulary
+ENFORCED, so an imported mini-CPG answers `cpg.method`-style starters in
+the console.
+
+Schemas (§1.2-1.3 mapping):
+  nodes: (id long, label string, name string, full_name string,
+          code string, order int)
+  edges: (src long, dst long, label string, property string)
+  — edges carry at most ONE property (changelog/4.0.0-flatgraph.md:36).
+
+Both readers pass explicit schemas (never inferSchema) and validate the
+label vocabulary with one distinct aggregate — an unknown label raises,
+mirroring the reference's fixed code-generated schema, instead of
+flowing silently into queries that would never match it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Closed node vocabulary (SURVEY.md §1.2, TypeEvalPass.scala:12-25 /
+# ContainsEdgePass.scala:58 grep) + the transcript-graph labels so a
+# graph EXPORTED by this repo (export_jsonl/neo4j) re-imports cleanly.
+NODE_LABELS = {
+    "META_DATA", "FILE", "NAMESPACE", "NAMESPACE_BLOCK", "TYPE",
+    "TYPE_DECL", "MEMBER", "METHOD", "METHOD_PARAMETER_IN",
+    "METHOD_PARAMETER_OUT", "METHOD_RETURN", "BLOCK", "CALL",
+    "IDENTIFIER", "FIELD_IDENTIFIER", "LITERAL", "LOCAL", "METHOD_REF",
+    "TYPE_REF", "CONTROL_STRUCTURE", "COMMENT", "BINDING", "UNKNOWN",
+    # transcript-graph node labels (schemas.py)
+    "CONVERSATION", "TURN", "ENTITY",
+}
+# Closed edge vocabulary (SURVEY.md §1.3) + transcript labels.
+EDGE_LABELS = {
+    "AST", "CFG", "CALL", "REF", "EVAL_TYPE", "CONTAINS", "SOURCE_FILE",
+    "ALIAS_OF", "INHERITS_FROM", "REACHING_DEF", "CDG", "DOMINATE",
+    "POST_DOMINATE", "PARAMETER_LINK", "TAGGED_BY", "BINDS", "RECEIVER",
+    "ARGUMENT", "CONDITION", "CAPTURE", "IMPORTS", "IS_CALL_FOR_IMPORT",
+    # transcript-graph edge labels (schemas.py)
+    "NEXT_TURN", "MENTIONS", "LINKS_TO", "SAME_AS",
+}
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("full_name", T.StringType(), True),
+        T.StructField("code", T.StringType(), True),
+        T.StructField("order", T.IntegerType(), True),
+    ]
+)
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("property", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class GraphImport:
+    """An imported graph snapshot: two closed-schema tables."""
+
+    nodes: DataFrame
+    edges: DataFrame
+
+
+def _check_labels(df: DataFrame, allowed: set[str], what: str) -> None:
+    got = {r["label"] for r in df.select("label").distinct().collect()}
+    unknown = got - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown {what} labels {sorted(unknown)} — the CPG schema is "
+            "closed (SURVEY.md §1.2-1.3); fix the offline converter"
+        )
+
+
+def read_graph_import(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> GraphImport:
+    """Load `<path>/nodes` + `<path>/edges` (parquet or jsonl written by
+    an offline cpg.bin converter — or by this repo's own exporters) and
+    validate the closed label vocabulary. One distinct-label aggregate
+    per table is the only driver-side work; the tables themselves stay
+    distributed."""
+    if fmt == "parquet":
+        nodes = spark.read.schema(NODE_SCHEMA).parquet(f"{path}/nodes")
+        edges = spark.read.schema(EDGE_SCHEMA).parquet(f"{path}/edges")
+    elif fmt == "jsonl":
+        nodes = spark.read.schema(NODE_SCHEMA).json(f"{path}/nodes")
+        edges = spark.read.schema(EDGE_SCHEMA).json(f"{path}/edges")
+    else:
+        raise ValueError(f"unknown format {fmt!r} (parquet|jsonl)")
+    _check_labels(nodes, NODE_LABELS, "node")
+    _check_labels(edges, EDGE_LABELS, "edge")
+    return GraphImport(nodes=nodes, edges=edges)
+
+
+def write_graph_import(gi: GraphImport, path: str) -> None:
+    """The matching writer (offline-converter output shape), so a
+    snapshot round-trips through the shim."""
+    gi.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+    gi.edges.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def register_cpg_views(gi: GraphImport, spark: SparkSession) -> list[str]:
+    """Register the imported snapshot as `cpg_nodes` / `cpg_edges` plus
+    per-label starter views (`cpg_method`, `cpg_call`, ...) for the
+    labels actually present — the NodeTypeStarters analog over an
+    import."""
+    gi.nodes.createOrReplaceTempView("cpg_nodes")
+    gi.edges.createOrReplaceTempView("cpg_edges")
+    out = ["cpg_nodes", "cpg_edges"]
+    present = {r["label"] for r in gi.nodes.select("label").distinct().collect()}
+    for lbl in sorted(present):
+        view = f"cpg_{lbl.lower()}"
+        gi.nodes.where(F.col("label") == lbl).createOrReplaceTempView(view)
+        out.append(view)
+    return out
+
+
+def methods(gi: GraphImport, name_pattern: str | None = None) -> DataFrame:
+    """`cpg.method` / `cpg.method.name(re)` over an import."""
+    m = gi.nodes.where(F.col("label") == "METHOD")
+    if name_pattern is not None:
+        m = m.where(F.col("name").rlike(name_pattern))
+    return m
+
+
+def callees(gi: GraphImport, method_full_name: str) -> DataFrame:
+    """`cpg.method.fullNameExact(x).callee` — caller METHOD contains a
+    CALL node (AST/CONTAINS edge) whose CALL edge lands on the callee
+    METHOD. Two equi-joins, both label-pruned before joining."""
+    caller = gi.nodes.where(
+        (F.col("label") == "METHOD")
+        & (F.col("full_name") == method_full_name)
+    ).select(F.col("id").alias("mid"))
+    contain = gi.edges.where(
+        F.col("label").isin("AST", "CONTAINS")
+    ).select(F.col("src").alias("mid"), F.col("dst").alias("cid"))
+    call = gi.edges.where(F.col("label") == "CALL").select(
+        F.col("src").alias("cid"), F.col("dst").alias("callee_id")
+    )
+    callee_nodes = gi.nodes.where(F.col("label") == "METHOD").select(
+        F.col("id").alias("callee_id"),
+        F.col("name").alias("callee"),
+        F.col("full_name").alias("callee_full_name"),
+    )
+    return (
+        caller.join(contain, "mid")
+        .join(call, "cid")
+        .join(callee_nodes, "callee_id")
+        .select("callee", "callee_full_name")
+        .dropDuplicates()
+    )

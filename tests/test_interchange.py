@@ -106,3 +106,78 @@ def test_orc_strict_rejects_null_required(spark, tmp_path):
     df.write.mode("overwrite").orc(p)
     with pytest.raises(ValueError, match="null values"):
         ic.read_transcripts_orc(spark, p, strict=True)
+
+
+def test_graph_import_round_trip_and_starters(spark, tmp_path):
+    """cpg.bin interchange shim: a mini-CPG written in the offline
+    converter's shape reads back with the closed schema enforced,
+    registers cpg_* views, and answers cpg.method-style starters —
+    methods by name regex and the callee step (METHOD -AST-> CALL
+    -CALL-> METHOD)."""
+    import pytest as _pytest
+
+    from joern_spark.sources.graphbin import (
+        GraphImport,
+        callees,
+        methods,
+        read_graph_import,
+        register_cpg_views,
+        write_graph_import,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "FILE", "main.c", "main.c", None, 0),
+            (2, "METHOD", "main", "main", "int main()", 1),
+            (3, "METHOD", "helper", "helper", "void helper()", 2),
+            (4, "CALL", "helper", None, "helper()", 1),
+            (5, "LITERAL", None, None, "42", 2),
+        ],
+        "id long, label string, name string, full_name string, "
+        "code string, order int",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "AST", None),
+            (1, 3, "AST", None),
+            (2, 4, "AST", None),
+            (2, 5, "AST", None),
+            (4, 3, "CALL", None),
+        ],
+        "src long, dst long, label string, property string",
+    )
+    write_graph_import(GraphImport(nodes, edges), str(tmp_path / "snap"))
+    gi = read_graph_import(spark, str(tmp_path / "snap"))
+    assert gi.nodes.count() == 5 and gi.edges.count() == 5
+
+    # starters
+    assert {r["name"] for r in methods(gi).collect()} == {"main", "helper"}
+    assert [r["name"] for r in methods(gi, "^ma").collect()] == ["main"]
+    got = callees(gi, "main").collect()
+    assert [(r.callee, r.callee_full_name) for r in got] == [
+        ("helper", "helper")
+    ]
+    assert callees(gi, "helper").count() == 0
+
+    # registered views answer SQL like any console surface
+    views = register_cpg_views(gi, spark)
+    assert "cpg_method" in views
+    assert spark.sql("SELECT count(*) AS n FROM cpg_method").first().n == 2
+    assert (
+        spark.sql(
+            "SELECT n.name FROM cpg_edges e "
+            "JOIN cpg_nodes n ON n.id = e.dst "
+            "WHERE e.label = 'CALL'"
+        ).first().name
+        == "helper"
+    )
+
+    # the closed vocabulary rejects a converter bug loudly
+    bad = nodes.union(
+        spark.createDataFrame(
+            [(9, "NOT_A_LABEL", None, None, None, 0)], nodes.schema
+        )
+    )
+    write_graph_import(GraphImport(bad, edges), str(tmp_path / "snap2"))
+    with _pytest.raises(ValueError, match="NOT_A_LABEL"):
+        read_graph_import(spark, str(tmp_path / "snap2"))
