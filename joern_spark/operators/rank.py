@@ -534,6 +534,96 @@ def entity_common_neighbors(
     )
 
 
+def entity_adamic_adar(
+    edges: DataFrame,
+    k: int = SUGGEST_TOP_K,
+    support_quantile: float = SUGGEST_SUPPORT_Q,
+) -> DataFrame:
+    """(entity_key, suggestion, n_common, aa_score, rank) — Adamic-Adar
+    link prediction over the strong co-mention graph: common-neighbor
+    evidence weighted by 1/ln(deg(z)) per shared neighbor z, so a rare
+    shared neighbor counts more than a hub everyone touches (Adamic &
+    Adar 2003; the standard refinement of the common-neighbors signal
+    already shipped as entity_common_neighbors).
+
+    Same scale shape as the unweighted form (wedges through each middle
+    node over the vocabulary-bounded strong graph, salted top-k); the
+    per-pair score folds ascending-sorted (the float-parity discipline —
+    the oracle's list_sum(list_sort(...)) is the identical IEEE
+    expression). deg(z) ≥ 2 for any common neighbor, so ln never hits
+    zero."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.salted import N_SALTS
+
+    thr = edges.agg(
+        F.expr(f"percentile(n_convs, {support_quantile!r})").alias("thr")
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(thr))
+        .where(F.col("n_convs").cast("double") >= F.col("thr"))
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    sym = strong.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        strong.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = sym.groupBy(F.col("node").alias("nb")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # deg==1 middles can never be COMMON neighbors (one neighbor total),
+    # so their weight is never consumed by the wedge join — but the
+    # projection evaluates BEFORE the join prunes them, and 1/ln(1)
+    # divides by zero under ANSI; guard instead of relying on pruning
+    symd = sym.join(deg, "nb").select(
+        "node",
+        "nb",
+        F.when(
+            F.col("deg") > 1,
+            F.lit(1.0) / F.log(F.col("deg").cast("double")),
+        ).alias("w"),
+    )
+    pairs = (
+        symd.alias("x")
+        .join(symd.alias("y"), F.col("x.nb") == F.col("y.nb"))
+        .where(F.col("x.node") < F.col("y.node"))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            _sorted_sum(F.col("x.w")).alias("aa_score"),
+        )
+        .join(strong, ["a", "b"], "left_anti")
+    )
+    sugg = pairs.select(
+        F.col("a").alias("entity_key"),
+        F.col("b").alias("suggestion"),
+        "n_common",
+        "aa_score",
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("entity_key"),
+            F.col("a").alias("suggestion"),
+            "n_common",
+            "aa_score",
+        )
+    )
+    order = [F.desc("aa_score"), F.desc("n_common"), F.asc("suggestion")]
+    w1 = Window.partitionBy("entity_key", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("entity_key").orderBy(*order)
+    return (
+        sugg.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("suggestion")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("entity_key", "suggestion", "n_common", "aa_score", "rank")
+    )
+
+
 def merge_comention_edges(
     base: DataFrame, delta_mentions: DataFrame, cap: int = CONV_KEY_CAP
 ) -> DataFrame:

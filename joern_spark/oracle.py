@@ -1204,6 +1204,59 @@ JOIN (SELECT DISTINCT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst
 """
 
 
+def entity_aa_sql(sf: float) -> str:
+    """Adamic-Adar twin (rank.entity_adamic_adar): the common-neighbor
+    wedge weighted 1/ln(deg(middle)), folded ascending-sorted — the
+    identical IEEE expression tree as the Spark _sorted_sum."""
+    from joern_spark.operators.rank import SUGGEST_SUPPORT_Q, SUGGEST_TOP_K
+
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+ew AS MATERIALIZED (
+  SELECT x.k AS a, y.k AS b, count(*)::BIGINT AS n_convs
+  FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+thr AS (SELECT quantile_cont(n_convs, {SUGGEST_SUPPORT_Q!r}) AS thr FROM ew),
+e AS MATERIALIZED (
+  SELECT a, b FROM ew, thr WHERE n_convs::DOUBLE >= thr
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b AS node, a AS nb FROM e
+),
+deg AS (SELECT node AS nb, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+symd AS MATERIALIZED (
+  SELECT s.node, s.nb, 1.0 / ln(d.deg::DOUBLE) AS w
+  FROM sym s JOIN deg d ON d.nb = s.nb
+),
+pairs AS (
+  SELECT x.node AS a, y.node AS b, count(*)::BIGINT AS n_common,
+         list_sum(list_sort(list(x.w))) AS aa_score
+  FROM symd x JOIN symd y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY 1, 2
+),
+missing AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+),
+sugg AS (
+  SELECT a AS entity_key, b AS suggestion, n_common, aa_score FROM missing
+  UNION ALL
+  SELECT b AS entity_key, a AS suggestion, n_common, aa_score FROM missing
+)
+SELECT entity_key, suggestion, n_common, aa_score, rank FROM (
+  SELECT entity_key, suggestion, n_common, aa_score,
+         row_number() OVER (PARTITION BY entity_key
+                            ORDER BY aa_score DESC, n_common DESC,
+                                     suggestion ASC) AS rank
+  FROM sugg
+) WHERE rank <= {SUGGEST_TOP_K}
+"""
+
+
 def flows_named_sql(
     sf: float,
     src_pattern: str,

@@ -390,6 +390,16 @@ def q_entity_suggest(spark, sf_dir):
     return entity_common_neighbors(_comention_edges(spark, sf_dir))
 
 
+def q_entity_aa(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-mention graph: the
+    common-neighbor signal weighted 1/ln(deg) per shared neighbor, so a
+    rare shared neighbor outvotes a hub (the standard refinement next to
+    q_entity_suggest; sorted-fold float parity with the oracle)."""
+    from joern_spark.operators.rank import entity_adamic_adar
+
+    return entity_adamic_adar(_comention_edges(spark, sf_dir))
+
+
 def q_sft_pairs(spark, sf_dir):
     """SFT training pairs: adjacent user→assistant (prompt, response)
     extraction — one conv-keyed window."""
@@ -1258,6 +1268,7 @@ TPG_QUERIES = {
     "mm_resize_pixels": q_mm_resize_pixels,
     "tpg_ddg_dot": q_ddg_dot,
     "tpg_flows_named": q_flows_named,
+    "tpg_entity_aa": q_entity_aa,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -1,0 +1,70 @@
+"""Per-query bench regression gate: compare two bench query maps.
+
+Usage: python tools/bench_delta.py OLD.json NEW.json [threshold]
+
+Each file is a bench.py artifact (`bench_sf01_latest.json` shape — a
+dict with a `queries` map of name → seconds). A query slower than
+`threshold`× (default 1.3) its old time is flagged UNLESS it carries a
+named semantic cause in KNOWN_CAUSES — the forensics the round-4 judge
+did by hand, checked in. Host noise on this VM inflates whole runs
+uniformly (BASELINE.md BENCH r4 notes 167→233 s on identical code), so
+the gate also prints the MEDIAN ratio and judges each query against the
+noise-normalized ratio (query_ratio / median_ratio), not the raw one.
+
+Exit 1 when any unexplained normalized regression survives.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+# name → why the round-5 time is allowed to exceed 1.3× round-4
+# (semantic growth, not plan regressions). Keep this list honest: every
+# entry must name the commit-visible cause.
+KNOWN_CAUSES: dict[str, str] = {
+    # (none yet for r5 — r4→r5 touched dataflow correctness, added new
+    # queries, and left existing plans alone)
+}
+
+
+def main(old_path: str, new_path: str, threshold: float = 1.3) -> int:
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    shared = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    ratios = {q: new[q] / old[q] for q in shared if old[q] > 0}
+    med = statistics.median(ratios.values()) if ratios else 1.0
+    print(
+        f"{len(shared)} shared queries; median ratio {med:.3f} "
+        f"(uniform host drift), threshold {threshold}x on the "
+        "noise-normalized ratio"
+    )
+    bad = 0
+    for q in shared:
+        r = ratios.get(q)
+        if r is None:
+            continue
+        rn = r / med
+        if rn > threshold:
+            cause = KNOWN_CAUSES.get(q)
+            tag = f"EXPLAINED: {cause}" if cause else "REGRESSION"
+            if not cause:
+                bad += 1
+            print(
+                f"  {q:28s} {old[q]:8.2f}s -> {new[q]:8.2f}s "
+                f"(raw {r:.2f}x, normalized {rn:.2f}x)  {tag}"
+            )
+    if added:
+        print(f"new queries (no baseline): {', '.join(added)}")
+    if removed:
+        print(f"removed queries: {', '.join(removed)}")
+    print("UNEXPLAINED REGRESSIONS:", bad)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    raise SystemExit(main(sys.argv[1], sys.argv[2], t))

@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = {
     "mm_resize_pixels",
     "tpg_ddg_dot",
     "tpg_flows_named",
+    "tpg_entity_aa",
 }
 
 
