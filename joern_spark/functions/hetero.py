@@ -242,6 +242,66 @@ def flows_between(
     )
 
 
+def annotate_path_elements(paths: DataFrame) -> DataFrame:
+    """Per-element path annotations — the reference decorates every flow
+    path element with visibility/output-arg flags when rendering results
+    (Engine.scala:218-241 computes them per element;
+    package.scala:43-71 renders only the visible ones). The transcript
+    analog per element:
+
+      node        — the path element id
+      step_label  — the edge label that PRODUCED this element (NULL for
+                    the seed, labels[i-1] otherwise)
+      layer       — 'TURN' (id carries a conv prefix) or 'ENTITY'
+      visible     — turns are the render-visible elements; entity hops
+                    are the linking glue a rendered flow hides (the
+                    invisible-element analog)
+      is_crossing — this hop landed in a different conversation than the
+                    previous TURN element (the output-arg/call-boundary
+                    marker a user scans for)
+
+    Pure array transform over (path, labels) — no join, no shuffle, no
+    Python; annotating a billion paths is a projection."""
+    conv_of = lambda node: F.when(  # noqa: E731
+        node.contains(":"), F.substring_index(node, ":", 1)
+    )
+    elem_t = (
+        "array<struct<node:string,step_label:string,layer:string,"
+        "visible:boolean,is_crossing:boolean>>"
+    )
+    idxs = F.sequence(F.lit(1), F.size("path"))
+    init = F.struct(
+        F.array().cast(elem_t).alias("elems"),
+        F.lit(None).cast("string").alias("cur"),  # nearest previous TURN's conv
+    )
+
+    def step(acc, i):
+        node = F.try_element_at(F.col("path"), i)
+        lbl = F.try_element_at(F.col("labels"), i - 1)
+        conv = conv_of(node)
+        el = F.struct(
+            node.alias("node"),
+            F.when(i > 1, lbl).alias("step_label"),
+            F.when(node.contains(":"), F.lit("TURN"))
+            .otherwise(F.lit("ENTITY"))
+            .alias("layer"),
+            node.contains(":").alias("visible"),
+            (
+                conv.isNotNull()
+                & acc["cur"].isNotNull()
+                & (conv != acc["cur"])
+            ).alias("is_crossing"),
+        )
+        return F.struct(
+            F.array_append(acc["elems"], el).alias("elems"),
+            F.coalesce(conv, acc["cur"]).alias("cur"),
+        )
+
+    return paths.withColumn(
+        "elems", F.aggregate(idxs, init, step, lambda acc: acc["elems"])
+    )
+
+
 def named_flows(
     transcripts: DataFrame,
     src_pattern: str,

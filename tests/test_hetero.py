@@ -464,3 +464,37 @@ def test_hetero_walk_matches_brute_force_on_random_graphs(spark):
                 )
             )
             assert got_max == want_max, (trial, nesting)
+
+
+def test_annotate_path_elements(spark):
+    """Per-element visibility/crossing flags (Engine.scala:218-241
+    analog): turns are visible, entity hops are the invisible glue, and
+    is_crossing marks a hop landing in a DIFFERENT conversation than the
+    nearest previous turn — including through an entity hop."""
+    from joern_spark.functions.hetero import annotate_path_elements
+
+    paths = spark.createDataFrame(
+        [
+            # A:1 -> entity -> B:7 (cross via entity), then B:7 -> B:8
+            ("A:1", "B:8", 3, 1,
+             ["A:1", "city_paris", "B:7", "B:8"],
+             ["LINKS_TO", "LINKS_TO_REV", "NEXT_TURN"]),
+            # stays in one conversation
+            ("A:1", "A:2", 1, 0, ["A:1", "A:2"], ["NEXT_TURN"]),
+        ],
+        "src string, dst string, depth int, crossings int, "
+        "path array<string>, labels array<string>",
+    )
+    rows = {r.dst: r.elems for r in annotate_path_elements(paths).collect()}
+    cross = rows["B:8"]
+    assert [x.node for x in cross] == ["A:1", "city_paris", "B:7", "B:8"]
+    assert [x.step_label for x in cross] == [
+        None, "LINKS_TO", "LINKS_TO_REV", "NEXT_TURN"]
+    assert [x.layer for x in cross] == ["TURN", "ENTITY", "TURN", "TURN"]
+    assert [x.visible for x in cross] == [True, False, True, True]
+    # B:7 crosses relative to the nearest previous TURN (A:1), THROUGH
+    # the entity hop; B:8 stays within B
+    assert [x.is_crossing for x in cross] == [False, False, True, False]
+    same = {r.dst: r.elems for r in annotate_path_elements(paths).collect()}
+    assert [x.is_crossing for x in same["A:2"]] == [False, False]
+    assert [x.visible for x in same["A:2"]] == [True, True]
