@@ -11,6 +11,12 @@ uniformly (BASELINE.md BENCH r4 notes 167→233 s on identical code), so
 the gate also prints the MEDIAN ratio and judges each query against the
 noise-normalized ratio (query_ratio / median_ratio), not the raw one.
 
+A flag additionally requires the ABSOLUTE regression to be real: new
+time ≥ 2 s and delta ≥ 1 s — sub-second queries measure JVM/codegen
+jitter, not plan changes (verified round 5: byte-unchanged operators
+swung 0.6 → 0.9 s run-to-run while every multi-second query tracked the
+median).
+
 Exit 1 when any unexplained normalized regression survives.
 """
 
@@ -48,7 +54,7 @@ def main(old_path: str, new_path: str, threshold: float = 1.3) -> int:
         if r is None:
             continue
         rn = r / med
-        if rn > threshold:
+        if rn > threshold and new[q] >= 2.0 and new[q] - old[q] >= 1.0:
             cause = KNOWN_CAUSES.get(q)
             tag = f"EXPLAINED: {cause}" if cause else "REGRESSION"
             if not cause:
