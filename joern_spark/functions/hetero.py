@@ -369,6 +369,78 @@ def named_flows(
     )
 
 
+def incremental_paths(
+    cached_paths: DataFrame,
+    updated_edges: DataFrame,
+    delta_edges: DataFrame,
+    seeds: DataFrame,
+    sems: "list[StepSem] | None" = None,
+    max_depth: int = 4,
+    max_crossings: int = 1,
+    max_nesting: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """Incrementally maintain a keep='all' walk under an APPEND-ONLY edge
+    delta (the streaming-ingest model, like canonicalize's incremental
+    component merge): recompute only the seeds whose results can have
+    changed, keep everything else from the cache.
+
+    Soundness of the invalidation rule: any path that differs under the
+    updated edge table must use a delta edge somewhere; up to its FIRST
+    delta edge the path is made of old edges only, and that prefix is
+    itself a feasible old-edge partial path from the same seed (every
+    walk constraint — depth, cycle exclusion, crossing budget, LIFO
+    realizability — is prefix-monotone), so keep='all' already cached a
+    path from that seed ENDING at the delta edge's src. Therefore:
+    a seed is invalid iff some cached path of it touches a delta-edge
+    src node, or the seed itself is new. Everything else's cached rows
+    are byte-valid under the updated table.
+
+    Scale shape: the affected-node set is |delta|-sized and broadcasts;
+    invalidation is one array_contains semi-probe over the cached path
+    table (no walk); the re-walk runs only from invalid + new seeds over
+    the updated edges. A small delta on a 10^12-turn corpus re-walks a
+    delta-proportional seed set instead of the world."""
+    # BOTH delta endpoints: the step table derives reversed steps from an
+    # edge (SAME_AS both ways, LINKS_TO_REV), so a new edge changes walks
+    # arriving at either end
+    affected = (
+        delta_edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("n")
+        )
+        .dropDuplicates()
+    )
+    sd = seeds.select(F.col(id_col).alias("id")).dropDuplicates()
+    cached_seeds = cached_paths.select(F.col("src").alias("id")).dropDuplicates()
+    brand_new = sd.join(cached_seeds, "id", "left_anti")
+    touched = (
+        cached_paths.alias("p")
+        .join(
+            F.broadcast(affected),
+            F.array_contains(F.col("p.path"), F.col("n")),
+        )
+        .select(F.col("p.src").alias("id"))
+        .dropDuplicates()
+    )
+    invalid = touched.join(sd, "id", "left_semi").unionByName(brand_new)
+    # cached rows survive only for seeds that are STILL seeds and not
+    # invalidated — a retired seed's paths drop with it
+    valid_paths = cached_paths.join(
+        sd.select(F.col("id").alias("src")), "src", "left_semi"
+    ).join(invalid.select(F.col("id").alias("src")), "src", "left_anti")
+    rewalked = expand_paths_hetero(
+        invalid,
+        updated_edges,
+        sems,
+        max_depth=max_depth,
+        max_crossings=max_crossings,
+        keep="all",
+        id_col="id",
+        max_nesting=max_nesting,
+    )
+    return valid_paths.unionByName(rewalked)
+
+
 def expand_paths_hetero(
     frontier: DataFrame,
     edges: DataFrame,

@@ -584,6 +584,101 @@ def cosine_topk_ivf(
     return _topk(_pair_sims_arrow(pairs, _normed(embeddings)), k)
 
 
+def save_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = IVF_CELLS,
+) -> dict:
+    """Persist the IVF index as durable artifacts: `<path>/centroids`
+    (K rows) and `<path>/assignments` (each vector's single nearest
+    cell — the inverted lists), plus `<path>/index.json` carrying the
+    parameters and an order-insensitive embeddings fingerprint (count +
+    bit_xor of vec_id hashes, one scan). A matching fingerprint on a
+    later call SKIPS the rebuild — the reference's load-don't-recompute
+    behavior for on-disk overlays, and the same durable-artifact
+    discipline as the workspace flow-walk cache. Returns the manifest
+    dict (with `"hit"` marking whether the index was reused)."""
+    import json as _json
+    from pathlib import Path
+
+    from joern_spark.functions.hashing import md5_long
+
+    row = embeddings.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col("vec_id").cast("string"))).alias("x"),
+    ).collect()[0]
+    meta = {
+        "n_cells": n_cells,
+        "n_vectors": row["n"],
+        "fingerprint": f"{row['n']}:{row['x']}",
+    }
+    mpath = Path(path) / "index.json"
+    if mpath.exists():
+        old = _json.loads(mpath.read_text())
+        if (
+            old.get("fingerprint") == meta["fingerprint"]
+            and old.get("n_cells") == n_cells
+        ):
+            return {**old, "hit": True}
+    cents = ivf_centroids(embeddings, n_cells)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent_list = [
+        list(r.centroid)
+        for r in cents.sparkSession.read.parquet(f"{path}/centroids")
+        .orderBy("cell")
+        .collect()
+    ]
+    assign = _cell_assignments(embeddings, cent_list, probes=1).select(
+        "vec_id", "cell"
+    )
+    assign.write.mode("overwrite").parquet(f"{path}/assignments")
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    mpath.write_text(_json.dumps(meta, indent=1))
+    return {**meta, "hit": False}
+
+
+def load_ivf_index(spark, path: str) -> tuple[list, DataFrame, dict]:
+    """(centroid list, assignments DataFrame, manifest) from a saved
+    index — centroids are K rows (the legitimate driver-side dimension
+    table); assignments stay distributed."""
+    import json as _json
+    from pathlib import Path
+
+    meta = _json.loads((Path(path) / "index.json").read_text())
+    cents = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    return cents, spark.read.parquet(f"{path}/assignments"), meta
+
+
+def cosine_topk_ivf_indexed(
+    embeddings: DataFrame,
+    centroids: list,
+    assignments: DataFrame,
+    k: int = TOP_K,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index: the query side probes its
+    `probes` nearest saved centroids; the index side is the saved
+    single-cell assignment table read straight from parquet — no
+    centroid derivation, no index-side assignment pass. Same candidate
+    shape as cosine_topk_ivf (one shuffle on cell id), so a session that
+    answers many query batches against one corpus pays the index build
+    exactly once, across sessions."""
+    qa = _cell_assignments(embeddings, centroids, probes).select(
+        F.col("vec_id").alias("src"), "cell"
+    )
+    ya = assignments.select(F.col("vec_id").alias("dst"), "cell")
+    pairs = (
+        qa.join(ya, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+    return _topk(_pair_sims_arrow(pairs, _normed(embeddings)), k)
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:

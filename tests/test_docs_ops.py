@@ -1310,3 +1310,37 @@ def test_resize_pixels_through_codec(spark):
                 exp += bytes((d * 131 + (i + c) * 7) % 256 for c in range(ch))
         assert r.n_pixels == len(exp)
         assert r.pixel_hex == bytes(exp).hex(), d
+
+
+def test_ivf_index_persistence(spark, tmp_path):
+    """Durable IVF index: save writes centroids + inverted lists + a
+    fingerprinted manifest; a second save is a HIT (no rebuild); queries
+    through the loaded index equal the fresh in-session IVF exactly; a
+    changed corpus flips the fingerprint and rebuilds."""
+    from joern_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from joern_spark.sources.testdata import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    idx_dir = str(tmp_path / "ivf")
+    m1 = save_ivf_index(emb, idx_dir)
+    assert m1["hit"] is False and m1["n_vectors"] == emb.count()
+    m2 = save_ivf_index(emb, idx_dir)
+    assert m2["hit"] is True
+
+    cents, assign, meta = load_ivf_index(spark, idx_dir)
+    assert len(cents) == meta["n_cells"]
+    assert assign.count() == meta["n_vectors"]
+
+    got = cosine_topk_ivf_indexed(emb, cents, assign)
+    fresh = cosine_topk_ivf(emb)
+    assert got.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(got).count() == 0
+
+    # corpus change -> fingerprint miss -> rebuild
+    m3 = save_ivf_index(emb.limit(50), idx_dir)
+    assert m3["hit"] is False and m3["n_vectors"] == 50

@@ -498,3 +498,64 @@ def test_annotate_path_elements(spark):
     same = {r.dst: r.elems for r in annotate_path_elements(paths).collect()}
     assert [x.is_crossing for x in same["A:2"]] == [False, False]
     assert [x.visible for x in same["A:2"]] == [True, True]
+
+
+def test_incremental_paths_equals_full_recompute(spark):
+    """Property: on random heterogeneous edge tables, maintaining a
+    cached keep='all' walk through an append-only delta
+    (incremental_paths) yields EXACTLY the full re-walk over the updated
+    edges — including seeds that are new, seeds that retire, fan-slice
+    displacement through a delta endpoint, and untouched seeds whose
+    cached rows survive byte-identical."""
+    import random
+
+    from joern_spark.functions.hetero import (
+        expand_paths_hetero,
+        incremental_paths,
+    )
+
+    E_SCHEMA = "src string, dst string, label string, property string"
+    for trial in range(3):
+        rng = random.Random(500 + trial)
+        convs = ["A", "B", "C"]
+        turns = [f"{c}:{i}" for c in convs for i in range(3)]
+        ents = [f"E{i}" for i in range(3)]
+        edges = []
+        for c in convs:
+            ct = [t for t in turns if t.startswith(c)]
+            edges += [(a, b, "NEXT_TURN", None) for a, b in zip(ct, ct[1:])]
+        for t in turns:
+            for e in ents:
+                if rng.random() < 0.3:
+                    edges.append((t, e, "LINKS_TO", None))
+        edges.append(("E0", "E1", "SAME_AS", None))
+        seed0 = rng.sample(turns, 3)
+        e0 = spark.createDataFrame(edges, E_SCHEMA)
+        cached = expand_paths_hetero(
+            seeds(spark, seed0), e0, max_depth=3, max_crossings=2, keep="all"
+        ).localCheckpoint(eager=True)
+
+        # append-only delta: a new conversation chain + new cross links
+        delta = [("D:0", "D:1", "NEXT_TURN", None),
+                 ("D:0", "E2", "LINKS_TO", None),
+                 (rng.choice(turns), "E0", "LINKS_TO", None)]
+        e1 = spark.createDataFrame(edges + delta, E_SCHEMA)
+        ddf = spark.createDataFrame(delta, E_SCHEMA)
+        # seed churn: one retires, one brand-new (in the new conversation)
+        seed1 = seed0[1:] + ["D:0"]
+
+        inc = incremental_paths(
+            cached, e1, ddf, seeds(spark, seed1),
+            max_depth=3, max_crossings=2,
+        )
+        full = expand_paths_hetero(
+            seeds(spark, seed1), e1, max_depth=3, max_crossings=2, keep="all"
+        )
+        assert pkey(inc) == pkey(full), trial
+        # empty delta == pure seed filtering of the cache (no re-walk rows
+        # beyond brand-new seeds)
+        inc0 = incremental_paths(
+            cached, e0, spark.createDataFrame([], E_SCHEMA),
+            seeds(spark, seed0), max_depth=3, max_crossings=2,
+        )
+        assert pkey(inc0) == pkey(cached)
