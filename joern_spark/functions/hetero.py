@@ -379,6 +379,7 @@ def incremental_paths(
     max_crossings: int = 1,
     max_nesting: int = 1,
     id_col: str = "id",
+    steps: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain a keep='all' walk under an APPEND-ONLY edge
     delta (the streaming-ingest model, like canonicalize's incremental
@@ -437,6 +438,7 @@ def incremental_paths(
         keep="all",
         id_col="id",
         max_nesting=max_nesting,
+        steps=steps,  # the UPDATED table's step set, when already built
     )
     return valid_paths.unionByName(rewalked)
 

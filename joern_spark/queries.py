@@ -710,6 +710,60 @@ def q_flows_named(spark, sf_dir):
     )
 
 
+def q_cross_paths_incremental(spark, sf_dir):
+    """Driver-gated proof of INCREMENTAL walk maintenance
+    (hetero.incremental_paths): split the heterogeneous edge union into
+    a base and an append delta (conversations in md5 bucket 0 of 16 —
+    entity-keyed SAME_AS rows hash on their own key), walk the base,
+    fold the delta in incrementally, keep-max — and the result must
+    hash-equal the oracle's ONE-SHOT full walk (cross_paths_sql). The
+    streaming-ingest discipline for the flow layer: a delta re-walks
+    only the seeds whose cached paths touch a delta endpoint."""
+    from joern_spark.functions.hetero import (
+        expand_paths_hetero,
+        incremental_paths,
+        max_length_paths,
+    )
+    from joern_spark.functions.hashing import md5_long
+
+    t = _t(spark, sf_dir)
+    edges = _hetero_edges(spark, sf_dir)
+    part_key = F.when(
+        F.col("src").contains(":"), F.substring_index(F.col("src"), ":", 1)
+    ).otherwise(F.col("src"))
+    in_delta = md5_long(part_key) % 16 == 0
+    base = edges.where(~in_delta)
+    delta = edges.where(in_delta)
+    seeds = (
+        extract_triples_raw(t)
+        .where(F.col("pred") == "queried_about")
+        .select(
+            F.concat(
+                "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+            ).alias("id")
+        )
+        .dropDuplicates()
+    )
+    # depth 3 / crossings 1 — the maintenance property is budget-agnostic
+    # and the smaller walk keeps the gate cheap; the full-table re-walk
+    # reuses the SESSION step table (built once for the whole battery)
+    cached = expand_paths_hetero(
+        seeds, base, max_depth=3, max_crossings=1, keep="all"
+    )
+    merged = incremental_paths(
+        cached, edges, delta, seeds, max_depth=3, max_crossings=1,
+        steps=_hetero_steps(spark, sf_dir),
+    )
+    return max_length_paths(merged).select(
+        "src",
+        "dst",
+        "depth",
+        "crossings",
+        F.array_join("path", "->").alias("path"),
+        F.array_join("labels", "->").alias("labels"),
+    )
+
+
 def q_cross_paths_nested(spark, sf_dir):
     """Nested-call realizable flows — the callSiteStack at depth 2
     (TaskCreator.scala:33-60 pushes a frame per descent,
@@ -1269,6 +1323,7 @@ TPG_QUERIES = {
     "tpg_ddg_dot": q_ddg_dot,
     "tpg_flows_named": q_flows_named,
     "tpg_entity_aa": q_entity_aa,
+    "tpg_cross_paths_incremental": q_cross_paths_incremental,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_ddg_dot",
     "tpg_flows_named",
     "tpg_entity_aa",
+    "tpg_cross_paths_incremental",
 }
 
 
