@@ -550,14 +550,17 @@ def q_reach_paths(spark, sf_dir):
     )
 
 
-def _hetero_edges(spark, sf_dir):
-    """The labeled heterogeneous edge union the path engine walks:
-    NEXT_TURN + LINKS_TO + SAME_AS."""
-    t = _t(spark, sf_dir)
-    linked = _linked(spark, sf_dir)
-    pairs = canonicalize.same_as_pairs(t)
+def hetero_edges_from(transcripts, linked):
+    """The labeled heterogeneous edge union the path engine walks
+    (NEXT_TURN + LINKS_TO + SAME_AS), from explicit inputs — shared by
+    the per-sf battery path and the streaming walk-increment fold.
+    CONTRACT: `transcripts` must carry WHOLE conversations (NEXT_TURN
+    derives from a conv-keyed window; a conversation split across inputs
+    would lose its boundary edge — the same contract as the batch
+    extractor)."""
+    pairs = canonicalize.same_as_pairs(transcripts)
     return (
-        assemble.next_turn_edges(t)
+        assemble.next_turn_edges(transcripts)
         .unionByName(link.links_to_edges(linked))
         .unionByName(
             pairs.select(
@@ -568,6 +571,10 @@ def _hetero_edges(spark, sf_dir):
             )
         )
     )
+
+
+def _hetero_edges(spark, sf_dir):
+    return hetero_edges_from(_t(spark, sf_dir), _linked(spark, sf_dir))
 
 
 # The depth-4 cross-layer walk is the most expensive plan in the pack and

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from joern_spark import schemas as S
 from joern_spark.operators.extract import extract_triples_raw
@@ -214,6 +215,149 @@ def run_alias_increment(
         )
         merged.write.mode("overwrite").parquet(snap)
         _commit_pointer(state_dir, snap)
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming flow-walk increments: fold newly-landed conversations into a
+# persisted keep='all' walk via hetero.incremental_paths — the streaming
+# twin of the workspace flow cache (the same snapshot-behind-a-pointer
+# discipline as the canonical-map increments above).
+
+_WALK_POINTER = "CURRENT_WALK"
+
+
+def _walk_snapshots(state_dir: str) -> list[str]:
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(state_dir)
+        if n.startswith("walk-")
+        and os.path.exists(os.path.join(state_dir, n, "paths", "_SUCCESS"))
+        and os.path.exists(os.path.join(state_dir, n, "edges", "_SUCCESS"))
+        and os.path.exists(os.path.join(state_dir, n, "seeds", "_SUCCESS"))
+    )
+
+
+def read_walk(
+    spark: SparkSession, state_dir: str
+) -> "tuple[DataFrame, DataFrame, DataFrame] | None":
+    """(paths, edges, seeds) of the current walk snapshot, or None before
+    the first fold."""
+    p = os.path.join(state_dir, _WALK_POINTER)
+    if os.path.exists(p):
+        with open(p) as f:
+            name = f.read().strip()
+    else:
+        snaps = _walk_snapshots(state_dir)
+        if not snaps:
+            return None
+        name = snaps[-1]
+    base = os.path.join(state_dir, name)
+    return (
+        spark.read.parquet(os.path.join(base, "paths")),
+        spark.read.parquet(os.path.join(base, "edges")),
+        spark.read.parquet(os.path.join(base, "seeds")),
+    )
+
+
+def run_walk_increment(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_depth: int = 3,
+    max_crossings: int = 1,
+) -> None:
+    """Incremental flow-walk maintenance over a landing stream: drain
+    newly-landed transcript files, derive their heterogeneous edge delta
+    (NEXT_TURN/LINKS_TO/SAME_AS — each landed file must carry WHOLE
+    conversations, the queries.hetero_edges_from contract), and fold it
+    into the persisted keep='all' walk with hetero.incremental_paths —
+    only the seeds whose cached paths touch a delta endpoint re-walk;
+    the historical path set is never replayed.
+
+    Snapshots are immutable dirs (`walk-<batch>-<uuid>/{paths,edges,
+    seeds}`) behind an atomically-replaced pointer. At-least-once
+    replay is idempotent: a replayed batch's edges anti-join away
+    against the accumulated edge table, leaving an empty delta, and
+    incremental_paths with an empty delta is a pure cache filter
+    (tested)."""
+    import uuid
+
+    from joern_spark.functions.hetero import (
+        expand_paths_hetero,
+        incremental_paths,
+    )
+    from joern_spark.operators.extract import (
+        extract_mentions,
+        extract_triples_raw,
+    )
+    from joern_spark.operators.link import link_mentions
+    from joern_spark.queries import hetero_edges_from
+    from joern_spark.sources.transcripts import read_entities
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        linked = link_mentions(extract_mentions(batch_df), read_entities(spark))
+        delta = hetero_edges_from(batch_df, linked).dropDuplicates(
+            ["src", "dst", "label"]
+        ).localCheckpoint(eager=True)
+        delta_seeds = (
+            extract_triples_raw(batch_df)
+            .where(F.col("pred") == "queried_about")
+            .select(
+                F.concat(
+                    "conv_id", F.lit(":"), F.col("turn_idx").cast("string")
+                ).alias("id")
+            )
+            .dropDuplicates()
+        )
+        prev = read_walk(spark, state_dir)
+        if prev is None:
+            edges_all = delta
+            seeds_all = delta_seeds
+            paths = expand_paths_hetero(
+                seeds_all, edges_all, max_depth=max_depth,
+                max_crossings=max_crossings, keep="all",
+            )
+        else:
+            prev_paths, prev_edges, prev_seeds = prev
+            new_delta = delta.join(
+                prev_edges.select("src", "dst", "label"),
+                ["src", "dst", "label"],
+                "left_anti",
+            )
+            edges_all = prev_edges.unionByName(new_delta).dropDuplicates(
+                ["src", "dst", "label"]
+            )
+            seeds_all = prev_seeds.unionByName(delta_seeds).dropDuplicates()
+            paths = incremental_paths(
+                prev_paths, edges_all, new_delta, seeds_all,
+                max_depth=max_depth, max_crossings=max_crossings,
+            )
+        snap = os.path.join(
+            state_dir, f"walk-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        paths.write.mode("overwrite").parquet(os.path.join(snap, "paths"))
+        edges_all.write.mode("overwrite").parquet(os.path.join(snap, "edges"))
+        seeds_all.write.mode("overwrite").parquet(os.path.join(snap, "seeds"))
+        tmp = os.path.join(state_dir, _WALK_POINTER + f".tmp{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _WALK_POINTER))
 
     stream = read_transcript_stream(spark, landing_dir)
     q = (

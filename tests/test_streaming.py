@@ -435,3 +435,72 @@ def test_faithfulness_stream_across_drains_and_batch_parity(
         for r in fn(batch).collect()
     }
     assert {(f"{c}:{t}", k) for c, t, k in got} == want
+
+
+def test_walk_increment_stream_equals_batch(spark, tmp_path):
+    """Streaming flow-walk maintenance: drain two arrival batches through
+    run_walk_increment and the persisted keep='all' walk must equal the
+    one-shot batch walk over everything landed; a drain with no new
+    files leaves the snapshot pointer unchanged (idempotent fold)."""
+    import os
+
+    from joern_spark.functions.hetero import expand_paths_hetero
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import link_mentions
+    from joern_spark.queries import hetero_edges_from
+    from joern_spark.sources.transcripts import read_entities
+    from pyspark.sql import functions as F
+
+    d = {k: str(tmp_path / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    def land(lo, hi, name):
+        import glob
+        import shutil
+
+        pdf = G.generate_transcripts(1500)
+        sub = pdf[(pdf["conv_id"] >= f"c{lo:09d}")
+                  & (pdf["conv_id"] < f"c{hi:09d}")]
+        staging = f"{d['landing']}/../_st_{name}"
+        spark.createDataFrame(sub).coalesce(1).write.mode(
+            "overwrite").parquet(staging)
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+            shutil.move(f, f"{d['landing']}/{name}_{i}.parquet")
+        shutil.rmtree(staging)
+
+    land(0, 40, "b1")
+    ingest.run_walk_increment(spark, d["landing"], d["state"], d["ckpt"])
+    first = ingest.read_walk(spark, d["state"])
+    assert first is not None
+    n1 = first[0].count()
+    assert n1 > 0
+    with open(os.path.join(d["state"], "CURRENT_WALK")) as fh:
+        ptr1 = fh.read()
+
+    # idempotent: nothing new landed → no new snapshot
+    ingest.run_walk_increment(spark, d["landing"], d["state"], d["ckpt"])
+    with open(os.path.join(d["state"], "CURRENT_WALK")) as fh:
+        assert fh.read() == ptr1
+
+    land(40, 80, "b2")
+    ingest.run_walk_increment(spark, d["landing"], d["state"], d["ckpt"])
+    paths, edges, seeds = ingest.read_walk(spark, d["state"])
+
+    # batch one-shot over EVERYTHING landed
+    t = spark.read.parquet(d["landing"])
+    linked = link_mentions(extract_mentions(t), read_entities(spark))
+    e_all = hetero_edges_from(t, linked).dropDuplicates(
+        ["src", "dst", "label"])
+    from joern_spark.operators.extract import extract_triples_raw
+    s_all = (
+        extract_triples_raw(t)
+        .where(F.col("pred") == "queried_about")
+        .select(F.concat("conv_id", F.lit(":"),
+                         F.col("turn_idx").cast("string")).alias("id"))
+        .dropDuplicates()
+    )
+    want = expand_paths_hetero(
+        s_all, e_all, max_depth=3, max_crossings=1, keep="all")
+    assert paths.exceptAll(want).count() == 0
+    assert want.exceptAll(paths).count() == 0
+    assert paths.count() > n1
