@@ -125,6 +125,20 @@ def flows(
     )
 
 
+def _dump(g: GraphResult, repr_name: str, conv_id: str, **kwargs) -> str:
+    """One conversation's representation dump as a dot string — the
+    `joern-export --repr` one-liner for interactive debugging (the heavy
+    per-corpus writer is operators/dump.export_repr_dot)."""
+    from joern_spark.operators.dump import dump_repr
+
+    rows = (
+        dump_repr(g.transcripts, repr_name, [conv_id], **kwargs)
+        .orderBy("section", "line")
+        .collect()
+    )
+    return "\n".join(r.line for r in rows)
+
+
 def run_script(spark: SparkSession, g, path: str):
     """`joern --script` analog (JoernConsole script lifecycle,
     joern-cli/src/main/scala/io/joern/joerncli/console/..., §3.2 of
@@ -172,11 +186,15 @@ def repl(
         "sql": lambda starter, **p: sql(spark, starter, **p),
         "man": man,
         "flows": lambda *a, **k: flows(g, *a, **k),
+        # joern-export --repr analog: dump("ddg", "c000000042") returns
+        # the conversation's dot lines (sorted, ready to print/save)
+        "dump": lambda repr_name, conv_id, **k: _dump(g, repr_name, conv_id, **k),
     }
     if banner is None:
         banner = (
             "joern_spark console — spark, g, F, sql(starter, **params), "
-            "man(), flows(src_pattern, dst_pattern)\nstarters:\n" + man()
+            "man(), flows(src_pattern, dst_pattern), "
+            "dump(repr, conv_id)\nstarters:\n" + man()
         )
     it = iter(lines) if lines is not None else None
 

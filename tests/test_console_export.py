@@ -174,12 +174,17 @@ def test_repl_interactive_session(spark, make_transcripts, entities, capsys):
             "calls = sql('calls_of_tool', tool='weather_api').count()",
             "print('REPL-RESULT', n, calls)",
             "help_text = man()",
+            "cfg_dot = dump('cfg', 'c1')",
         ],
         banner="",
     )
     assert "REPL-RESULT 3 1" in capsys.readouterr().out
     assert (ns["n"], ns["calls"]) == (3, 1)
     assert "calls_of_tool" in ns["help_text"]
+    # the one-conversation dump starter returns a complete dot document
+    lines = ns["cfg_dot"].splitlines()
+    assert lines[0] == 'digraph "cfg_c1" {' and lines[-1] == "}"
+    assert '  "0" -> "1";' in lines and '  "1" -> "2";' in lines
 
 
 def test_dense_index_and_edge_index(spark):
