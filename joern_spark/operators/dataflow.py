@@ -163,95 +163,154 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
     defs:  (conv_id, turn_idx, var) — definition sites.
     returns (conv_id, turn_idx, var, def_idx): def reaches node entry.
 
-    Linear conversations (in/out-degree ≤ 1 everywhere — the dominant
-    transcript shape) take the closed form: IN(n, v) = latest def of v
-    strictly before n, one window over the conv_id shuffle. Conversations
-    with a branch or join node run the worklist kernel, cogrouped on
-    salted (conv, var) buckets.
+    Three routes, cheapest first:
+
+    * **linear** (in/out-degree ≤ 1, all edges index-increasing — the
+      dominant transcript shape): IN(n, v) = latest def of v strictly
+      before n — one aggregation + one conv_id join.
+    * **index-ordered ring** (a chain plus one last→first back-edge —
+      the retry/replay-loop transcript): the same closed form in CYCLIC
+      order — latest def strictly before by index, wrapping to the
+      variable's LAST def when none precedes (a single-def ring reaches
+      every node including the def's own entry: the fixpoint carries it
+      all the way around). So a 100 TB corpus of retry loops never
+      leaves the JVM.
+    * **general** (anything else — branches, joins, arbitrary cycles):
+      the worklist kernel, cogrouped on salted (conv, var) buckets.
+
+    Routing is ONE aggregate over the edge table: sorted by (src, dst),
+    an index-ordered ring is exactly the edge list in which every edge's
+    dst equals the NEXT edge's src, cyclically (zip with the rotation —
+    the wrap pair falls out of the rotate, and a 1-edge self-loop zips
+    with itself). Unique srcs/dsts pin degree 1; one backward edge pins
+    the single wrap. Impostors (self-loop beside a chain, ring plus a
+    disjoint component, out-of-order cycles, chords) fail a test and
+    fall through to the kernel. The collected per-conversation edge
+    array bounds agg-buffer memory by the conversation's edge count —
+    the same O(conversation) the downstream kernel group (and its
+    MAX_GROUP_CELLS guard) already carries.
+
+    Join-shape note: every join here keeps the conv-list aggregates on
+    the RIGHT of a semi/anti join (or renames the key before an inner
+    join). Frames derived from one shared scan through window operators
+    silently mis-resolved alias-qualified join keys on Spark 4 (wrong
+    row counts, no analyzer error) — aggregates on the right are the
+    shape this repo has gate-proven since round 2.
+
+    Contract note (all routes): a definition at a turn that is not a CFG
+    node cannot flow anywhere; callers building edges from the NEXT_TURN
+    lead window never produce one.
     """
-    nonlinear = (
+    # Input-shape caveat: avoid passing a UNION of co-partitioned edge
+    # branches — Catalyst pushes this operator's semi/anti routing joins
+    # through the union (PushDownLeftSemiAntiJoin) and the resulting
+    # union-of-joins trips an AQE partition-count zip mismatch in
+    # downstream sort-merge joins ("Can't zip RDDs with unequal numbers
+    # of partitions"). Emit extra edges in the same projection instead
+    # (explode over array_compact — see q_reaching_cyclic/_branchy); an
+    # explicit repartition does not help (CollapseRepartition removes it).
+    es = F.col("es")
+    rot = F.concat(
+        F.slice(es, 2, F.size(es) - 1), F.slice(es, 1, 1)
+    )
+    chain_ok = F.forall(
+        F.zip_with(es, rot, lambda a, b: a["dst_idx"] == b["src_idx"]),
+        lambda ok: ok,
+    )
+    uniq = (F.col("n") == F.col("ns")) & (F.col("n") == F.col("nd"))
+    routing = (
         edges.groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("src_idx").alias("ns"),
             F.countDistinct("dst_idx").alias("nd"),
-            # a pure ring or an index-decreasing chain has uniform degree 1
-            # but the "latest def strictly before by index" closed form is
-            # wrong for it — any edge running against turn_idx order (or a
-            # self-loop) routes the conversation to the worklist kernel
-            F.max(
+            # any edge running against turn_idx order (or a self-loop)
+            # makes the strictly-before-by-index closed form wrong
+            F.sum(
                 (F.col("src_idx") >= F.col("dst_idx")).cast("int")
-            ).alias("back"),
+            ).alias("nback"),
+            F.sort_array(
+                F.collect_list(F.struct("src_idx", "dst_idx"))
+            ).alias("es"),
         )
-        .where(
-            (F.col("n") > F.col("ns"))
-            | (F.col("n") > F.col("nd"))
-            | (F.col("back") == 1)
+        .select(
+            "conv_id",
+            F.when(uniq & (F.col("nback") == 0), F.lit(0))
+            .when(uniq & (F.col("nback") == 1) & chain_ok, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("route"),  # 0 linear, 1 ring, 2 general
         )
-        .select("conv_id")
     )
+    gen_convs = routing.where(F.col("route") == 2).select("conv_id")
+    ring_convs = routing.where(F.col("route") == 1).select("conv_id")
 
-    def _route(df, how: str) -> DataFrame:
-        # qualified semi/anti join: edges, defs and nonlinear usually share
-        # lineage (all derived from one transcripts scan), so a bare
-        # using-column join trips the ambiguous-self-join analyzer check
+    def _route(df, against, how: str) -> DataFrame:
+        # qualified semi/anti join: the left frame and the conv-list
+        # aggregate usually share lineage (one transcripts scan), so a
+        # bare using-column join trips the ambiguous-self-join check
         return df.alias("l").join(
-            nonlinear.alias("r"),
+            against.alias("r"),
             F.col("l.conv_id") == F.col("r.conv_id"),
             how,
         )
 
-    # ---- linear path: window closed form ------------------------------
-    lin_edges = _route(edges, "left_anti")
-    lin_defs = _route(defs, "left_anti")
-    nodes = (
-        lin_edges.select("conv_id", F.col("src_idx").alias("turn_idx"))
-        .unionByName(
-            lin_edges.select("conv_id", F.col("dst_idx").alias("turn_idx"))
-        )
-        .distinct()
-    )
+    # ---- closed forms (linear + ring) ----------------------------------
     # per-(conv, var) sorted def-turn array joined onto the node table:
     # the strictly-preceding last definition is the greatest array element
-    # < turn_idx — one small aggregation + one conv_id join, no window,
-    # and no ambiguous defs-vs-defs self-join lineage. Def arrays are
-    # tiny (defs per conversation), so the per-row array filter is cheap.
-    def_arrays = lin_defs.groupBy("conv_id", "var").agg(
+    # < turn_idx; ring conversations wrap to the last element. One small
+    # aggregation + one conv_id join, no per-node window, and def arrays
+    # are tiny (defs per conversation), so the array filter is cheap.
+    # def_arrays takes RAW defs — a general conversation's array matches
+    # no closed node, so the inner join routes defs for free.
+    closed_edges = _route(edges, gen_convs, "left_anti")
+    cn = closed_edges.select(
+        "conv_id",
+        F.explode(F.array("src_idx", "dst_idx")).alias("turn_idx"),
+    ).distinct()
+    def_arrays = defs.groupBy("conv_id", "var").agg(
         F.sort_array(F.collect_list("turn_idx")).alias("dts")
     )
-    # edges and defs may share lineage (both derived from the transcripts
-    # table), so qualify the join explicitly to avoid the ambiguous
-    # self-join analyzer error
-    linear = (
-        nodes.alias("n")
-        .join(
-            def_arrays.alias("da"),
-            F.col("n.conv_id") == F.col("da.conv_id"),
+    arrays_k = def_arrays.select(
+        F.col("conv_id").alias("_da_conv"), "var", "dts"
+    )
+    # try_element_at everywhere: the filtered array is EMPTY for any node
+    # with no preceding def, and plain element_at(…, -1) on an empty
+    # array throws under Spark 4's default ANSI mode (the driver runs
+    # ANSI-on even though session.py pins it off)
+    prev = F.try_element_at(
+        F.filter("dts", lambda d: d < F.col("turn_idx")), F.lit(-1)
+    )
+
+    def _closed(nodes: DataFrame, def_idx_expr) -> DataFrame:
+        # two separate branch joins rather than one join on a unioned
+        # node frame: a union of two join outputs feeding a sort-merge
+        # join tripped an AQE partition-count mismatch ("Can't zip RDDs
+        # with unequal numbers of partitions") at larger inputs
+        return (
+            nodes.join(arrays_k, F.col("conv_id") == F.col("_da_conv"))
+            .select("conv_id", "turn_idx", "var", "dts")
+            .withColumn("def_idx", def_idx_expr)
+            .where(F.col("def_idx").isNotNull())
+            .select(
+                "conv_id", "turn_idx", "var", F.col("def_idx").cast("int")
+            )
         )
-        .select("n.conv_id", "n.turn_idx", "da.var", "da.dts")
-        .withColumn(
-            "def_idx",
-            # try_element_at: the filtered array is EMPTY for any node with
-            # no preceding def, and plain element_at(…, -1) on an empty
-            # array throws under Spark 4's default ANSI mode (the driver
-            # runs ANSI-on even though session.py pins it off)
-            F.try_element_at(
-                F.filter("dts", lambda d: d < F.col("turn_idx")), F.lit(-1)
-            ),
-        )
-        .where(F.col("def_idx").isNotNull())
-        .select("conv_id", "turn_idx", "var", F.col("def_idx").cast("int"))
+
+    linear = _closed(_route(cn, ring_convs, "left_anti"), prev)
+    ringb = _closed(
+        _route(cn, ring_convs, "left_semi"),
+        F.coalesce(prev, F.try_element_at("dts", F.lit(-1))),
     )
 
     # ---- general path: cogrouped worklist kernel ----------------------
-    gen_edges = _route(edges, "left_semi")
-    gen_defs = _route(defs, "left_semi")
-    conv_vars_g = gen_defs.select("conv_id", "var").distinct()
-    edges_x = (
-        gen_edges.alias("e")
-        .join(conv_vars_g.alias("v"), F.col("e.conv_id") == F.col("v.conv_id"))
-        .select("e.conv_id", "v.var", "e.src_idx", "e.dst_idx")
-    )
+    gen_edges = _route(edges, gen_convs, "left_semi")
+    gen_defs = _route(defs, gen_convs, "left_semi")
+    conv_vars_g = gen_defs.select(
+        F.col("conv_id").alias("_v_conv"), "var"
+    ).distinct()
+    edges_x = gen_edges.join(
+        conv_vars_g, F.col("conv_id") == F.col("_v_conv")
+    ).select("conv_id", "var", "src_idx", "dst_idx")
     def_rows = gen_defs.select(
         "conv_id",
         "var",
@@ -264,4 +323,4 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
     general = long.groupBy("_b").applyInPandas(
         lambda pdf: _rd_batch(pdf.drop(columns=["_b"])), RD_SCHEMA
     )
-    return linear.unionByName(general)
+    return linear.unionByName(ringb).unionByName(general)

@@ -860,6 +860,56 @@ WHERE (CASE WHEN ring THEN coalesce(prev_def, wrap_def)
 """
 
 
+def reaching_branchy_sql(sf: float) -> str:
+    """Branching closed form for queries.q_reaching_branchy: on a chain
+    plus one skip edge u→u+2 (u = ⌊mx/2⌋, conversations with md5 % 3 = 0),
+    IN(u+2) = OUT(u+1) ∪ OUT(u), and that two-element set propagates down
+    the chain until the first definition at or after u+2 kills it. So:
+    the strictly-preceding window rule everywhere, UNION the skip
+    contribution — latest def ≤ u, for every node y ≥ u+2 whose
+    strictly-preceding def lies before u+2 (i.e. no def in [u+2, y) yet).
+    UNION (set) semantics dedup the case where the two coincide (no def
+    at the skipped node u+1)."""
+    rebind = RULES_BY_NAME["rebind"]
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN {_rule_where(rebind)} THEN turn_idx END AS def_at
+  FROM t
+),
+x AS (
+  SELECT conv_id, turn_idx,
+         last_value(def_at IGNORE NULLS) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_def,
+         last_value(def_at IGNORE NULLS) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le_def
+  FROM d
+),
+skip AS (
+  SELECT conv_id, CAST(floor(max(turn_idx) / 2.0) AS INTEGER) AS u
+  FROM t
+  GROUP BY conv_id
+  HAVING (('0x' || substr(md5(conv_id), 1, 15))::BIGINT) % 3 = 0
+     AND max(turn_idx) >= 3
+),
+viau AS (
+  SELECT x.conv_id, x.le_def AS def_u, s.u
+  FROM x JOIN skip s ON s.conv_id = x.conv_id AND x.turn_idx = s.u
+)
+SELECT conv_id, turn_idx, 'db' AS var, prev_def::INTEGER AS def_idx
+FROM x WHERE prev_def IS NOT NULL
+UNION
+SELECT x.conv_id, x.turn_idx, 'db' AS var, v.def_u::INTEGER AS def_idx
+FROM x JOIN viau v ON v.conv_id = x.conv_id
+WHERE x.turn_idx >= v.u + 2
+  AND coalesce(x.prev_def < v.u + 2, TRUE)
+  AND v.def_u IS NOT NULL
+"""
+
+
 def ddg_dot_sql(sf: float) -> str:
     """Dot-dump twin (operators/dump.dump_repr 'ddg'): the closed-form
     reaching table rebuilt as the same header/node/edge/footer lines the

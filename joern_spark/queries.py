@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from joern_spark import generator as G
@@ -195,15 +195,39 @@ def q_reaching_cyclic(spark, sf_dir):
     from joern_spark.operators.dataflow import reaching_definitions
 
     t = _t(spark, sf_dir)
-    edges = _next_turn_cfg(t)
-    back = (
-        t.groupBy("conv_id")
-        .agg(F.min("turn_idx").alias("dst_idx"), F.max("turn_idx").alias("src_idx"))
-        .where(md5_long(F.col("conv_id")) % 2 == 0)
-        .select("conv_id", "src_idx", "dst_idx")
+    # chain + back edge emitted in ONE window pass (no chain ∪ back
+    # union: Catalyst pushes the operator's routing anti-join through a
+    # union of co-partitioned branches, and the resulting union-of-joins
+    # trips an AQE partition-count zip mismatch downstream — one
+    # explode(array_compact(…)) sidesteps the shape AND halves the scans)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = Window.partitionBy("conv_id")
+    x = t.select(
+        "conv_id",
+        "turn_idx",
+        F.lead("turn_idx").over(w).alias("nxt"),
+        F.max("turn_idx").over(wc).alias("mx"),
+        F.min("turn_idx").over(wc).alias("mn"),
     )
+    chain = F.when(
+        F.col("nxt").isNotNull(),
+        F.struct(
+            F.col("turn_idx").alias("src_idx"), F.col("nxt").alias("dst_idx")
+        ),
+    )
+    back = F.when(
+        (F.col("turn_idx") == F.col("mx"))
+        & (md5_long(F.col("conv_id")) % 2 == 0),
+        F.struct(
+            F.col("mx").alias("src_idx"), F.col("mn").alias("dst_idx")
+        ),
+    )
+    edges = x.select(
+        "conv_id",
+        F.explode(F.array_compact(F.array(chain, back))).alias("e"),
+    ).select("conv_id", "e.src_idx", "e.dst_idx")
     defs = _rule_defs(t, "rebind", "db")
-    return reaching_definitions(edges.unionByName(back), defs)
+    return reaching_definitions(edges, defs)
 
 
 def q_reaching_multi(spark, sf_dir):
@@ -220,6 +244,55 @@ def q_reaching_multi(spark, sf_dir):
         _rule_defs(t, "ask", "city")
     )
     return reaching_definitions(_next_turn_cfg(t), defs)
+
+
+def q_reaching_branchy(spark, sf_dir):
+    """Reaching definitions on a corpus where a third of the conversations
+    get a SKIP edge u→u+2 (u = ⌊max_idx/2⌋): node u+2 becomes a genuine
+    join (in-degree 2), routing those conversations to the gen/kill
+    worklist kernel — the kernel's driver gate now that index-ordered
+    rings take the cyclic closed form (operators/dataflow.py). The oracle
+    is the branching closed form: the strictly-preceding window rule
+    everywhere, PLUS the skip contribution — the latest def ≤ u also
+    reaches every node y ≥ u+2 until the first def at or after u+2
+    (IN(u+2) = OUT(u+1) ∪ OUT(u), propagated until killed)."""
+    from joern_spark.functions.hashing import md5_long
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    t = _t(spark, sf_dir)
+    # chain + skip edge emitted in ONE window pass — same no-union shape
+    # as q_reaching_cyclic (the chain ∪ extra union trips an AQE
+    # partition-zip mismatch once the routing anti-join is pushed
+    # through it)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = Window.partitionBy("conv_id")
+    u = F.floor(F.col("mx") / 2).cast("int")
+    x = t.select(
+        "conv_id",
+        "turn_idx",
+        F.lead("turn_idx").over(w).alias("nxt"),
+        F.max("turn_idx").over(wc).alias("mx"),
+    )
+    chain = F.when(
+        F.col("nxt").isNotNull(),
+        F.struct(
+            F.col("turn_idx").alias("src_idx"), F.col("nxt").alias("dst_idx")
+        ),
+    )
+    skip = F.when(
+        (F.col("turn_idx") == u)
+        & (F.col("mx") >= 3)
+        & (md5_long(F.col("conv_id")) % 3 == 0),
+        F.struct(
+            u.alias("src_idx"), (u + 2).cast("int").alias("dst_idx")
+        ),
+    )
+    edges = x.select(
+        "conv_id",
+        F.explode(F.array_compact(F.array(chain, skip))).alias("e"),
+    ).select("conv_id", "e.src_idx", "e.dst_idx")
+    defs = _rule_defs(t, "rebind", "db")
+    return reaching_definitions(edges, defs)
 
 
 def q_ddg_dot(spark, sf_dir):
@@ -1326,6 +1399,7 @@ TPG_QUERIES = {
     # round-5 additions (must sit inside the first-50 driver gate window)
     "tpg_reaching_cyclic": q_reaching_cyclic,
     "tpg_reaching_multi": q_reaching_multi,
+    "tpg_reaching_branchy": q_reaching_branchy,
     "mm_resize_pixels": q_mm_resize_pixels,
     "tpg_ddg_dot": q_ddg_dot,
     "tpg_flows_named": q_flows_named,

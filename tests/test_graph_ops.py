@@ -510,6 +510,75 @@ def test_reaching_defs_routes_rings_and_backwards_chains(spark):
     }
 
 
+def test_reaching_defs_ring_fast_path_equals_kernel(spark):
+    """Random index-ordered rings (the cyclic closed-form route) must
+    produce exactly the worklist kernel's fixpoint — same gen/kill
+    problem, two engines. Covers 1-node self-loops, sparse/no/full defs,
+    and non-contiguous turn indexes."""
+    import random
+
+    import pandas as pd
+
+    from joern_spark.operators.dataflow import (
+        _rd_group,
+        reaching_definitions,
+    )
+
+    rnd = random.Random(7)
+    rows_e, rows_d, expect = [], [], set()
+    for c in range(14):
+        conv = f"r{c}"
+        n = rnd.randint(1, 9)
+        turns = sorted(rnd.sample(range(40), n))
+        ring = [(turns[i], turns[(i + 1) % n]) for i in range(n)]
+        defs = [t for t in turns if rnd.random() < 0.4]
+        rows_e += [(conv, a, b) for a, b in ring]
+        rows_d += [(conv, d, "v") for d in defs]
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [conv] * n,
+                "src_idx": [a for a, _ in ring],
+                "dst_idx": [b for _, b in ring],
+            }
+        )
+        expect |= set(_rd_group(conv, "v", pdf, defs))
+    edges = spark.createDataFrame(
+        rows_e, "conv_id string, src_idx int, dst_idx int"
+    )
+    ddf = spark.createDataFrame(
+        rows_d, "conv_id string, turn_idx int, var string"
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.var, r.def_idx)
+        for r in reaching_definitions(edges, ddf).collect()
+    }
+    assert got == expect
+
+
+def test_reaching_defs_skip_edge_joins_route_to_kernel(spark):
+    """A chain plus one skip edge u→u+2 (the tpg_reaching_branchy
+    fixture shape) has a join node, so it must take the kernel — and the
+    result must show BOTH definitions merging at and after the join
+    until the next kill."""
+    from joern_spark.operators.dataflow import reaching_definitions
+
+    # chain 0→1→2→3→4 plus skip 1→3; defs at 1, 2 (2 is the skipped node)
+    edges = spark.createDataFrame(
+        [("s", 0, 1), ("s", 1, 2), ("s", 2, 3), ("s", 3, 4), ("s", 1, 3)],
+        "conv_id string, src_idx int, dst_idx int",
+    )
+    defs = spark.createDataFrame(
+        [("s", 1, "v"), ("s", 2, "v")],
+        "conv_id string, turn_idx int, var string",
+    )
+    got = {
+        (r.turn_idx, r.def_idx)
+        for r in reaching_definitions(edges, defs).collect()
+    }
+    # IN(3) = OUT(2) ∪ OUT(1) = {2} ∪ {1}; no def at 3 → IN(4) = {2, 1}
+    assert got == {(2, 1), (3, 1), (3, 2), (4, 1), (4, 2)}
+
+
 def test_reaching_defs_size_guard(monkeypatch):
     import joern_spark.operators.dataflow as dfm
     import pytest

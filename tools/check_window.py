@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = {
     # round-5 additions
     "tpg_reaching_cyclic",
     "tpg_reaching_multi",
+    "tpg_reaching_branchy",
     "mm_resize_pixels",
     "tpg_ddg_dot",
     "tpg_flows_named",
