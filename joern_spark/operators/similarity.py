@@ -961,3 +961,135 @@ def kmeans_assignments(
     index side)."""
     cents = kmeans_centroids(embeddings, k, rounds, sample_n)
     return _cell_assignments(embeddings, cents, probes=1).select("vec_id", "cell")
+
+
+# --- product quantization (asymmetric distance) -------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # codes per subspace
+PQ_TOP_K = 10
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K):
+    """Deterministic PQ codebooks: the m subvectors of the k vectors
+    whose md5(vec_id) ranks lowest — the `ivf_centroids` seeded-sample
+    discipline (reproducible in SQL; at cluster scale you would refine
+    each subspace's codebook with Lloyd rounds over a sample, which only
+    changes these k rows, not the plan shape). Returns
+    (codebooks[m][k][sub], (query_vec_id, query_vector)) where the query
+    is the single hash-smallest vector — the battery's deterministic
+    probe. k rows collected: a dimension table, not a corpus collect."""
+    from joern_spark.functions.hashing import md5_long
+
+    rows = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            md5_long(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        return [], None
+    dim = len(rows[0].embedding)
+    sub = dim // m
+    cbs = [
+        [
+            [float(x) for x in r.embedding[s * sub : (s + 1) * sub]]
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+    return cbs, (rows[0].vec_id, [float(x) for x in rows[0].embedding])
+
+
+def _pq_sq_dist(base: int, centroid: list):
+    """Σ_i (embedding[base+i] − c_i)² as a LEFT fold in ascending index
+    order — the same addition order the DuckDB oracle's list_sum
+    comprehension applies, so both engines emit bit-identical doubles."""
+    acc = None
+    for i, cv in enumerate(centroid):
+        d = F.element_at("embedding", base + i + 1).cast("double") - F.lit(cv)
+        t = d * d
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def pq_encode(embeddings: DataFrame, cbs: list) -> DataFrame:
+    """(vec_id, code_0 … code_{m-1}) — each code the argmin-distance
+    centroid of its subspace, tie-broken by centroid index. ONE fused
+    whole-stage-codegen projection over the scan (no shuffle, no UDF):
+    at corpus scale the code table is the point of PQ — dim·4 bytes per
+    vector collapse to m bytes (64-float embeddings → 4 codes, 64×),
+    so the ADC candidate scan is memory-bound on 1/64th the bytes."""
+    cols = []
+    for s, cb in enumerate(cbs):
+        sub = len(cb[0])
+        structs = [
+            F.struct(
+                _pq_sq_dist(s * sub, c).alias("d"), F.lit(j).alias("j")
+            )
+            for j, c in enumerate(cb)
+        ]
+        # struct array_sort orders by (d asc, j asc) — total, SQL-exact
+        cols.append(
+            F.element_at(F.array_sort(F.array(*structs)), 1)["j"].alias(
+                f"code_{s}"
+            )
+        )
+    return embeddings.select("vec_id", *cols)
+
+
+def pq_topk_adc(
+    embeddings: DataFrame,
+    k: int = PQ_TOP_K,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus once (fused
+    projection), build the query's per-subspace distance table
+    driver-side (m×n_codes doubles — literals in the plan), and rank by
+    the ADC sum looked up per code. The final top-k compiles to
+    TakeOrderedAndProject (distributed per-partition top-k + driver
+    merge — no global sort, no single-reducer funnel). The ADC sum
+    left-folds the m lookups in ASCENDING SORTED order
+    (aggregate(array_sort(…))) so the oracle's list_sum(list_sort(…))
+    adds the same doubles in the same order."""
+    cbs, q = pq_codebooks(embeddings, m, n_codes)
+    if q is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, adc double"
+        )
+    q_id, q_vec = q
+    sub = len(q_vec) // m
+    codes = pq_encode(embeddings, cbs)
+    terms = []
+    for s, cb in enumerate(cbs):
+        qs = q_vec[s * sub : (s + 1) * sub]
+        dt = []
+        for c in cb:
+            acc = 0.0
+            for i in range(sub):
+                d = qs[i] - c[i]
+                acc = acc + d * d
+            dt.append(acc)
+        # code ∈ [0, n_codes) by construction, so the 1-based lookup is
+        # always in range; try_element_at keeps it ANSI-total anyway
+        terms.append(
+            F.try_element_at(
+                F.array(*[F.lit(v) for v in dt]), F.col(f"code_{s}") + 1
+            )
+        )
+    adc = F.aggregate(
+        F.array_sort(F.array(*terms)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.where(F.col("vec_id") != q_id)
+        .select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )

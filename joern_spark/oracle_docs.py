@@ -31,6 +31,9 @@ from joern_spark.operators.similarity import (
     MULTI_PROBE_H,
     MULTI_TABLES,
     NPLANES,
+    PQ_K,
+    PQ_M,
+    PQ_TOP_K,
     SEMDEDUP_THRESHOLD,
     TOP_K,
     hyperplanes,
@@ -1685,4 +1688,55 @@ def ev_props_sql() -> str:
 SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events
+"""
+
+
+def pq_topk_sql(
+    k: int = PQ_TOP_K, m: int = PQ_M, n_codes: int = PQ_K, dim: int = DIM
+) -> str:
+    """PQ/ADC mirror (similarity.pq_topk_adc): identical deterministic
+    codebook (subvectors of the n_codes lowest-md5 vectors), identical
+    argmin encode (d asc, j asc), and the ADC sum re-added in SORTED
+    order (list_sum(list_sort(…)) ↔ Spark's aggregate(array_sort(…)))
+    so both engines fold the same doubles in the same order."""
+    h = H.format(x="CAST(vec_id AS VARCHAR)")
+    sub = dim // m
+    sq = (
+        f"list_sum([((e.embedding[g.s*{sub}+i])::DOUBLE"
+        f" - (cb.embedding[g.s*{sub}+i])::DOUBLE)"
+        f" * ((e.embedding[g.s*{sub}+i])::DOUBLE"
+        f" - (cb.embedding[g.s*{sub}+i])::DOUBLE)"
+        f" FOR i IN range(1, {sub + 1})])"
+    )
+    return f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS j,
+         vec_id, embedding
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {n_codes}
+),
+dist AS (
+  SELECT e.vec_id, g.s, cb.j, {sq} AS d
+  FROM embeddings e, generate_series(0, {m - 1}) g(s), cb
+),
+codes AS (
+  SELECT vec_id, s, j AS code
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1
+),
+qdist AS (
+  SELECT g.s, cb.j, {sq} AS d
+  FROM (SELECT embedding FROM cb WHERE j = 0) e,
+       generate_series(0, {m - 1}) g(s), cb
+),
+adcs AS (
+  SELECT c.vec_id, list_sum(list_sort(list(qd.d))) AS adc
+  FROM codes c JOIN qdist qd ON qd.s = c.s AND qd.j = c.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc
+FROM adcs
+WHERE vec_id <> (SELECT vec_id FROM cb WHERE j = 0)
+ORDER BY adc, vec_id
+LIMIT {k}
 """

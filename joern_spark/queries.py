@@ -1283,6 +1283,16 @@ def q_sim_topk_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(read_embeddings(spark, sf_dir))
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_topk_adc): encode
+    the corpus into m=4 one-byte codes per vector (a 64× byte reduction
+    on 64-float embeddings — the memory-bound ANN scale path), then rank
+    by the query's per-subspace distance-table lookups. Deterministic
+    hash-sample codebook, so the DuckDB oracle rebuilds the identical
+    index."""
+    return similarity.pq_topk_adc(read_embeddings(spark, sf_dir))
+
+
 def q_dd_embed_cosine(spark, sf_dir):
     return similarity.cosine_dup_pairs_matmul(read_embeddings(spark, sf_dir))
 
@@ -1400,6 +1410,7 @@ TPG_QUERIES = {
     "tpg_reaching_cyclic": q_reaching_cyclic,
     "tpg_reaching_multi": q_reaching_multi,
     "tpg_reaching_branchy": q_reaching_branchy,
+    "sim_pq_topk": q_sim_pq_topk,
     "mm_resize_pixels": q_mm_resize_pixels,
     "tpg_ddg_dot": q_ddg_dot,
     "tpg_flows_named": q_flows_named,

@@ -1344,3 +1344,84 @@ def test_ivf_index_persistence(spark, tmp_path):
     # corpus change -> fingerprint miss -> rebuild
     m3 = save_ivf_index(emb.limit(50), idx_dir)
     assert m3["hit"] is False and m3["n_vectors"] == 50
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    """PQ plumbing correctness: the distributed encode + ADC ranking must
+    equal an independent numpy recompute of the same algorithm (same
+    deterministic codebook, argmin tie-break, per-subspace lookup, sorted
+    double fold) on the real sf0.001 embeddings — and the code table must
+    only emit codes in [0, PQ_K)."""
+    import hashlib
+
+    import numpy as np
+
+    from joern_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_TOP_K,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+    from joern_spark.sources.testdata import read_embeddings
+
+    df = read_embeddings(spark, "/root/testdata/sf0.001")
+    rows = df.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    sample = sorted(vecs, key=lambda v: (h(v), v))[:PQ_K]
+    q_id = sample[0]
+    dim = len(vecs[q_id])
+    sub = dim // PQ_M
+    cbs = [
+        [vecs[v][s * sub : (s + 1) * sub] for v in sample]
+        for s in range(PQ_M)
+    ]
+
+    def code(vec, s):
+        ds = [float(np.sum((vec[s * sub : (s + 1) * sub] - c) ** 2))
+              for c in cbs[s]]
+        return min(range(PQ_K), key=lambda j: (ds[j], j))
+
+    got_codes = {
+        r.vec_id: [r[f"code_{s}"] for s in range(PQ_M)]
+        for r in pq_encode(df, pq_codebooks(df)[0]).collect()
+    }
+    for vid, cs in got_codes.items():
+        assert all(0 <= c < PQ_K for c in cs)
+        assert cs == [code(vecs[vid], s) for s in range(PQ_M)], vid
+
+    dt = [
+        [float(np.sum((vecs[q_id][s * sub : (s + 1) * sub] - c) ** 2))
+         for c in cbs[s]]
+        for s in range(PQ_M)
+    ]
+    expect = sorted(
+        (
+            (sum(sorted(dt[s][code(v, s)] for s in range(PQ_M))), vid)
+            for vid, v in vecs.items()
+            if vid != q_id
+        ),
+    )[:PQ_TOP_K]
+    got = [(r.adc, r.vec_id) for r in pq_topk_adc(df).collect()]
+    assert [(round(a, 9), v) for a, v in got] == [
+        (round(a, 9), v) for a, v in expect
+    ]
+
+
+def test_pq_empty_embeddings(spark):
+    """Degenerate input: an empty embeddings table yields an empty,
+    correctly-typed result (no driver-side crash on the codebook
+    sample)."""
+    from joern_spark.operators.similarity import pq_topk_adc
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    out = pq_topk_adc(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "adc"]
