@@ -1,0 +1,95 @@
+"""Count-Min sketch over entity mentions — bounded-memory heavy hitters.
+
+The repo's exact entity statistics (operators/rank.py) handle hub-entity
+skew with salted partial aggregation, but the exact per-entity count is
+still a corpus-keyed shuffle whose key distribution IS the skew. The
+Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications", J. Algorithms 2005)
+bounds the aggregation state at D×W counters REGARDLESS of corpus size
+and key skew: every item lands in exactly D of the D·W cells, so the
+single groupBy here has a fixed 1024-key domain — a mega-hub entity
+costs the same as a rare one. The sketch is linearly mergeable (the
+sketch of a union is the cell-wise sum), which is the
+streaming/backfill composition property the KMV distinct sketch
+(operators/textstats.py) already demonstrates for cardinality; and the
+estimate min_r cells[r][h_r(x)] NEVER under-counts (each cell is a sum
+that includes the item's true count).
+
+Cross-engine determinism: row hashes are md5-based (functions/hashing
+.md5_long over "r:item"), so the DuckDB oracle rebuilds the identical
+sketch cell for cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joern_spark.functions.hashing import md5_long
+
+CM_D = 4  # hash rows
+CM_W = 256  # buckets per row
+
+def _rows_col():
+    return F.explode(F.array(*[F.lit(r) for r in range(CM_D)])).alias("r")
+
+
+def _bucket(r, item) -> object:
+    return (
+        md5_long(F.concat(r.cast("string"), F.lit(":"), item)) % CM_W
+    ).cast("int")
+
+
+def cm_sketch(items: DataFrame, col: str = "item") -> DataFrame:
+    """(r, bucket, c) — the D×W mergeable counter table. One groupBy
+    over a FIXED 1024-key domain: skew-immune by construction (each
+    occurrence contributes to D cells chosen by hash, so the hottest
+    entity spreads exactly like the coldest). Merge two sketches by
+    unioning and summing c per (r, bucket)."""
+    x = items.select(F.col(col).alias("item")).select("item", _rows_col())
+    return (
+        x.select("r", _bucket(F.col("r"), F.col("item")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — sketch(X ∪ Y) == cm_merge(sketch(X), sketch(Y)),
+    the property that lets shards/streams sketch independently."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cm_estimates(items: DataFrame, col: str = "item") -> DataFrame:
+    """(item, est) for every DISTINCT item: min over the item's D cells.
+    The sketch is 1024 rows — a broadcast dimension table — so the probe
+    side never shuffles on the (skewed) item key; est ≥ true count
+    always, with the classic (ε, δ) bound set by (D, W)."""
+    sk = cm_sketch(items, col)
+    probes = (
+        items.select(F.col(col).alias("item"))
+        .distinct()
+        .select("item", _rows_col())
+        .select("item", "r", _bucket(F.col("r"), F.col("item")).alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(sk), ["r", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def cm_heavy_hitters(
+    items: DataFrame, col: str = "item", k: int = 20
+) -> DataFrame:
+    """Top-k items by sketch estimate (est desc, item asc) — compiles to
+    TakeOrderedAndProject over the estimates, no global sort."""
+    return (
+        cm_estimates(items, col)
+        .orderBy(F.col("est").desc(), "item")
+        .limit(k)
+    )

@@ -2000,3 +2000,29 @@ SELECT a.conv_id || ':' || CAST(a.turn_idx AS VARCHAR) AS src,
 FROM idx a JOIN idx b
   ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + {k}
 """
+
+
+def entity_cm_sql(sf: float, d: int = 4, w: int = 256, k: int = 20) -> str:
+    """Count-Min mirror (operators/sketch): identical md5 row hashes
+    ("r:item"), identical d×w cells, min-over-rows estimate, top-k by
+    (est desc, item asc)."""
+    hb = "(('0x' || substr(md5(g.r::VARCHAR || ':' || item), 1, 15))::BIGINT)"
+    return f"""
+WITH items AS (
+  SELECT obj AS item FROM ({triples_raw_sql(sf)})
+),
+cells AS (
+  SELECT g.r AS r, {hb} % {w} AS bucket, count(*) AS c
+  FROM items, generate_series(0, {d - 1}) g(r)
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT p.item, g.r AS r, {hb.replace('item', 'p.item')} % {w} AS bucket
+  FROM (SELECT DISTINCT item FROM items) p, generate_series(0, {d - 1}) g(r)
+)
+SELECT pr.item, min(c.c) AS est
+FROM pr JOIN cells c ON c.r = pr.r AND c.bucket = pr.bucket
+GROUP BY pr.item
+ORDER BY est DESC, pr.item
+LIMIT {k}
+"""

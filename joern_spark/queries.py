@@ -1293,6 +1293,20 @@ def q_sim_pq_topk(spark, sf_dir):
     return similarity.pq_topk_adc(read_embeddings(spark, sf_dir))
 
 
+def q_entity_cm(spark, sf_dir):
+    """Count-Min heavy hitters over triple objects (operators/sketch):
+    the 4×256 mergeable counter table bounds aggregation state
+    regardless of hub-entity skew, the estimate never under-counts, and
+    the md5 row hashes let the oracle rebuild the identical sketch. Top
+    20 by (estimate desc, entity asc)."""
+    from joern_spark.operators.sketch import cm_heavy_hitters
+
+    items = extract_triples_raw(_t(spark, sf_dir)).select(
+        F.col("obj").alias("item")
+    )
+    return cm_heavy_hitters(items)
+
+
 def q_dd_embed_cosine(spark, sf_dir):
     return similarity.cosine_dup_pairs_matmul(read_embeddings(spark, sf_dir))
 
@@ -1411,6 +1425,7 @@ TPG_QUERIES = {
     "tpg_reaching_multi": q_reaching_multi,
     "tpg_reaching_branchy": q_reaching_branchy,
     "sim_pq_topk": q_sim_pq_topk,
+    "tpg_entity_cm": q_entity_cm,
     "mm_resize_pixels": q_mm_resize_pixels,
     "tpg_ddg_dot": q_ddg_dot,
     "tpg_flows_named": q_flows_named,

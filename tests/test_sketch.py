@@ -1,0 +1,60 @@
+"""Count-Min sketch properties (operators/sketch)."""
+
+from pyspark.sql import functions as F
+
+from joern_spark.operators.sketch import (
+    CM_D,
+    CM_W,
+    cm_estimates,
+    cm_merge,
+    cm_sketch,
+)
+
+
+def _items(spark, rows):
+    return spark.createDataFrame([(x,) for x in rows], "item string")
+
+
+def test_cm_never_undercounts(spark):
+    """est(x) ≥ true count(x) for every item — the one-sided CM error
+    guarantee — and the estimates of a skewed stream rank the true heavy
+    hitter first."""
+    rows = ["hub"] * 50 + ["warm"] * 10 + [f"cold{i}" for i in range(40)]
+    items = _items(spark, rows)
+    exact = {
+        r.item: r.n
+        for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {r.item: r.est for r in cm_estimates(items).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    assert max(est, key=lambda k: (est[k], k)) == "hub"
+
+
+def test_cm_sketch_is_mergeable_and_bounded(spark):
+    """sketch(X ∪ Y) == cm_merge(sketch(X), sketch(Y)) cell for cell —
+    the shard/stream composition property — and the cell table never
+    exceeds the fixed D×W domain however many items flow in."""
+    xs = _items(spark, [f"a{i % 7}" for i in range(60)])
+    ys = _items(spark, [f"b{i % 5}" for i in range(40)])
+    both = xs.unionByName(ys)
+    direct = {
+        (r.r, r.bucket): r.c for r in cm_sketch(both).collect()
+    }
+    merged = {
+        (r.r, r.bucket): r.c
+        for r in cm_merge(cm_sketch(xs), cm_sketch(ys)).collect()
+    }
+    assert direct == merged
+    assert len(direct) <= CM_D * CM_W
+    rs = {r for (r, _) in direct}
+    assert rs == set(range(CM_D))
+
+
+def test_cm_exact_on_tiny_collision_free_set(spark):
+    """With a handful of distinct items, the chance all D hashes collide
+    is nil — estimates must be EXACT, not just upper bounds."""
+    rows = ["x"] * 3 + ["y"] * 2 + ["z"]
+    est = {r.item: r.est for r in cm_estimates(_items(spark, rows)).collect()}
+    assert est == {"x": 3, "y": 2, "z": 1}

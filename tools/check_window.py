@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_reaching_multi",
     "tpg_reaching_branchy",
     "sim_pq_topk",
+    "tpg_entity_cm",
     "mm_resize_pixels",
     "tpg_ddg_dot",
     "tpg_flows_named",
