@@ -367,3 +367,81 @@ def run_walk_increment(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min increments: sketch each newly-landed micro-batch
+# independently and cell-wise sum it into a persisted cell table —
+# cm_merge associativity makes the fold of per-batch sketches equal the
+# one-shot sketch (proven in tests/test_sketch.py). Same
+# snapshot-behind-a-pointer discipline as the canonical-map increments.
+
+_CM_POINTER = "CURRENT_CM"
+
+
+def read_cm_sketch(spark: SparkSession, state_dir: str):
+    """The currently-committed cell table (r, bucket, c), or None before
+    the first drain. Returns (DataFrame | None, last_folded_batch_id)."""
+    p = os.path.join(state_dir, _CM_POINTER)
+    if not os.path.exists(p):
+        return None, -1
+    with open(p) as f:
+        name = f.read().strip()
+    # snapshot names embed the zero-padded batch id: cm-<id>-<nonce>
+    batch_id = int(name.split("-")[1])
+    return spark.read.parquet(os.path.join(state_dir, name)), batch_id
+
+
+def run_cm_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental heavy-hitter maintenance: drain newly-landed
+    transcript files, extract triple objects, sketch the delta
+    (operators/sketch.cm_sketch) and fold it into the persisted cell
+    table with cm_merge.
+
+    Exactly-once note: foreachBatch is at-least-once under crash-rerun,
+    and unlike the canonical-map fold a cell-wise SUM is NOT idempotent —
+    so the fold carries the standard batch-id guard: the committed
+    snapshot name embeds the last folded batch id, and a replayed batch
+    id ≤ that is skipped. Crash-between-write-and-pointer replays
+    rewrite the same batch's snapshot (same inputs, same cells) before
+    committing the pointer, so readers converge to the exact batch
+    answer either way."""
+    import uuid
+
+    from joern_spark.operators.extract import extract_triples_raw
+    from joern_spark.operators.sketch import cm_merge, cm_sketch
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur, last_id = read_cm_sketch(spark, state_dir)
+        if batch_id <= last_id:
+            return  # replay of an already-folded batch
+        items = extract_triples_raw(batch_df).select(
+            F.col("obj").alias("item")
+        )
+        delta = cm_sketch(items).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return
+        merged = cm_merge(cur, delta) if cur is not None else delta
+        snap = os.path.join(
+            state_dir, f"cm-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(
+            state_dir, _CM_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _CM_POINTER))
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

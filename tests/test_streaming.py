@@ -504,3 +504,44 @@ def test_walk_increment_stream_equals_batch(spark, tmp_path):
     assert paths.exceptAll(want).count() == 0
     assert want.exceptAll(paths).count() == 0
     assert paths.count() > n1
+
+
+def test_cm_increment_equals_batch_sketch(spark, tmp_path_factory):
+    """Streaming Count-Min maintenance: two drains' folded cell table
+    equals the ONE-SHOT batch sketch over everything landed (cm_merge
+    associativity end-to-end), and an empty re-drain leaves the
+    committed snapshot untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from joern_spark.operators.extract import extract_triples_raw
+    from joern_spark.operators.sketch import cm_sketch
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("cm_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    _land(spark, d, 0, 60, "batch1")
+    ingest.run_cm_increment(spark, d["landing"], d["state"], d["ckpt"])
+    sk1, id1 = ingest.read_cm_sketch(spark, d["state"])
+    assert sk1 is not None and sk1.count() > 0
+
+    # no new files → pointer unchanged
+    ingest.run_cm_increment(spark, d["landing"], d["state"], d["ckpt"])
+    _, id_again = ingest.read_cm_sketch(spark, d["state"])
+    assert id_again == id1
+
+    _land(spark, d, 60, 120, "batch2")
+    ingest.run_cm_increment(spark, d["landing"], d["state"], d["ckpt"])
+    folded, _ = ingest.read_cm_sketch(spark, d["state"])
+
+    batch_items = extract_triples_raw(spark.read.parquet(d["landing"])).select(
+        F.col("obj").alias("item")
+    )
+    expect = {
+        (r.r, r.bucket): r.c for r in cm_sketch(batch_items).collect()
+    }
+    got = {(r.r, r.bucket): r.c for r in folded.collect()}
+    assert got == expect
