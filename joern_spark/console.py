@@ -125,6 +125,29 @@ def flows(
     )
 
 
+def heavy_hitters(g: GraphResult, k: int = 20) -> DataFrame:
+    """Sketch-estimated hub entities — the interactive "what dominates
+    this corpus" probe (operators/sketch.cm_heavy_hitters over the
+    graph's triple objects): (item, est), est never under-counts, state
+    bounded at 4×256 cells however skewed the corpus."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.sketch import cm_heavy_hitters
+
+    return cm_heavy_hitters(
+        g.triples_final.select(F_.col("obj").alias("item")), k=k
+    )
+
+
+def ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """PQ/ADC nearest neighbours of the corpus's deterministic probe
+    vector (similarity.pq_topk_adc): (vec_id, adc) ascending — the
+    memory-bound ANN path (m one-byte codes per vector)."""
+    from joern_spark.operators.similarity import pq_topk_adc
+
+    return pq_topk_adc(embeddings, k=k)
+
+
 def _dump(g: GraphResult, repr_name: str, conv_id: str, **kwargs) -> str:
     """One conversation's representation dump as a dot string — the
     `joern-export --repr` one-liner for interactive debugging (the heavy
@@ -189,6 +212,9 @@ def repl(
         # joern-export --repr analog: dump("ddg", "c000000042") returns
         # the conversation's dot lines (sorted, ready to print/save)
         "dump": lambda repr_name, conv_id, **k: _dump(g, repr_name, conv_id, **k),
+        # corpus probes: sketch-estimated hub entities / PQ neighbours
+        "heavy_hitters": lambda *a, **k: heavy_hitters(g, *a, **k),
+        "ann": ann,
     }
     if banner is None:
         banner = (

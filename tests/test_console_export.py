@@ -175,12 +175,17 @@ def test_repl_interactive_session(spark, make_transcripts, entities, capsys):
             "print('REPL-RESULT', n, calls)",
             "help_text = man()",
             "cfg_dot = dump('cfg', 'c1')",
+            "hubs = heavy_hitters(k=5).collect()",
         ],
         banner="",
     )
     assert "REPL-RESULT 3 1" in capsys.readouterr().out
     assert (ns["n"], ns["calls"]) == (3, 1)
     assert "calls_of_tool" in ns["help_text"]
+    # the sketch probe counts the canonicalized city over both its
+    # mentions; no collisions at this size, so the bound is exact
+    hubs = {r.item: r.est for r in ns["hubs"]}
+    assert hubs.get("paris") == 2
     # the one-conversation dump starter returns a complete dot document
     lines = ns["cfg_dot"].splitlines()
     assert lines[0] == 'digraph "cfg_c1" {' and lines[-1] == "}"
