@@ -1093,3 +1093,120 @@ def pq_topk_adc(
         .orderBy("adc", "vec_id")
         .limit(k)
     )
+
+
+def save_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> dict:
+    """Persist the PQ index: `<path>/codebooks` (m·n_codes rows of
+    (s, j, centroid)) and `<path>/codes` (the m-byte code per vector —
+    the 64×-compressed candidate table ADC scans instead of the raw
+    embeddings), plus `<path>/index.json` with the parameters and the
+    same order-insensitive embeddings fingerprint `save_ivf_index`
+    uses, so a matching corpus SKIPS the rebuild. Returns the manifest
+    (with `"hit"`)."""
+    import json as _json
+    from pathlib import Path
+
+    from joern_spark.functions.hashing import md5_long
+
+    row = embeddings.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col("vec_id").cast("string"))).alias("x"),
+    ).collect()[0]
+    meta = {
+        "m": m,
+        "n_codes": n_codes,
+        "n_vectors": row["n"],
+        "fingerprint": f"{row['n']}:{row['x']}",
+    }
+    mpath = Path(path) / "index.json"
+    if mpath.exists():
+        old = _json.loads(mpath.read_text())
+        if (
+            old.get("fingerprint") == meta["fingerprint"]
+            and old.get("m") == m
+            and old.get("n_codes") == n_codes
+        ):
+            return {**old, "hit": True}
+    from joern_spark.functions.localrel import local_df
+
+    cbs, _q = pq_codebooks(embeddings, m, n_codes)
+    spark = embeddings.sparkSession
+    cb_rows = [
+        (s, j, [float(x) for x in c])
+        for s, cb in enumerate(cbs)
+        for j, c in enumerate(cb)
+    ]
+    local_df(
+        spark, cb_rows, "s int, j int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(embeddings, cbs).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    mpath.write_text(_json.dumps(meta, indent=1))
+    return {**meta, "hit": False}
+
+
+def load_pq_index(spark, path: str) -> tuple[list, DataFrame, dict]:
+    """(codebooks[m][k][sub], codes DataFrame, manifest) from a saved
+    index — codebooks are m·n_codes rows (a dimension table); the code
+    table stays distributed."""
+    import json as _json
+    from pathlib import Path
+
+    meta = _json.loads((Path(path) / "index.json").read_text())
+    rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    )
+    cbs = [
+        [list(r.centroid) for r in rows if r.s == s]
+        for s in range(meta["m"])
+    ]
+    return cbs, spark.read.parquet(f"{path}/codes"), meta
+
+
+def pq_topk_adc_indexed(
+    codes: DataFrame,
+    cbs: list,
+    query_vec: list,
+    exclude_vec_id=None,
+    k: int = PQ_TOP_K,
+) -> DataFrame:
+    """ADC top-k against a PERSISTED code table: the scan reads the
+    m-byte codes straight from parquet — no encode pass, no embedding
+    read. A session answering many queries against one corpus pays the
+    encode exactly once, across sessions (the flow-walk/IVF durable
+    index discipline)."""
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    terms = []
+    for s, cb in enumerate(cbs):
+        qs = query_vec[s * sub : (s + 1) * sub]
+        dt = []
+        for c in cb:
+            acc = 0.0
+            for i in range(sub):
+                d = qs[i] - c[i]
+                acc = acc + d * d
+            dt.append(acc)
+        terms.append(
+            F.try_element_at(
+                F.array(*[F.lit(v) for v in dt]), F.col(f"code_{s}") + 1
+            )
+        )
+    adc = F.aggregate(
+        F.array_sort(F.array(*terms)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    out = codes
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )

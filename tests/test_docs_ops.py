@@ -1425,3 +1425,42 @@ def test_pq_empty_embeddings(spark):
     out = pq_topk_adc(empty)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "adc"]
+
+
+def test_pq_index_persistence(spark, tmp_path):
+    """Durable PQ index: save writes codebooks + the compressed code
+    table + a fingerprinted manifest; a second save is a HIT (no
+    rebuild); ADC queries through the loaded index equal the fresh
+    in-session ranking exactly; a changed corpus flips the fingerprint
+    and rebuilds."""
+    from joern_spark.operators.similarity import (
+        load_pq_index,
+        pq_codebooks,
+        pq_topk_adc,
+        pq_topk_adc_indexed,
+        save_pq_index,
+    )
+    from joern_spark.sources.testdata import read_embeddings
+
+    emb = read_embeddings(spark, "/root/testdata/sf0.001")
+    idx = str(tmp_path / "pq")
+    m1 = save_pq_index(emb, idx)
+    assert m1["hit"] is False and m1["n_vectors"] == emb.count()
+    assert save_pq_index(emb, idx)["hit"] is True
+
+    cbs, codes, meta = load_pq_index(spark, idx)
+    assert meta["fingerprint"] == m1["fingerprint"]
+    _, q = pq_codebooks(emb)
+    q_id, q_vec = q
+    fresh = [(r.vec_id, round(r.adc, 9)) for r in pq_topk_adc(emb).collect()]
+    via_index = [
+        (r.vec_id, round(r.adc, 9))
+        for r in pq_topk_adc_indexed(
+            codes, cbs, q_vec, exclude_vec_id=q_id
+        ).collect()
+    ]
+    assert fresh == via_index
+
+    smaller = emb.limit(50)
+    m3 = save_pq_index(smaller, idx)
+    assert m3["hit"] is False and m3["n_vectors"] == 50
