@@ -14,6 +14,9 @@ Endpoints (JSON in/out):
                 "max_crossings"?, "max_nesting"?, "limit"?}
                             — joern-flow analog: regex-selected
                               sources/sinks + reachableByFlows
+  POST /heavy_hitters {"k"?, "limit"?}
+                            — Count-Min hub-entity estimates over the
+                              active project's triples
   POST /sql    {"sql", "limit"?}
                             — run SQL over the registered tpg_*/name_*
                               views (TRUSTED surface, exactly like
@@ -138,6 +141,15 @@ class QueryServer:
                             max_crossings=int(req.get("max_crossings", 1)),
                             max_nesting=int(req.get("max_nesting", 1)),
                         )
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/heavy_hitters":
+                        # Count-Min hub-entity probe over the active
+                        # project's triples (console.heavy_hitters)
+                        from joern_spark.console import (
+                            heavy_hitters as _hh,
+                        )
+
+                        df = _hh(ws.cpg, k=int(req.get("k", 20)))
                         self._send(_df_payload(df, limit))
                     else:
                         self._send({"error": f"unknown path {self.path}"}, 404)

@@ -165,6 +165,14 @@ def test_http_query_server(spark, tmp_path):
         # missing pattern → 400
         status, out = post("/flows", {"src_pattern": "^x"})
         assert status == 400
+
+        # Count-Min hub-entity probe: estimates are positive upper
+        # bounds, k bounds the row count, ordered by estimate desc
+        status, out = post("/heavy_hitters", {"k": 5})
+        assert status == 200 and 0 < out["n"] <= 5
+        assert out["columns"] == ["item", "est"]
+        ests = [row[1] for row in out["rows"]]
+        assert ests == sorted(ests, reverse=True) and min(ests) >= 1
     finally:
         srv.shutdown()
 
