@@ -93,3 +93,98 @@ def cm_heavy_hitters(
         .orderBy(F.col("est").desc(), "item")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — constant-space distinct cardinality
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch suite: KMV (textstats) answers cardinality with k
+# retained hashes and supports set algebra; Count-Min (above) answers
+# frequency; HLL answers PURE cardinality in 256 bytes per group with no
+# dedup shuffle at all (Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog:
+# the analysis of a near-optimal cardinality estimation algorithm",
+# AofA 2007). Where KMV's build needs a per-(group, hash) dedup whose
+# shuffle is bounded by the per-partition vocabulary, the HLL register
+# table is max-merged: partial aggregation bounds every partition's
+# contribution at m rows per group BEFORE the shuffle, duplicates never
+# travel, and shard sketches fold by cell-wise max (property: the
+# register table of a union is the max of the register tables).
+#
+# Cross-engine determinism: the register stream is md5_long-derived
+# (bucket = low 8 bits, rank = leading zeros of the remaining 52-bit
+# word + 1 via base-2 string length — both engines render to_base/conv
+# of 0 as '0', so w=0 is special-cased to rank 53 explicitly), and the
+# estimate is a sorted IEEE fold plus shared Python float literals, so
+# the DuckDB oracle reproduces the estimate bit for bit.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_WBITS = 60 - HLL_P  # md5_long is 60-bit; 52-bit rank word
+# alpha_m * m^2 for m=256, computed once so both engines inline the SAME
+# float literal (0.7213/(1+1.079/m) * m*m)
+HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * float(HLL_M * HLL_M)
+
+
+def hll_registers(
+    items: DataFrame, col: str = "item", by: list[str] | None = None
+) -> DataFrame:
+    """(by..., bucket, m) — the max-merged register table, ≤ 256 rows
+    per group. No dedup: max absorbs duplicates map-side, so the shuffle
+    carries at most m rows per (group, partition) regardless of input
+    size or skew. Merge shard/stream sketches with `hll_merge`."""
+    by = by or []
+    h = md5_long(F.col(col))
+    w = F.shiftright(h, HLL_P)
+    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        items.select(
+            *by,
+            h.bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
+            rank.cast("int").alias("m"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Cell-wise max — registers(X ∪ Y) == hll_merge(registers(X),
+    registers(Y)); shards and stream micro-batches sketch independently."""
+    by = by or []
+    return (
+        a.unionByName(b)
+        .groupBy(*by, "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def hll_estimate(registers: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """(by..., v_zero, est_distinct) from a register table: the raw HLL
+    estimate alpha·m²/Σ 2^−M[j] with the small-range linear-counting
+    correction (E ≤ 2.5m and empty registers → m·ln(m/V)). Empty
+    registers contribute 2^0 = 1 each, added AFTER the ascending fold of
+    the filled registers — the exact IEEE order the oracle mirrors."""
+    by = by or []
+    agg = registers.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.pow(F.lit(2.0), -F.col("m")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s_fill"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_filled")
+    s = F.col("s_fill") + v_zero.cast("double")
+    raw = F.lit(HLL_ALPHA_M2) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *by,
+        v_zero.cast("long").alias("v_zero"),
+        est.alias("est_distinct"),
+    )

@@ -1467,6 +1467,55 @@ SELECT doc_id, weight, samp_key, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def hll_distinct_sql() -> str:
+    """Oracle mirror of operators/sketch.hll_registers + hll_estimate:
+    identical md5_long stream (bucket = h & 255, rank = 53 − base-2
+    string length of h >> 8, w = 0 special-cased to 53 in BOTH engines),
+    max-merged registers, ascending IEEE fold of 2^−M over the filled
+    registers, empty registers added after, shared alpha·m² float
+    literal, linear-counting small-range branch."""
+    from joern_spark.operators.sketch import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+    )
+
+    h = H.format(x="tok")
+    rmax = HLL_WBITS + 1
+    raw = f"{HLL_ALPHA_M2!r} / (s_fill + CAST({HLL_M} - n_filled AS DOUBLE))"
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok,
+         lang
+  FROM documents
+),
+hs AS (SELECT lang, {h} AS h FROM toks),
+regs AS (
+  SELECT lang, CAST(h & {HLL_M - 1} AS INT) AS bucket,
+         max(CASE WHEN (h >> {HLL_P}) = 0 THEN {rmax}
+                  ELSE {rmax} - length(to_base(h >> {HLL_P}, 2)) END) AS m
+  FROM hs
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, count(*) AS n_filled,
+         list_sum(list_sort(list(pow(2.0, -m)))) AS s_fill
+  FROM regs
+  GROUP BY lang
+)
+SELECT lang,
+       CAST({HLL_M} - n_filled AS BIGINT) AS v_zero,
+       CASE WHEN ({raw}) <= {2.5 * HLL_M!r}
+             AND ({HLL_M} - n_filled) > 0
+            THEN {float(HLL_M)!r}
+                 * ln({float(HLL_M)!r} / CAST({HLL_M} - n_filled AS DOUBLE))
+            ELSE {raw} END AS est_distinct
+FROM agg
+"""
+
+
 def kmv_overlap_sql(k: int | None = None) -> str:
     """Oracle mirror of textstats.kmv_overlap — exact per-language min-k
     sketches, the same pairwise union algebra, identical IEEE estimate

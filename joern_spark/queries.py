@@ -1149,6 +1149,24 @@ def q_doc_kmv(spark, sf_dir):
     return textstats.kmv_distinct_tokens(read_documents(spark, sf_dir))
 
 
+def q_doc_hll(spark, sf_dir):
+    """Per-language distinct-token cardinality via HyperLogLog
+    (operators/sketch.hll_registers/hll_estimate): 256 max-merged
+    registers per language — the only distinct-counting shape whose
+    shuffle is O(registers) rather than O(vocabulary); completes the
+    sketch suite (KMV retains hashes + set algebra, Count-Min answers
+    frequency, HLL answers pure cardinality in constant space). The
+    md5-derived register stream and sorted-fold estimate make the DuckDB
+    oracle bit-exact."""
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.sketch import hll_estimate, hll_registers
+
+    toks = read_documents(spark, sf_dir).select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    return hll_estimate(hll_registers(toks, col="tok", by=["lang"]), by=["lang"])
+
+
 def q_doc_unigram_lp(spark, sf_dir):
     """CCNet-style mean unigram log-prob per document under the corpus's
     own unigram distribution (sorted-fold float discipline)."""
@@ -1431,6 +1449,7 @@ TPG_QUERIES = {
     "tpg_flows_named": q_flows_named,
     "tpg_entity_aa": q_entity_aa,
     "tpg_cross_paths_incremental": q_cross_paths_incremental,
+    "doc_hll_distinct": q_doc_hll,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

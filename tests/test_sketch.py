@@ -58,3 +58,64 @@ def test_cm_exact_on_tiny_collision_free_set(spark):
     rows = ["x"] * 3 + ["y"] * 2 + ["z"]
     est = {r.item: r.est for r in cm_estimates(_items(spark, rows)).collect()}
     assert est == {"x": 3, "y": 2, "z": 1}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+from joern_spark.operators.sketch import (  # noqa: E402
+    HLL_M,
+    HLL_WBITS,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def test_hll_accuracy_and_duplicate_immunity(spark):
+    """The estimate lands within the canonical ~1.04/√m relative error
+    band of the TRUE distinct count (3σ ≈ 20% at m=256), and duplicating
+    every item 10× changes NOTHING — the register table is identical, so
+    the estimate is bit-identical (the property COUNT(DISTINCT) pays a
+    dedup shuffle for)."""
+    uniq = [f"tok{i}" for i in range(5000)]
+    once = _items(spark, uniq)
+    dup = _items(spark, uniq * 10)
+    regs_once = {(r.bucket): r.m for r in hll_registers(once).collect()}
+    regs_dup = {(r.bucket): r.m for r in hll_registers(dup).collect()}
+    assert regs_once == regs_dup
+    assert len(regs_once) <= HLL_M
+    est = hll_estimate(hll_registers(once)).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+
+def test_hll_mergeable(spark):
+    """registers(X ∪ Y) == hll_merge(registers(X), registers(Y)) cell
+    for cell — shards and stream micro-batches sketch independently and
+    fold by max."""
+    xs = _items(spark, [f"x{i}" for i in range(700)])
+    ys = _items(spark, [f"y{i}" for i in range(300)] + [f"x{i}" for i in range(100)])
+    direct = {r.bucket: r.m for r in hll_registers(xs.unionByName(ys)).collect()}
+    merged = {
+        r.bucket: r.m
+        for r in hll_merge(hll_registers(xs), hll_registers(ys)).collect()
+    }
+    assert direct == merged
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A handful of distinct items must take the linear-counting branch
+    and come out near-exact (m·ln(m/V) with V ≈ m − n is within 1 of n
+    for n ≪ m)."""
+    est = hll_estimate(hll_registers(_items(spark, ["a", "b", "c", "a"]))).collect()
+    row = est[0]
+    assert row.v_zero == HLL_M - 3
+    assert abs(row.est_distinct - 3) < 0.1, row.est_distinct
+
+
+def test_hll_rank_bounds(spark):
+    """Register values stay inside [1, HLL_WBITS+1] — the w=0
+    special-case and the base-2-length rank can't escape the word."""
+    regs = hll_registers(_items(spark, [f"t{i}" for i in range(2000)])).collect()
+    assert all(1 <= r.m <= HLL_WBITS + 1 for r in regs)
