@@ -188,3 +188,106 @@ def hll_estimate(registers: DataFrame, by: list[str] | None = None) -> DataFrame
         v_zero.cast("long").alias("v_zero"),
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable set membership for join pruning
+# ---------------------------------------------------------------------------
+#
+# The third composition the sketch suite needs: KMV/HLL answer "how
+# many", Count-Min answers "how often", the Bloom filter answers "is it
+# even there" (Bloom, "Space/time trade-offs in hash coding with
+# allowable errors", CACM 1970). The scale use is JOIN PRUNING: when the
+# dimension side of a semi join is too large to broadcast exactly, its
+# Bloom filter (BLOOM_M bits = 1 KB of words) always broadcasts, so the
+# fact side filters LOCALLY — zero shuffle — and only true matches plus
+# an ε of false positives reach the exact residual join. No false
+# negatives ever (every set key's K bits are set), so the residual
+# semi join returns exactly the unpruned answer. This is the same shape
+# Spark's runtime bloom-join rewrite applies inside one query; exposing
+# it as an operator lets the filter be BUILT ONCE, persisted, merged
+# across shards (bitwise OR == union-distinct of set positions — unlike
+# Count-Min's sums, OR is idempotent, so stream replay needs no batch
+# guard), and probed from any later job.
+#
+# Cross-engine determinism: positions are md5_long("r:key") % BLOOM_M,
+# so the DuckDB oracle rebuilds the identical bit set and evaluates the
+# same K-probe conjunction.
+
+BLOOM_K = 4  # probes per key
+BLOOM_M = 1 << 13  # 8192 bits → 128 64-bit words ≈ 1 KB broadcast
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_pos(r: int, key) -> object:
+    return (md5_long(F.concat(F.lit(f"{r}:"), key)) % BLOOM_M).cast("int")
+
+
+def bloom_bits(keys: DataFrame, col: str = "key") -> DataFrame:
+    """(bit,) — the DISTINCT set positions, ≤ BLOOM_M rows total no
+    matter the input size: the distinct runs over a fixed 8192-value
+    domain, so partial aggregation caps every partition's shuffle
+    contribution at BLOOM_M rows (same argument as the HLL registers).
+    Merge shard filters with `bloom_merge`."""
+    k = F.col(col)
+    return keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(r, k) for r in range(BLOOM_K)])
+        ).alias("bit")
+    ).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise OR == union-distinct of set positions; idempotent, so
+    replaying a shard is harmless (contrast cm_merge's sums)."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_words(bits: DataFrame) -> list[int]:
+    """The filter packed into _BLOOM_WORDS signed 64-bit words — a
+    FIXED-SIZE (≤ 128 row) dimension collect, independent of corpus
+    size, same class as the IVF/k-means centroid collects: the result
+    is a plan literal every executor evaluates locally."""
+    rows = (
+        bits.groupBy((F.col("bit") / F.lit(64)).cast("int").alias("w"))
+        # the python shiftleft wrapper wants a literal shift; the SQL
+        # function takes an expression
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)")
+            ).alias("m")
+        )
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in rows:
+        words[r.w] = r.m
+    return words
+
+
+def bloom_contains(key, words: list[int]):
+    """Boolean Column: all K probe bits set. Pure whole-stage-codegen
+    arithmetic over a 128-long array literal — no shuffle, no UDF, no
+    driver round trip at eval time."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for r in range(BLOOM_K):
+        pos = _bloom_pos(r, key)
+        word = F.element_at(arr, (pos / F.lit(64)).cast("int") + F.lit(1))
+        cond = cond & (F.bit_get(word, pos % 64) == 1)
+    return cond
+
+
+def bloom_pruned_semi_join(
+    fact: DataFrame, dim: DataFrame, fact_col: str, dim_col: str
+) -> DataFrame:
+    """fact ⋉ dim with the shuffle bounded by |matches| + ε·|fact|
+    instead of |fact|: the broadcast Bloom filter prunes locally, the
+    exact residual semi join guarantees zero false positives in the
+    output. Identical rows to a plain left_semi join (tested)."""
+    words = bloom_words(
+        bloom_bits(dim.select(F.col(dim_col).alias("key")), "key")
+    )
+    cand = fact.filter(bloom_contains(F.col(fact_col), words))
+    keys = dim.select(F.col(dim_col).alias(fact_col)).distinct()
+    return cand.join(keys, fact_col, "left_semi")

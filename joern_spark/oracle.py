@@ -2026,3 +2026,39 @@ GROUP BY pr.item
 ORDER BY est DESC, pr.item
 LIMIT {k}
 """
+
+
+def bloom_prune_sql(sf: float) -> str:
+    """Oracle mirror of operators/sketch.bloom_bits/bloom_contains over
+    the entity vocabulary (the bloom-pruned-semi-join probe): identical
+    md5_long('r:key') % 8192 positions, distinct bit set, K-probe
+    conjunction. No false negatives: in_vocab ⇒ in_bloom by
+    construction in BOTH engines."""
+    from joern_spark.operators.sketch import BLOOM_K, BLOOM_M
+
+    key = NORM.format(x="surface")
+    hb = "(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || entity_key), 1, 15))::BIGINT)"
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+keys AS (SELECT DISTINCT {key} AS entity_key FROM m),
+e AS (SELECT DISTINCT entity_key FROM {e_src()}),
+bits AS (
+  SELECT DISTINCT {hb} % {BLOOM_M} AS bit
+  FROM e, generate_series(0, {BLOOM_K - 1}) g(r)
+),
+probes AS (
+  SELECT entity_key, g.r AS r, {hb} % {BLOOM_M} AS bit
+  FROM keys, generate_series(0, {BLOOM_K - 1}) g(r)
+),
+hits AS (
+  SELECT p.entity_key, count(*) AS n
+  FROM probes p JOIN bits b ON b.bit = p.bit
+  GROUP BY 1
+)
+SELECT k.entity_key,
+       coalesce(h.n, 0) = {BLOOM_K} AS in_bloom,
+       (e.entity_key IS NOT NULL) AS in_vocab
+FROM keys k
+LEFT JOIN hits h ON h.entity_key = k.entity_key
+LEFT JOIN e ON e.entity_key = k.entity_key
+"""

@@ -1167,6 +1167,45 @@ def q_doc_hll(spark, sf_dir):
     return hll_estimate(hll_registers(toks, col="tok", by=["lang"]), by=["lang"])
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join-pruning probe (operators/sketch.bloom_bits /
+    bloom_contains): every distinct mention key tested against the
+    1 KB broadcast Bloom filter of the entity vocabulary, alongside the
+    exact membership — the candidate set a bloom_pruned_semi_join would
+    ship to the residual join. in_vocab ⇒ in_bloom always (no false
+    negatives); the in_bloom ∧ ¬in_vocab rows are the ε of false
+    positives the residual exact join removes. Scale shape: the filter
+    is a FIXED 128-long plan literal, so the probe is shuffle-free
+    whole-stage codegen over the fact side."""
+    from joern_spark.operators.sketch import (
+        bloom_bits,
+        bloom_contains,
+        bloom_words,
+    )
+
+    keys = (
+        link.keyed_mentions(_mentions(spark, sf_dir))
+        .select("entity_key")
+        .distinct()
+    )
+    ents = read_entities(spark).select(F.col("entity_key").alias("key")).distinct()
+    words = bloom_words(bloom_bits(ents, "key"))
+    vocab = ents.select(
+        F.col("key").alias("entity_key"), F.lit(True).alias("_v")
+    )
+    return (
+        keys.withColumn(
+            "in_bloom", bloom_contains(F.col("entity_key"), words)
+        )
+        .join(F.broadcast(vocab), "entity_key", "left")
+        .select(
+            "entity_key",
+            "in_bloom",
+            F.coalesce(F.col("_v"), F.lit(False)).alias("in_vocab"),
+        )
+    )
+
+
 def q_doc_unigram_lp(spark, sf_dir):
     """CCNet-style mean unigram log-prob per document under the corpus's
     own unigram distribution (sorted-fold float discipline)."""
@@ -1450,6 +1489,7 @@ TPG_QUERIES = {
     "tpg_entity_aa": q_entity_aa,
     "tpg_cross_paths_incremental": q_cross_paths_incremental,
     "doc_hll_distinct": q_doc_hll,
+    "tpg_bloom_prune": q_bloom_prune,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

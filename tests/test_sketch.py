@@ -119,3 +119,68 @@ def test_hll_rank_bounds(spark):
     special-case and the base-2-length rank can't escape the word."""
     regs = hll_registers(_items(spark, [f"t{i}" for i in range(2000)])).collect()
     assert all(1 <= r.m <= HLL_WBITS + 1 for r in regs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+from joern_spark.operators.sketch import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M,
+    bloom_bits,
+    bloom_contains,
+    bloom_merge,
+    bloom_pruned_semi_join,
+    bloom_words,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key passes the probe — the one-sided Bloom
+    guarantee the residual semi join relies on."""
+    keys = _items(spark, [f"ent{i}" for i in range(300)])
+    words = bloom_words(bloom_bits(keys, "item"))
+    missed = keys.filter(~bloom_contains(F.col("item"), words)).count()
+    assert missed == 0
+
+
+def test_bloom_false_positive_rate_in_band(spark):
+    """Probing 2000 keys that were NEVER inserted: the FP rate stays
+    near the analytic (1 − e^{−kn/m})^k for n=300, k=4, m=8192
+    (≈ 0.03%) — generously bounded at 2%."""
+    words = bloom_words(
+        bloom_bits(_items(spark, [f"ent{i}" for i in range(300)]), "item")
+    )
+    probes = _items(spark, [f"other{i}" for i in range(2000)])
+    fp = probes.filter(bloom_contains(F.col("item"), words)).count()
+    assert fp / 2000 < 0.02, fp
+
+
+def test_bloom_merge_is_union_and_idempotent(spark):
+    """bits(X ∪ Y) == merge(bits(X), bits(Y)), and merging a shard with
+    itself changes nothing — OR is idempotent, so stream replay needs no
+    batch guard (contrast cm_merge)."""
+    xs = _items(spark, [f"x{i}" for i in range(100)])
+    ys = _items(spark, [f"y{i}" for i in range(100)])
+    direct = {r.bit for r in bloom_bits(xs.unionByName(ys), "item").collect()}
+    bx, by = bloom_bits(xs, "item"), bloom_bits(ys, "item")
+    merged = {r.bit for r in bloom_merge(bx, by).collect()}
+    replay = {r.bit for r in bloom_merge(bloom_merge(bx, by), bx).collect()}
+    assert direct == merged == replay
+    assert all(0 <= b < BLOOM_M for b in merged)
+
+
+def test_bloom_pruned_semi_join_equals_exact(spark):
+    """The pruned semi join returns EXACTLY the plain left_semi rows —
+    the filter only moves work, never changes the answer."""
+    fact = _items(spark, [f"k{i % 50}" for i in range(400)] + ["zz1", "zz2"])
+    dim = _items(spark, [f"k{i}" for i in range(0, 50, 2)]).withColumnRenamed(
+        "item", "key"
+    )
+    pruned = bloom_pruned_semi_join(fact, dim, "item", "key")
+    exact = fact.join(
+        dim.select(F.col("key").alias("item")).distinct(), "item", "left_semi"
+    )
+    assert pruned.exceptAll(exact).count() == 0
+    assert exact.exceptAll(pruned).count() == 0

@@ -39,6 +39,8 @@ MUST_BE_IN_WINDOW = {
     "tpg_flows_named",
     "tpg_entity_aa",
     "tpg_cross_paths_incremental",
+    "doc_hll_distinct",
+    "tpg_bloom_prune",
 }
 
 
