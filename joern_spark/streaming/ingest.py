@@ -445,3 +445,68 @@ def run_cm_increment(
         .start()
     )
     q.awaitTermination()
+
+
+_HLL_POINTER = "CURRENT_HLL"
+
+
+def read_hll_registers(spark: SparkSession, state_dir: str):
+    """The currently-committed HLL register table (bucket, m), or None
+    before the first drain. Returns (DataFrame | None, last batch id)."""
+    p = os.path.join(state_dir, _HLL_POINTER)
+    if not os.path.exists(p):
+        return None, -1
+    with open(p) as f:
+        name = f.read().strip()
+    batch_id = int(name.split("-")[1])
+    return spark.read.parquet(os.path.join(state_dir, name)), batch_id
+
+
+def run_hll_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental distinct-cardinality maintenance: drain newly-landed
+    transcript files, register-sketch the delta's triple objects
+    (operators/sketch.hll_registers) and fold into the persisted
+    register table with hll_merge.
+
+    Exactly-once note: unlike the Count-Min fold, cell-wise MAX is
+    idempotent — replaying a batch under foreachBatch's at-least-once
+    contract re-folds the same registers to the same table, so no
+    batch-id replay guard is needed for correctness; the snapshot name
+    still embeds the batch id so readers can see stream progress."""
+    import uuid
+
+    from joern_spark.operators.extract import extract_triples_raw
+    from joern_spark.operators.sketch import hll_merge, hll_registers
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur, _ = read_hll_registers(spark, state_dir)
+        items = extract_triples_raw(batch_df).select(
+            F.col("obj").alias("item")
+        )
+        delta = hll_registers(items).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return
+        merged = hll_merge(cur, delta) if cur is not None else delta
+        snap = os.path.join(
+            state_dir, f"hll-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(
+            state_dir, _HLL_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _HLL_POINTER))
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

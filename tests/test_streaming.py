@@ -545,3 +545,43 @@ def test_cm_increment_equals_batch_sketch(spark, tmp_path_factory):
     }
     got = {(r.r, r.bucket): r.c for r in folded.collect()}
     assert got == expect
+
+
+def test_hll_increment_equals_batch_registers(spark, tmp_path_factory):
+    """Streaming HLL maintenance: folded registers equal the ONE-SHOT
+    batch register table over everything landed, AND re-folding an
+    already-folded delta changes nothing — max is idempotent, the
+    property that lets this twin skip the Count-Min batch-id guard."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from joern_spark.operators.extract import extract_triples_raw
+    from joern_spark.operators.sketch import hll_merge, hll_registers
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("hll_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    _land(spark, d, 0, 60, "batch1")
+    ingest.run_hll_increment(spark, d["landing"], d["state"], d["ckpt"])
+    r1, _ = ingest.read_hll_registers(spark, d["state"])
+    assert r1 is not None and r1.count() > 0
+
+    _land(spark, d, 60, 120, "batch2")
+    ingest.run_hll_increment(spark, d["landing"], d["state"], d["ckpt"])
+    folded, _ = ingest.read_hll_registers(spark, d["state"])
+
+    batch_items = extract_triples_raw(spark.read.parquet(d["landing"])).select(
+        F.col("obj").alias("item")
+    )
+    expect = {r.bucket: r.m for r in hll_registers(batch_items).collect()}
+    got = {r.bucket: r.m for r in folded.collect()}
+    assert got == expect
+
+    # idempotence: re-folding the full table into itself is a no-op
+    refolded = {
+        r.bucket: r.m for r in hll_merge(folded, folded).collect()
+    }
+    assert refolded == expect
