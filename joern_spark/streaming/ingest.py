@@ -510,3 +510,70 @@ def run_hll_increment(
         .start()
     )
     q.awaitTermination()
+
+
+_BLOOM_POINTER = "CURRENT_BLOOM"
+
+
+def read_bloom_bits(spark: SparkSession, state_dir: str):
+    """The currently-committed Bloom bit table (bit,), or None before
+    the first drain. Returns (DataFrame | None, last batch id)."""
+    p = os.path.join(state_dir, _BLOOM_POINTER)
+    if not os.path.exists(p):
+        return None, -1
+    with open(p) as f:
+        name = f.read().strip()
+    batch_id = int(name.split("-")[1])
+    return spark.read.parquet(os.path.join(state_dir, name)), batch_id
+
+
+def run_bloom_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental join-pruning-filter maintenance: drain newly-landed
+    transcript files, Bloom-sketch the delta's triple objects
+    (operators/sketch.bloom_bits) and fold into the persisted bit table
+    with bloom_merge.
+
+    Exactly-once note: like the HLL max-fold (and unlike Count-Min's
+    sums), bitwise OR == union-distinct is idempotent — replaying a
+    batch re-sets the same bits, so no batch-id replay guard is needed
+    for correctness; the snapshot name still embeds the batch id so
+    readers can see stream progress. The committed table is ≤ BLOOM_M
+    rows regardless of how many batches folded into it, so the snapshot
+    write never grows with stream history."""
+    import uuid
+
+    from joern_spark.operators.extract import extract_triples_raw
+    from joern_spark.operators.sketch import bloom_bits, bloom_merge
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur, _ = read_bloom_bits(spark, state_dir)
+        keys = extract_triples_raw(batch_df).select(
+            F.col("obj").alias("key")
+        )
+        delta = bloom_bits(keys).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return
+        merged = bloom_merge(cur, delta) if cur is not None else delta
+        snap = os.path.join(
+            state_dir, f"bloom-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(
+            state_dir, _BLOOM_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _BLOOM_POINTER))
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -585,3 +585,52 @@ def test_hll_increment_equals_batch_registers(spark, tmp_path_factory):
         r.bucket: r.m for r in hll_merge(folded, folded).collect()
     }
     assert refolded == expect
+
+
+def test_bloom_increment_equals_batch_bits(spark, tmp_path_factory):
+    """Streaming Bloom maintenance: the folded bit table equals the
+    ONE-SHOT batch bit table over everything landed, the committed
+    filter never false-negatives a landed key, and re-folding is a
+    no-op (OR is idempotent — the property that lets this twin skip the
+    Count-Min batch-id guard)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from joern_spark.operators.extract import extract_triples_raw
+    from joern_spark.operators.sketch import (
+        bloom_bits,
+        bloom_contains,
+        bloom_merge,
+        bloom_words,
+    )
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("bloom_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    _land(spark, d, 0, 60, "batch1")
+    ingest.run_bloom_increment(spark, d["landing"], d["state"], d["ckpt"])
+    b1, _ = ingest.read_bloom_bits(spark, d["state"])
+    assert b1 is not None and b1.count() > 0
+
+    _land(spark, d, 60, 120, "batch2")
+    ingest.run_bloom_increment(spark, d["landing"], d["state"], d["ckpt"])
+    folded, _ = ingest.read_bloom_bits(spark, d["state"])
+
+    keys = extract_triples_raw(spark.read.parquet(d["landing"])).select(
+        F.col("obj").alias("key")
+    )
+    expect = {r.bit for r in bloom_bits(keys).collect()}
+    got = {r.bit for r in folded.collect()}
+    assert got == expect
+
+    # no false negatives: every landed key probes positive
+    words = bloom_words(folded)
+    misses = keys.filter(~bloom_contains(F.col("key"), words)).count()
+    assert misses == 0
+
+    # idempotence: re-folding the full table into itself is a no-op
+    refolded = {r.bit for r in bloom_merge(folded, folded).collect()}
+    assert refolded == expect
