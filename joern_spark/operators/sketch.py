@@ -291,3 +291,100 @@ def bloom_pruned_semi_join(
     cand = fact.filter(bloom_contains(F.col(fact_col), words))
     keys = dim.select(F.col(dim_col).alias(fact_col)).distinct()
     return cand.join(keys, fact_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Log-linear histogram — mergeable quantiles in O(buckets) space
+# ---------------------------------------------------------------------------
+#
+# The "how big" member of the sketch suite (KMV/HLL: how many distinct,
+# Count-Min: how often, Bloom: is it there): a base-2 histogram with 8
+# linear sub-buckets per octave, the integer-arithmetic core of
+# DDSketch (Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+# quantile sketch with relative-error guarantees", VLDB 2019) and
+# HdrHistogram. Bucket count for 64-bit values is ≤ 8 + 61·8 ≈ 500, so
+# the groupBy here has a FIXED key domain — partial aggregation caps
+# every partition's shuffle contribution at that constant no matter the
+# corpus size (the same argument as the HLL registers and Count-Min
+# cells), and merging shards/streams is a cell-wise SUM. The quantile
+# read-out walks the cumulative counts and returns the chosen bucket's
+# LOWER BOUND, so the estimate is a deterministic integer with
+# guaranteed relative error ≤ 1/8 (the rank-r element provably lies in
+# the returned bucket).
+#
+# Cross-engine determinism: bucket = (e−3)·8 + ⌊v/2^(e−3)⌋ with
+# e = ⌊log2 v⌋ taken from the binary-string length — integer-exact in
+# both engines (Spark's power-of-two double scaling never rounds for
+# v < 2^53; DuckDB uses >> directly), no float enters any output cell.
+
+HIST_SUB = 8  # linear sub-buckets per octave → relative error ≤ 1/8
+
+
+def hist_bucket(v) -> object:
+    """Bucket id of a non-negative integral Column; monotone in v."""
+    e = (F.length(F.bin(v)) - F.lit(1)).cast("int")
+    k = (e - F.lit(3)).cast("double")
+    sub = F.floor(v.cast("double") / F.pow(F.lit(2.0), k)).cast("int")
+    return F.when(v < 8, v.cast("int")).otherwise(
+        (e - F.lit(3)) * F.lit(HIST_SUB) + sub
+    )
+
+
+def hist_lower(b) -> object:
+    """Inclusive lower bound of bucket id `b` — the quantile estimate."""
+    k = F.floor((b - F.lit(HIST_SUB)) / F.lit(HIST_SUB)).cast("double")
+    sub = (b - F.lit(HIST_SUB)) % F.lit(HIST_SUB) + F.lit(HIST_SUB)
+    return F.when(b < HIST_SUB, b.cast("long")).otherwise(
+        (sub.cast("double") * F.pow(F.lit(2.0), k)).cast("long")
+    )
+
+
+def hist_registers(
+    values: DataFrame, col: str = "v", by: list[str] | None = None
+) -> DataFrame:
+    """(by..., bucket, cnt) — the mergeable histogram state."""
+    by = by or []
+    return values.groupBy(
+        *by, hist_bucket(F.col(col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_merge(a: DataFrame, b: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Histogram of a union == cell-wise sum (linear, like Count-Min)."""
+    by = by or []
+    return (
+        a.unionByName(b)
+        .groupBy(*by, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    registers: DataFrame, qs: list[float], by: list[str] | None = None
+) -> DataFrame:
+    """(by..., q, est) — type-1 (inverted-CDF) quantile estimates: the
+    first bucket whose cumulative count reaches ⌈q·n⌉, read out as its
+    lower bound. The per-group window runs over ≤ ~500 bucket rows."""
+    from pyspark.sql import Window
+
+    by = by or []
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*[F.col(c) for c in by])
+    cum = registers.select(
+        *by,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    return (
+        cum.select(*by, "bucket", "cum", "total", qcol)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*by, "q")
+        .agg(F.min("bucket").alias("b"))
+        .select(*by, "q", hist_lower(F.col("b")).alias("est"))
+    )

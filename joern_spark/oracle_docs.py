@@ -1789,3 +1789,48 @@ WHERE vec_id <> (SELECT vec_id FROM cb WHERE j = 0)
 ORDER BY adc, vec_id
 LIMIT {k}
 """
+
+
+def len_hist_sql() -> str:
+    """Oracle mirror of operators/sketch.hist_registers/hist_quantiles:
+    identical integer bucket arithmetic (e from the binary-string
+    length, 8 sub-buckets per octave — DuckDB shifts where Spark does
+    exact power-of-two double scaling), same ⌈q·n⌉ type-1 rank pick,
+    same lower-bound read-out. All output cells are integers except the
+    shared q literals, so the hash is bit-exact by construction."""
+    return """
+WITH vals AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS v
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         CASE WHEN v < 8 THEN CAST(v AS INT)
+              ELSE CAST((length(bin(v)) - 4) * 8
+                        + (v >> (length(bin(v)) - 4)) AS INT) END AS bucket
+  FROM vals
+),
+regs AS (SELECT lang, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bucket,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM regs
+),
+pick AS (
+  SELECT lang, q, min(bucket) AS b
+  FROM cum CROSS JOIN (
+    SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                   CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+  ) qs
+  WHERE cum >= ceil(q * total)
+  GROUP BY 1, 2
+)
+SELECT lang, q,
+       CASE WHEN b < 8 THEN CAST(b AS BIGINT)
+            ELSE CAST((b - 8) % 8 + 8 AS BIGINT) << ((b - 8) // 8) END
+         AS est_tokens
+FROM pick
+"""

@@ -1206,6 +1206,29 @@ def q_bloom_prune(spark, sf_dir):
     )
 
 
+def q_doc_len_hist(spark, sf_dir):
+    """Per-language token-count quantiles via the mergeable log-linear
+    histogram (operators/sketch.hist_registers/hist_quantiles — the
+    DDSketch/HdrHistogram bucket core): ≤ ~500 fixed buckets per
+    language, so the shuffle is O(buckets) regardless of corpus size
+    and the state merges across shards/streams by cell-wise sum —
+    the shape exact `percentile` (a per-group sort of every value)
+    can't take at 10^12 rows. Estimates are bucket lower bounds:
+    deterministic integers with relative error ≤ 1/8, bit-equal in the
+    DuckDB oracle (integer-only bucket arithmetic)."""
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.sketch import hist_quantiles, hist_registers
+
+    vals = read_documents(spark, sf_dir).select(
+        "lang", F.size(tokens_col(F.col("text"))).cast("long").alias("v")
+    )
+    return hist_quantiles(
+        hist_registers(vals, col="v", by=["lang"]),
+        [0.25, 0.5, 0.9, 0.99],
+        by=["lang"],
+    ).withColumnRenamed("est", "est_tokens")
+
+
 def q_doc_unigram_lp(spark, sf_dir):
     """CCNet-style mean unigram log-prob per document under the corpus's
     own unigram distribution (sorted-fold float discipline)."""
@@ -1490,6 +1513,7 @@ TPG_QUERIES = {
     "tpg_cross_paths_incremental": q_cross_paths_incremental,
     "doc_hll_distinct": q_doc_hll,
     "tpg_bloom_prune": q_bloom_prune,
+    "doc_len_hist": q_doc_len_hist,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -184,3 +184,94 @@ def test_bloom_pruned_semi_join_equals_exact(spark):
     )
     assert pruned.exceptAll(exact).count() == 0
     assert exact.exceptAll(pruned).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Log-linear histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def _py_bucket(v: int) -> int:
+    if v < 8:
+        return v
+    e = v.bit_length() - 1
+    return (e - 3) * 8 + (v >> (e - 3))
+
+
+def _py_lower(b: int) -> int:
+    if b < 8:
+        return b
+    return ((b - 8) % 8 + 8) << ((b - 8) // 8)
+
+
+def test_hist_bucket_invariants(spark):
+    """bucket is monotone, lower(b) ≤ v < lower(b+1), and the lower
+    bound is within 1/8 relative error of every value in the bucket —
+    checked against a pure-Python twin across octave edges."""
+    from joern_spark.operators.sketch import hist_bucket, hist_lower
+
+    vals = list(range(0, 3000)) + [
+        (1 << k) + d for k in range(12, 45) for d in (0, 1, (1 << k) - 1)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select("v", hist_bucket(F.col("v")).alias("b"))
+        .withColumn("lb", hist_lower(F.col("b")))
+        .collect()
+    )
+    for r in rows:
+        assert r.b == _py_bucket(r.v)
+        assert r.lb == _py_lower(r.b)
+        assert r.lb <= r.v < _py_lower(r.b + 1)
+        if r.v > 0:
+            assert (r.v - r.lb) / r.v <= 0.125
+
+
+def test_hist_mergeable_and_quantile_rank_exact(spark):
+    """Cell-wise merge of two shard histograms equals the one-shot
+    histogram, and each quantile estimate is the lower bound of the
+    bucket that truly contains the rank-⌈q·n⌉ element."""
+    import math
+
+    from joern_spark.operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    vals = [((v * 2654435761) % 100000) + 1 for v in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    whole = hist_registers(df)
+    halves = hist_merge(
+        hist_registers(df.where(F.col("v") % 2 == 0)),
+        hist_registers(df.where(F.col("v") % 2 == 1)),
+    )
+    assert {(r.bucket, r.cnt) for r in whole.collect()} == {
+        (r.bucket, r.cnt) for r in halves.collect()
+    }
+
+    qs = [0.25, 0.5, 0.9, 0.99]
+    est = {r.q: r.est for r in hist_quantiles(whole, qs).collect()}
+    sv = sorted(vals)
+    for q in qs:
+        exact = sv[math.ceil(q * len(sv)) - 1]
+        assert est[q] == _py_lower(_py_bucket(exact))
+        assert est[q] <= exact < _py_lower(_py_bucket(exact) + 1)
+
+
+def test_hist_grouped_quantiles(spark):
+    """Per-group read-out: groups with radically different scales get
+    independent estimates; a one-value group returns that value's
+    bucket lower bound at every q."""
+    from joern_spark.operators.sketch import hist_quantiles, hist_registers
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    regs = hist_registers(df, by=["g"])
+    out = {
+        (r.g, r.q): r.est
+        for r in hist_quantiles(regs, [0.5, 0.99], by=["g"]).collect()
+    }
+    assert out[("b", 0.5)] == 7 and out[("b", 0.99)] == 7
+    assert out[("a", 0.5)] == _py_lower(_py_bucket(50))
+    assert out[("a", 0.99)] == _py_lower(_py_bucket(99))

@@ -41,6 +41,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_cross_paths_incremental",
     "doc_hll_distinct",
     "tpg_bloom_prune",
+    "doc_len_hist",
 }
 
 
