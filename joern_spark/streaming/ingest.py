@@ -577,3 +577,72 @@ def run_bloom_increment(
         .start()
     )
     q.awaitTermination()
+
+
+_HIST_POINTER = "CURRENT_HIST"
+
+
+def read_hist_registers(spark: SparkSession, state_dir: str):
+    """The currently-committed histogram table (bucket, cnt), or None
+    before the first drain. Returns (DataFrame | None, last batch id)."""
+    p = os.path.join(state_dir, _HIST_POINTER)
+    if not os.path.exists(p):
+        return None, -1
+    with open(p) as f:
+        name = f.read().strip()
+    batch_id = int(name.split("-")[1])
+    return spark.read.parquet(os.path.join(state_dir, name)), batch_id
+
+
+def run_hist_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental length-quantile maintenance: drain newly-landed
+    transcript files, histogram the delta's turn token counts
+    (operators/sketch.hist_registers) and fold into the persisted
+    bucket table with hist_merge — quantiles of the WHOLE stream so
+    far are then a constant-time read-out (sketch.hist_quantiles) over
+    ≤ ~500 rows, with no replay of history.
+
+    Exactly-once note: like Count-Min (and unlike the HLL max-fold /
+    Bloom OR-fold), a cell-wise SUM is not idempotent — so the fold
+    carries the standard batch-id guard: the committed snapshot name
+    embeds the last folded batch id, and a replayed batch id ≤ that is
+    skipped."""
+    import uuid
+
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.sketch import hist_merge, hist_registers
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur, last_id = read_hist_registers(spark, state_dir)
+        if batch_id <= last_id:
+            return  # replay of an already-folded batch
+        vals = batch_df.select(
+            F.size(tokens_col(F.col("text"))).cast("long").alias("v")
+        )
+        delta = hist_registers(vals).localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return
+        merged = hist_merge(cur, delta) if cur is not None else delta
+        snap = os.path.join(
+            state_dir, f"hist-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(
+            state_dir, _HIST_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _HIST_POINTER))
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -634,3 +634,52 @@ def test_bloom_increment_equals_batch_bits(spark, tmp_path_factory):
     # idempotence: re-folding the full table into itself is a no-op
     refolded = {r.bit for r in bloom_merge(folded, folded).collect()}
     assert refolded == expect
+
+
+def test_hist_increment_equals_batch_registers(spark, tmp_path_factory):
+    """Streaming histogram maintenance: the folded bucket table equals
+    the ONE-SHOT batch histogram over everything landed, a replayed
+    batch id is skipped (sum-fold batch guard, same contract as
+    Count-Min), and the stream-state quantile read-out matches the
+    batch read-out."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.sketch import hist_quantiles, hist_registers
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("hist_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    _land(spark, d, 0, 60, "batch1")
+    ingest.run_hist_increment(spark, d["landing"], d["state"], d["ckpt"])
+    h1, id1 = ingest.read_hist_registers(spark, d["state"])
+    assert h1 is not None and h1.count() > 0
+
+    _land(spark, d, 60, 120, "batch2")
+    ingest.run_hist_increment(spark, d["landing"], d["state"], d["ckpt"])
+    folded, id2 = ingest.read_hist_registers(spark, d["state"])
+    assert id2 > id1
+
+    vals = spark.read.parquet(d["landing"]).select(
+        F.size(tokens_col(F.col("text"))).cast("long").alias("v")
+    )
+    expect = {(r.bucket, r.cnt) for r in hist_registers(vals).collect()}
+    assert {(r.bucket, r.cnt) for r in folded.collect()} == expect
+
+    # replay guard: draining with nothing new must not advance or re-fold
+    ingest.run_hist_increment(spark, d["landing"], d["state"], d["ckpt"])
+    folded3, id3 = ingest.read_hist_registers(spark, d["state"])
+    assert id3 == id2
+    assert {(r.bucket, r.cnt) for r in folded3.collect()} == expect
+
+    # quantiles read straight off the stream state match the batch path
+    sq = {r.q: r.est for r in hist_quantiles(folded, [0.5, 0.9]).collect()}
+    bq = {
+        r.q: r.est
+        for r in hist_quantiles(hist_registers(vals), [0.5, 0.9]).collect()
+    }
+    assert sq == bq
