@@ -139,6 +139,27 @@ def heavy_hitters(g: GraphResult, k: int = 20) -> DataFrame:
     )
 
 
+def turn_quantiles(g: GraphResult, qs: list[float] | None = None) -> DataFrame:
+    """Sketch-estimated turn-length quantiles per role — the interactive
+    "how long are these turns" probe (operators/sketch.hist_registers /
+    hist_quantiles over the graph's turn token counts): (role, q, est),
+    est is the containing bucket's lower bound (relative error ≤ 1/8),
+    state bounded at ~500 buckets per role however large the corpus."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.functions.hashing import tokens_col
+    from joern_spark.operators.sketch import hist_quantiles, hist_registers
+
+    vals = g.turns.select(
+        "role", F_.size(tokens_col(F_.col("text"))).cast("long").alias("v")
+    )
+    return hist_quantiles(
+        hist_registers(vals, col="v", by=["role"]),
+        qs or [0.5, 0.9, 0.99],
+        by=["role"],
+    ).orderBy("role", "q")
+
+
 def ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """PQ/ADC nearest neighbours of the corpus's deterministic probe
     vector (similarity.pq_topk_adc): (vec_id, adc) ascending — the

@@ -151,6 +151,16 @@ class QueryServer:
 
                         df = _hh(ws.cpg, k=int(req.get("k", 20)))
                         self._send(_df_payload(df, limit))
+                    elif self.path == "/quantiles":
+                        # histogram-sketch turn-length quantiles per
+                        # role (console.turn_quantiles)
+                        from joern_spark.console import (
+                            turn_quantiles as _tq,
+                        )
+
+                        qs = [float(q) for q in req.get("qs", [0.5, 0.9, 0.99])]
+                        df = _tq(ws.cpg, qs=qs)
+                        self._send(_df_payload(df, limit))
                     else:
                         self._send({"error": f"unknown path {self.path}"}, 404)
                 except (KeyError, ValueError, json.JSONDecodeError) as e:

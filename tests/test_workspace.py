@@ -173,6 +173,19 @@ def test_http_query_server(spark, tmp_path):
         assert out["columns"] == ["item", "est"]
         ests = [row[1] for row in out["rows"]]
         assert ests == sorted(ests, reverse=True) and min(ests) >= 1
+
+        # histogram-sketch turn-length quantiles: one row per
+        # (role, q), estimates non-decreasing in q within a role
+        status, out = post("/quantiles", {"qs": [0.5, 0.9]})
+        assert status == 200 and out["n"] > 0
+        assert out["columns"] == ["role", "q", "est"]
+        by_role: dict = {}
+        for role, q, est in out["rows"]:
+            assert est >= 0
+            by_role.setdefault(role, []).append((q, est))
+        for pairs in by_role.values():
+            assert [q for q, _ in pairs] == [0.5, 0.9]
+            assert pairs[0][1] <= pairs[1][1]
     finally:
         srv.shutdown()
 
