@@ -398,9 +398,10 @@ def incremental_paths(
     are byte-valid under the updated table.
 
     Scale shape: the affected-node set is |delta|-sized and broadcasts;
-    invalidation is one array_contains semi-probe over the cached path
-    table (no walk); the re-walk runs only from invalid + new seeds over
-    the updated edges. A small delta on a 10^12-turn corpus re-walks a
+    invalidation is one explode + broadcast-hash semi-join over the
+    cached path table (≤ max_depth+1 probe rows per cached path, no
+    walk, no nested-loop scan); the re-walk runs only from invalid +
+    new seeds over the updated edges. A small delta on a 10^12-turn corpus re-walks a
     delta-proportional seed set instead of the world."""
     # BOTH delta endpoints: the step table derives reversed steps from an
     # edge (SAME_AS both ways, LINKS_TO_REV), so a new edge changes walks
@@ -414,13 +415,17 @@ def incremental_paths(
     sd = seeds.select(F.col(id_col).alias("id")).dropDuplicates()
     cached_seeds = cached_paths.select(F.col("src").alias("id")).dropDuplicates()
     brand_new = sd.join(cached_seeds, "id", "left_anti")
+    # equi-probe, not array_contains against the broadcast: a predicate
+    # join would plan as BroadcastNestedLoopJoin — |cached paths| ×
+    # |affected| array scans (measured 878s at sf0.1). Exploding the
+    # path array (≤ max_depth+1 rows per path) turns it into a broadcast
+    # HASH semi-join: one O(1) probe per path node, linear in the cache.
     touched = (
-        cached_paths.alias("p")
-        .join(
-            F.broadcast(affected),
-            F.array_contains(F.col("p.path"), F.col("n")),
+        cached_paths.select(
+            F.col("src").alias("id"), F.explode("path").alias("n")
         )
-        .select(F.col("p.src").alias("id"))
+        .join(F.broadcast(affected), "n", "left_semi")
+        .select("id")
         .dropDuplicates()
     )
     invalid = touched.join(sd, "id", "left_semi").unionByName(brand_new)
