@@ -578,3 +578,74 @@ def dsir_select(
 
     w = Window.orderBy(F.desc("samp_key"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+PACK_SEQ_BUDGET = 1024  # tokens per packed training sequence
+PACK_SEQ_GROUPS = 16  # independent packing groups (shuffle width at scale)
+
+_PACK_SEQ_SCHEMA = (
+    "doc_id long, grp long, bin_id long, offset_tokens long, n_tokens long"
+)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = PACK_SEQ_BUDGET,
+    groups: int = PACK_SEQ_GROUPS,
+) -> DataFrame:
+    """(doc_id, seq_id, offset_tokens, n_tokens) — ATOMIC sequence
+    packing: whole documents greedily packed next-fit-decreasing into
+    fixed token-budget bins, never split across bins (the SFT-packing
+    convention, vs `pack_shards`' contiguous fill where a document may
+    straddle shards). Within a group documents are ordered by
+    (n_tokens DESC, doc_id ASC) and each one joins the CURRENT bin if it
+    fits, else opens a new bin — a document longer than the budget gets
+    a bin of its own.
+
+    Scale shape: the greedy fold is inherently sequential, so the corpus
+    is split into `groups` deterministic groups (doc_id mod groups) that
+    pack INDEPENDENTLY — one Arrow batch per group, linear work, state =
+    one (bin, acc) pair. At cluster scale `groups` grows with the corpus
+    (each group a few hundred MB of doc-length rows), so no single task
+    ever folds the world; bin ids are group-local and stable under any
+    parallelism. The kernel sees only (doc_id, n_tokens) — text never
+    enters the shuffle."""
+    from joern_spark.functions.hashing import tokens_col
+
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % groups).cast("long").alias("grp"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, offs = [], []
+        b, acc = 0, None
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if acc is not None and acc + n <= budget:
+                offs.append(acc)
+                acc += n
+            else:
+                if acc is not None:
+                    b += 1
+                offs.append(0)
+                acc = n
+            bins.append(b)
+        pdf = pdf.assign(bin_id=bins, offset_tokens=offs)
+        return pdf[["doc_id", "grp", "bin_id", "offset_tokens", "n_tokens"]]
+
+    out = d.groupBy("grp").applyInPandas(pack, _PACK_SEQ_SCHEMA)
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.col("grp").cast("string"),
+            F.lit(":"),
+            F.col("bin_id").cast("string"),
+        ).alias("seq_id"),
+        "offset_tokens",
+        "n_tokens",
+    )

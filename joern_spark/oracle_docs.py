@@ -1834,3 +1834,43 @@ SELECT lang, q,
          AS est_tokens
 FROM pick
 """
+
+
+def pack_sequences_sql() -> str:
+    """Oracle for curate.pack_sequences: the greedy next-fit-decreasing
+    fold replayed as a per-group recursive CTE (row rn+1 extends row rn's
+    (bin, acc) state) — a genuinely different evaluation strategy from
+    the Spark side's Arrow kernel, same fold."""
+    from joern_spark.operators.curate import PACK_SEQ_BUDGET, PACK_SEQ_GROUPS
+
+    b = PACK_SEQ_BUDGET
+    return f"""
+WITH RECURSIVE {TOKS},
+d AS (
+  SELECT doc_id, doc_id % {PACK_SEQ_GROUPS} AS grp,
+         len(toks)::BIGINT AS n_tokens
+  FROM toks
+),
+o AS (
+  SELECT doc_id, grp, n_tokens,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM d
+),
+pack AS (
+  SELECT grp, rn, doc_id, n_tokens, 0::BIGINT AS bin_id, n_tokens AS acc
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens <= {b}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.acc + o.n_tokens <= {b}
+              THEN p.acc + o.n_tokens ELSE o.n_tokens END
+  FROM pack p JOIN o ON o.grp = p.grp AND o.rn = p.rn + 1
+)
+SELECT doc_id,
+       CAST(grp AS VARCHAR) || ':' || CAST(bin_id AS VARCHAR) AS seq_id,
+       (acc - n_tokens)::BIGINT AS offset_tokens,
+       n_tokens
+FROM pack
+"""

@@ -306,6 +306,19 @@ def q_ddg_dot(spark, sf_dir):
     return dump_repr(_t(spark, sf_dir), "ddg")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Atomic sequence packing (SFT convention): whole documents greedily
+    packed next-fit-decreasing into fixed token-budget training bins —
+    the complement of doc_shards' contiguous fill (which splits documents
+    across shard bounds). Spark side: one Arrow kernel per deterministic
+    doc_id-mod group, linear fold, (bin, acc) state only; oracle: the
+    same fold replayed as a per-group recursive CTE — a genuinely
+    different evaluation strategy for the same greedy semantics."""
+    from joern_spark.operators import curate
+
+    return curate.pack_sequences(read_documents(spark, sf_dir))
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -1514,6 +1527,7 @@ TPG_QUERIES = {
     "doc_hll_distinct": q_doc_hll,
     "tpg_bloom_prune": q_bloom_prune,
     "doc_len_hist": q_doc_len_hist,
+    "doc_pack_nextfit": q_pack_sequences,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -1464,3 +1464,48 @@ def test_pq_index_persistence(spark, tmp_path):
     smaller = emb.limit(50)
     m3 = save_pq_index(smaller, idx)
     assert m3["hit"] is False and m3["n_vectors"] == 50
+
+
+def test_pack_sequences_nextfit_atomic(spark):
+    """Greedy next-fit-decreasing: bins never exceed the budget except
+    for single oversized documents, no document is split, every doc is
+    packed exactly once, and the packing is repartition-invariant."""
+    from joern_spark.operators import curate
+
+    # group 0 (even ids): token counts 12, 9, 7, 3 → desc order packs
+    # [12] (12+9>16), [9, 7] (16 fits exactly), [3]... wait 9+7=16 ≤ 16
+    rows = [
+        (0, "w " * 12, "en", "s", 1),
+        (2, "w " * 9, "en", "s", 1),
+        (4, "w " * 7, "en", "s", 1),
+        (6, "w " * 3, "en", "s", 1),
+        (1, "w " * 20, "en", "s", 1),  # oversized: own bin
+        (3, "w " * 5, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: (r.seq_id, r.offset_tokens, r.n_tokens)
+           for r in curate.pack_sequences(docs, budget=16, groups=2).collect()}
+    assert len(out) == 6
+    # group 0 desc order: 12(id0), 9(id2), 7(id4), 3(id6)
+    # bin 0: 12 (+9 > 16) → bin 1: 9, +7 = 16 fits → bin 1; +3 > 16 → bin 2
+    assert out[0] == ("0:0", 0, 12)
+    assert out[2] == ("0:1", 0, 9)
+    assert out[4] == ("0:1", 9, 7)
+    assert out[6] == ("0:2", 0, 3)
+    # group 1: oversized 20 gets its own bin; 5 opens the next
+    assert out[1] == ("1:0", 0, 20)
+    assert out[3] == ("1:1", 0, 5)
+    again = {r.doc_id: (r.seq_id, r.offset_tokens, r.n_tokens)
+             for r in curate.pack_sequences(
+                 docs.repartition(7), budget=16, groups=2).collect()}
+    assert out == again
+    # degenerate inputs
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    assert curate.pack_sequences(
+        spark.createDataFrame([], schema)).count() == 0
+    one = curate.pack_sequences(
+        spark.createDataFrame([(5, "just one tiny doc", "en", "s", 1)], schema)
+    ).collect()[0]
+    assert (one.seq_id, one.offset_tokens, one.n_tokens) == ("5:0", 0, 4)

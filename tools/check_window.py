@@ -42,6 +42,7 @@ MUST_BE_IN_WINDOW = {
     "doc_hll_distinct",
     "tpg_bloom_prune",
     "doc_len_hist",
+    "doc_pack_nextfit",
 }
 
 
