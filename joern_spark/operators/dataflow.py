@@ -155,12 +155,20 @@ def _rd_batch(pdf):
     return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "var", "def_idx"])
 
 
-def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
+def reaching_definitions(
+    edges: DataFrame, defs: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
     """IN sets of the gen/kill reaching-definitions problem.
 
     edges: (conv_id, src_idx, dst_idx) — per-conversation CFG, arbitrary
     shape (chains, DAGs, cycles).
     defs:  (conv_id, turn_idx, var) — definition sites.
+    nodes: optional (conv_id, turn_idx) restriction — emit IN sets ONLY
+    at these nodes (a use-resolution caller needs them at its ~1% of
+    use turns, not the whole corpus). Per-node IN sets are independent
+    in the closed forms, so the restriction prunes the node×def-array
+    join itself; the worklist kernel still solves its group fully (the
+    fixpoint needs every node) and filters on output.
     returns (conv_id, turn_idx, var, def_idx): def reaches node entry.
 
     Three routes, cheapest first:
@@ -178,17 +186,19 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
     * **general** (anything else — branches, joins, arbitrary cycles):
       the worklist kernel, cogrouped on salted (conv, var) buckets.
 
-    Routing is ONE aggregate over the edge table: sorted by (src, dst),
-    an index-ordered ring is exactly the edge list in which every edge's
-    dst equals the NEXT edge's src, cyclically (zip with the rotation —
-    the wrap pair falls out of the rotate, and a 1-edge self-loop zips
-    with itself). Unique srcs/dsts pin degree 1; one backward edge pins
-    the single wrap. Impostors (self-loop beside a chain, ring plus a
-    disjoint component, out-of-order cycles, chords) fail a test and
-    fall through to the kernel. The collected per-conversation edge
-    array bounds agg-buffer memory by the conversation's edge count —
-    the same O(conversation) the downstream kernel group (and its
-    MAX_GROUP_CELLS guard) already carries.
+    Routing is COUNTING only — no per-conversation edge arrays. With
+    unique srcs and unique dsts (out/in-degree ≤ 1) the edge set is a
+    disjoint union of simple paths and simple cycles, and
+    #edges == #distinct-nodes holds iff there are zero paths (a path of
+    k nodes has k−1 edges, a cycle k); exactly ONE backward edge
+    (src_idx ≥ dst_idx) then pins a SINGLE cycle (every cycle must fall
+    back at least once) whose traversal ascends everywhere except the
+    one wrap — i.e. the cycle visits its node set in index order: the
+    index-ordered ring, proven without collecting an array. Impostors
+    (self-loop beside a chain, ring plus a disjoint component,
+    out-of-order cycles, chords) each break uniqueness, the node=edge
+    count, or the single-backward-edge pin, and fall through to the
+    kernel.
 
     Join-shape note: every join here keeps the conv-list aggregates on
     the RIGHT of a semi/anti join (or renames the key before an inner
@@ -209,15 +219,13 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
     # of partitions"). Emit extra edges in the same projection instead
     # (explode over array_compact — see q_reaching_cyclic/_branchy); an
     # explicit repartition does not help (CollapseRepartition removes it).
-    es = F.col("es")
-    rot = F.concat(
-        F.slice(es, 2, F.size(es) - 1), F.slice(es, 1, 1)
-    )
-    chain_ok = F.forall(
-        F.zip_with(es, rot, lambda a, b: a["dst_idx"] == b["src_idx"]),
-        lambda ok: ok,
-    )
+    nodes_all = edges.select(
+        "conv_id",
+        F.explode(F.array("src_idx", "dst_idx")).alias("turn_idx"),
+    ).distinct()
+    nv = nodes_all.groupBy("conv_id").agg(F.count(F.lit(1)).alias("nv"))
     uniq = (F.col("n") == F.col("ns")) & (F.col("n") == F.col("nd"))
+    is_ring = F.col("nv") == F.col("n")
     routing = (
         edges.groupBy("conv_id")
         .agg(
@@ -229,20 +237,18 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
             F.sum(
                 (F.col("src_idx") >= F.col("dst_idx")).cast("int")
             ).alias("nback"),
-            F.sort_array(
-                F.collect_list(F.struct("src_idx", "dst_idx"))
-            ).alias("es"),
         )
+        .join(nv.withColumnRenamed("conv_id", "_nv_conv"),
+              F.col("conv_id") == F.col("_nv_conv"))
         .select(
             "conv_id",
             F.when(uniq & (F.col("nback") == 0), F.lit(0))
-            .when(uniq & (F.col("nback") == 1) & chain_ok, F.lit(1))
+            .when(uniq & (F.col("nback") == 1) & is_ring, F.lit(1))
             .otherwise(F.lit(2))
             .alias("route"),  # 0 linear, 1 ring, 2 general
         )
     )
     gen_convs = routing.where(F.col("route") == 2).select("conv_id")
-    ring_convs = routing.where(F.col("route") == 1).select("conv_id")
 
     def _route(df, against, how: str) -> DataFrame:
         # qualified semi/anti join: the left frame and the conv-list
@@ -254,19 +260,35 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
             how,
         )
 
-    # ---- closed forms (linear + ring) ----------------------------------
+    # ---- closed forms (linear + ring, ONE fused branch) -----------------
     # per-(conv, var) sorted def-turn array joined onto the node table:
     # the strictly-preceding last definition is the greatest array element
-    # < turn_idx; ring conversations wrap to the last element. One small
-    # aggregation + one conv_id join, no per-node window, and def arrays
-    # are tiny (defs per conversation), so the array filter is cheap.
-    # def_arrays takes RAW defs — a general conversation's array matches
-    # no closed node, so the inner join routes defs for free.
-    closed_edges = _route(edges, gen_convs, "left_anti")
-    cn = closed_edges.select(
-        "conv_id",
-        F.explode(F.array("src_idx", "dst_idx")).alias("turn_idx"),
-    ).distinct()
+    # < turn_idx; ring conversations wrap to the last element — expressed
+    # as a CASE on the joined `route` column, so linear and ring share one
+    # join instead of a semi/anti branch pair feeding a union (the union
+    # shape also tripped AQE partition-count zip mismatches downstream).
+    # def_arrays takes RAW defs — a general conversation's nodes are
+    # dropped by the route<2 inner join, routing defs for free.
+    want = None
+    if nodes is not None:
+        want = nodes.select(
+            F.col("conv_id").alias("_w_conv"),
+            F.col("turn_idx").cast("int").alias("_w_idx"),
+        ).dropDuplicates()
+    closed_src = nodes_all
+    if want is not None:
+        closed_src = nodes_all.join(
+            want,
+            (F.col("conv_id") == F.col("_w_conv"))
+            & (F.col("turn_idx") == F.col("_w_idx")),
+            "left_semi",
+        )
+    closed_nodes = closed_src.join(
+        routing.where(F.col("route") < 2).withColumnRenamed(
+            "conv_id", "_rt_conv"
+        ),
+        F.col("conv_id") == F.col("_rt_conv"),
+    ).select("conv_id", "turn_idx", "route")
     def_arrays = defs.groupBy("conv_id", "var").agg(
         F.sort_array(F.collect_list("turn_idx")).alias("dts")
     )
@@ -280,26 +302,18 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
     prev = F.try_element_at(
         F.filter("dts", lambda d: d < F.col("turn_idx")), F.lit(-1)
     )
-
-    def _closed(nodes: DataFrame, def_idx_expr) -> DataFrame:
-        # two separate branch joins rather than one join on a unioned
-        # node frame: a union of two join outputs feeding a sort-merge
-        # join tripped an AQE partition-count mismatch ("Can't zip RDDs
-        # with unequal numbers of partitions") at larger inputs
-        return (
-            nodes.join(arrays_k, F.col("conv_id") == F.col("_da_conv"))
-            .select("conv_id", "turn_idx", "var", "dts")
-            .withColumn("def_idx", def_idx_expr)
-            .where(F.col("def_idx").isNotNull())
-            .select(
-                "conv_id", "turn_idx", "var", F.col("def_idx").cast("int")
-            )
+    closed = (
+        closed_nodes.join(arrays_k, F.col("conv_id") == F.col("_da_conv"))
+        .select("conv_id", "turn_idx", "var", "dts", "route")
+        .withColumn(
+            "def_idx",
+            F.when(
+                F.col("route") == 1,
+                F.coalesce(prev, F.try_element_at("dts", F.lit(-1))),
+            ).otherwise(prev),
         )
-
-    linear = _closed(_route(cn, ring_convs, "left_anti"), prev)
-    ringb = _closed(
-        _route(cn, ring_convs, "left_semi"),
-        F.coalesce(prev, F.try_element_at("dts", F.lit(-1))),
+        .where(F.col("def_idx").isNotNull())
+        .select("conv_id", "turn_idx", "var", F.col("def_idx").cast("int"))
     )
 
     # ---- general path: cogrouped worklist kernel ----------------------
@@ -323,4 +337,11 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
     general = long.groupBy("_b").applyInPandas(
         lambda pdf: _rd_batch(pdf.drop(columns=["_b"])), RD_SCHEMA
     )
-    return linear.unionByName(ringb).unionByName(general)
+    if want is not None:
+        general = general.join(
+            want,
+            (F.col("conv_id") == F.col("_w_conv"))
+            & (F.col("turn_idx") == F.col("_w_idx")),
+            "left_semi",
+        )
+    return closed.unionByName(general)

@@ -100,7 +100,6 @@ def dbcur_triples_general(
     defs = transcripts.where(
         (F.col("role") == "user") & F.col("text").rlike(rebind_pat)
     ).select("conv_id", "turn_idx", F.lit("db").alias("var"))
-    reaching = reaching_definitions(edges, defs)
     # definition values live on the def turns: join them back by def_idx
     def_vals = transcripts.where(
         (F.col("role") == "user") & F.col("text").rlike(rebind_pat)
@@ -115,6 +114,16 @@ def dbcur_triples_general(
         F.col("conv_id").alias("u_conv"),
         F.col("turn_idx").alias("u_idx"),
         F.regexp_extract("text", dbcur_pat, 1).alias("cur_city"),
+    )
+    # IN sets are only consumed at use turns — push that restriction
+    # into the operator so the node×def-array join never materializes
+    # the other ~99% of the corpus
+    reaching = reaching_definitions(
+        edges,
+        defs,
+        nodes=uses.select(
+            F.col("u_conv").alias("conv_id"), F.col("u_idx").alias("turn_idx")
+        ),
     )
     resolved = uses.join(
         reaching.where(F.col("var") == "db"),
