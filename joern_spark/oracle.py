@@ -1149,13 +1149,27 @@ walk(src, dst, depth, crossings, path, labels, origin, cur_conv) AS (
 )"""
 
 
-def cross_paths_sql(sf: float, k: int = 4, max_crossings: int = 1) -> str:
+def cross_paths_sql(
+    sf: float, k: int = 4, max_crossings: int = 1, seed_mod: int | None = None
+) -> str:
     """Cross-layer provenance flows (functions/hetero.py twin): the
     shared recursive walk with path-cycle exclusion, crossing budget,
-    realizability frames, and max-length-per-(src,dst) dedup."""
+    realizability frames, and max-length-per-(src,dst) dedup.
+    `seed_mod` applies the md5 1/seed_mod pure-hash seed sample (the
+    cross_paths_nested discipline) — the incremental-maintenance gate
+    walks a declared sample, not the world."""
+    seeds_sql = None
+    if seed_mod is not None:
+        h = "(('0x' || substr(md5(id), 1, 15))::BIGINT)"
+        seeds_sql = (
+            "SELECT id FROM (SELECT DISTINCT conv_id || ':' ||"
+            " CAST(turn_idx AS VARCHAR) AS id FROM"
+            f" ({triples_raw_sql(sf)}) WHERE pred = 'queried_about')"
+            f" WHERE {h} % {seed_mod} = 0"
+        )
     return f"""
 WITH RECURSIVE
-{_hetero_walk_ctes(sf, k, max_crossings)},
+{_hetero_walk_ctes(sf, k, max_crossings, seeds_sql=seeds_sql)},
 ranked AS (
   SELECT src, dst, depth, crossings,
          array_to_string(path, '->') AS path,

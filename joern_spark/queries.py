@@ -805,13 +805,23 @@ def q_flows_named(spark, sf_dir):
 
 def q_cross_paths_incremental(spark, sf_dir):
     """Driver-gated proof of INCREMENTAL walk maintenance
-    (hetero.incremental_paths): split the heterogeneous edge union into
-    a base and an append delta (conversations in md5 bucket 0 of 16 —
-    entity-keyed SAME_AS rows hash on their own key), walk the base,
-    fold the delta in incrementally, keep-max — and the result must
-    hash-equal the oracle's ONE-SHOT full walk (cross_paths_sql). The
-    streaming-ingest discipline for the flow layer: a delta re-walks
-    only the seeds whose cached paths touch a delta endpoint."""
+    (hetero.incremental_paths): split the walk's STEP table into a base
+    and an append delta, walk the base, fold the delta in incrementally,
+    keep-max — and the result must hash-equal the oracle's ONE-SHOT full
+    walk (cross_paths_sql). The streaming-ingest discipline for the flow
+    layer: a delta re-walks only the seeds whose cached paths touch a
+    delta endpoint.
+
+    The delta predicate hashes the SMALLER endpoint key
+    (least(conv-or-entity of src, of dst), md5 bucket 0 of 16) — a
+    symmetric function of the step row, so a step and its reversed twin
+    land on the same side and BOTH splits are plain filters of the
+    session-cached step table: no per-query step-table rebuild, which
+    measured as the gate's dominant cost. Seeds are the md5 1/4
+    pure-hash sample (the cross_paths_nested discipline, mirrored in
+    the oracle's seed CTE): the maintenance property is seed-set-
+    agnostic and the declared sample keeps the gate's double walk
+    proportionate."""
     from joern_spark.functions.hetero import (
         expand_paths_hetero,
         incremental_paths,
@@ -820,13 +830,18 @@ def q_cross_paths_incremental(spark, sf_dir):
     from joern_spark.functions.hashing import md5_long
 
     t = _t(spark, sf_dir)
-    edges = _hetero_edges(spark, sf_dir)
-    part_key = F.when(
-        F.col("src").contains(":"), F.substring_index(F.col("src"), ":", 1)
-    ).otherwise(F.col("src"))
-    in_delta = md5_long(part_key) % 16 == 0
-    base = edges.where(~in_delta)
-    delta = edges.where(in_delta)
+
+    def _key(c):
+        return F.when(
+            c.contains(":"), F.substring_index(c, ":", 1)
+        ).otherwise(c)
+
+    steps_all = _hetero_steps(spark, sf_dir)
+    in_delta = (
+        md5_long(F.least(_key(F.col("src")), _key(F.col("dst")))) % 16 == 0
+    )
+    base_steps = steps_all.where(~in_delta)
+    delta_steps = steps_all.where(in_delta)
     seeds = (
         extract_triples_raw(t)
         .where(F.col("pred") == "queried_about")
@@ -836,16 +851,18 @@ def q_cross_paths_incremental(spark, sf_dir):
             ).alias("id")
         )
         .dropDuplicates()
+        .where(md5_long(F.col("id")) % 4 == 0)
     )
     # depth 3 / crossings 1 — the maintenance property is budget-agnostic
-    # and the smaller walk keeps the gate cheap; the full-table re-walk
-    # reuses the SESSION step table (built once for the whole battery)
+    # and the smaller walk keeps the gate cheap; both walks reuse the
+    # SESSION step table (built once for the whole battery)
     cached = expand_paths_hetero(
-        seeds, base, max_depth=3, max_crossings=1, keep="all"
+        seeds, None, max_depth=3, max_crossings=1, keep="all",
+        steps=base_steps,
     )
     merged = incremental_paths(
-        cached, edges, delta, seeds, max_depth=3, max_crossings=1,
-        steps=_hetero_steps(spark, sf_dir),
+        cached, None, delta_steps, seeds, max_depth=3, max_crossings=1,
+        steps=steps_all,
     )
     return max_length_paths(merged).select(
         "src",
