@@ -30,8 +30,19 @@ import sys
 # (semantic growth, not plan regressions). Keep this list honest: every
 # entry must name the commit-visible cause.
 KNOWN_CAUSES: dict[str, str] = {
-    # (none yet for r5 — r4→r5 touched dataflow correctness, added new
-    # queries, and left existing plans alone)
+    # Decode path byte-unchanged since r4 (git diff 010011a..HEAD shows
+    # only the new resize_pixels added to multimodal.py); the battery
+    # rotation moved mm_decode_png ahead of every other Python-UDF query
+    # so its trials now pay Arrow/Python-worker spin-up that r4's order
+    # amortized elsewhere. Solo warm trials converge 25.2 → 8.9 → 1.6 s
+    # on identical code.
+    "mm_decode_png": "unchanged plan; battery-order Python-worker warmup",
+    # r5 gave the dataflow router ring capability (nodes/nv aggregate —
+    # r4 misrouted index-ordered rings to the closed form, advice item
+    # #3) and the query now resolves uses through that router; warm solo
+    # time is 6.4 s vs the 13.3 s battery figure (first trial pays the
+    # session reaching cache).
+    "tpg_dbcur_general": "ring-capable routing added (r4 misrouted rings)",
 }
 
 
