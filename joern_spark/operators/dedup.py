@@ -461,3 +461,41 @@ def span_dedup(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+BOILERPLATE_N = 4  # words per probe span
+BOILERPLATE_MIN_DF = 2  # distinct docs before a span is suspicious
+BOILERPLATE_TOPK = 100
+
+
+def boilerplate_ngrams(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_df: int = BOILERPLATE_MIN_DF,
+    topk: int = BOILERPLATE_TOPK,
+) -> DataFrame:
+    """(shingle, df, example_doc) — cross-document repeated n-gram spans,
+    the memorization/boilerplate probe a training pipeline runs before
+    export: a span appearing verbatim in ≥ min_df DISTINCT documents is
+    template/boilerplate text (license headers, navigation chrome,
+    generation templates) that deduplication at document granularity
+    misses and that models memorize verbatim. Complements the
+    WITHIN-document repetition scores (textstats.repetition_scores) and
+    the document-level near-dup family.
+
+    Scale shape: the shingle stream is pure array ops before ONE shuffle
+    keyed by the shingle (map-side partial count + min), the min_df
+    HAVING prunes before the top-k, and the top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort). Order
+    is total — (df DESC, shingle ASC) — so the boundary of the top-k is
+    deterministic at any parallelism."""
+    agg = (
+        shingles(documents, n)
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    return agg.orderBy(F.desc("df"), F.asc("shingle")).limit(topk)

@@ -1874,3 +1874,29 @@ SELECT doc_id,
        n_tokens
 FROM pack
 """
+
+
+def boilerplate_sql() -> str:
+    """Oracle for dedup.boilerplate_ngrams (4-gram cross-document spans):
+    same distinct-per-doc shingles, count + min, HAVING, total-order
+    top-k."""
+    from joern_spark.operators.dedup import (
+        BOILERPLATE_MIN_DF,
+        BOILERPLATE_N,
+        BOILERPLATE_TOPK,
+    )
+
+    n = BOILERPLATE_N
+    idx = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                             for j in range(n))
+    return f"""
+WITH {TOKS},
+shb AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct([{idx} FOR i IN range(1, len(toks) - {n - 2})])) AS shingle
+  FROM toks WHERE len(toks) >= {n}
+)
+SELECT shingle, count(*)::BIGINT AS df, min(doc_id) AS example_doc
+FROM shb GROUP BY shingle HAVING count(*) >= {BOILERPLATE_MIN_DF}
+ORDER BY df DESC, shingle ASC LIMIT {BOILERPLATE_TOPK}
+"""

@@ -319,6 +319,15 @@ def q_pack_sequences(spark, sf_dir):
     return curate.pack_sequences(read_documents(spark, sf_dir))
 
 
+def q_boilerplate(spark, sf_dir):
+    """Cross-document repeated 4-gram spans — the memorization /
+    boilerplate probe (template text that document-level dedup misses
+    and models memorize verbatim): one shingle-keyed shuffle with
+    map-side partial counts, HAVING before the deterministic
+    total-order top-k (TakeOrderedAndProject)."""
+    return dedup.boilerplate_ngrams(read_documents(spark, sf_dir))
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -1545,6 +1554,7 @@ TPG_QUERIES = {
     "tpg_bloom_prune": q_bloom_prune,
     "doc_len_hist": q_doc_len_hist,
     "doc_pack_nextfit": q_pack_sequences,
+    "doc_boilerplate": q_boilerplate,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

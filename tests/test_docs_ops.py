@@ -1509,3 +1509,39 @@ def test_pack_sequences_nextfit_atomic(spark):
         spark.createDataFrame([(5, "just one tiny doc", "en", "s", 1)], schema)
     ).collect()[0]
     assert (one.seq_id, one.offset_tokens, one.n_tokens) == ("5:0", 0, 4)
+
+
+def test_boilerplate_ngrams(spark):
+    """Cross-doc spans are counted by DISTINCT docs (within-doc repeats
+    collapse), min_df prunes, order is (df desc, shingle asc)."""
+    from joern_spark.operators import dedup
+
+    rows = [
+        (1, "the common header text appears here", "en", "s", 1),
+        (2, "the common header text appears again", "en", "s", 1),
+        (3, "the common header text appears once more", "en", "s", 1),
+        # within-doc repetition must NOT inflate df
+        (4, "solo span repeated solo span repeated solo span repeated", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.boilerplate_ngrams(docs, n=4, min_df=2, topk=10).collect()
+    by_gram = {r.shingle: (r.df, r.example_doc) for r in out}
+    assert by_gram["the common header text"] == (3, 1)
+    assert by_gram["common header text appears"] == (3, 1)
+    assert "solo span repeated solo" not in by_gram  # df=1 despite repeats
+    # sorted by df desc then shingle asc
+    assert [r.shingle for r in out] == sorted(
+        by_gram, key=lambda g: (-by_gram[g][0], g)
+    )
+    # repartition invariance
+    again = dedup.boilerplate_ngrams(
+        docs.repartition(5), n=4, min_df=2, topk=10
+    ).collect()
+    assert {(r.shingle, r.df, r.example_doc) for r in again} == {
+        (r.shingle, r.df, r.example_doc) for r in out
+    }
+    assert dedup.boilerplate_ngrams(
+        spark.createDataFrame([], "doc_id long, text string, lang string, source string, n_chars long")
+    ).count() == 0

@@ -43,6 +43,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_bloom_prune",
     "doc_len_hist",
     "doc_pack_nextfit",
+    "doc_boilerplate",
 }
 
 
