@@ -160,6 +160,26 @@ def turn_quantiles(g: GraphResult, qs: list[float] | None = None) -> DataFrame:
     ).orderBy("role", "q")
 
 
+def boilerplate(
+    g: GraphResult, n: int = 4, min_df: int = 2, k: int = 20
+) -> DataFrame:
+    """Repeated turn-text n-gram spans across the corpus — the
+    interactive "what template text dominates these transcripts" probe
+    (dedup.boilerplate_ngrams over turn text keyed by conv:turn):
+    (shingle, df, example_doc) by descending document frequency."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.dedup import boilerplate_ngrams
+
+    docs = g.turns.select(
+        F_.concat(
+            "conv_id", F_.lit(":"), F_.col("turn_idx").cast("string")
+        ).alias("doc_id"),
+        "text",
+    )
+    return boilerplate_ngrams(docs, n=n, min_df=min_df, topk=k)
+
+
 def ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """PQ/ADC nearest neighbours of the corpus's deterministic probe
     vector (similarity.pq_topk_adc): (vec_id, adc) ascending — the
@@ -235,6 +255,7 @@ def repl(
         "dump": lambda repr_name, conv_id, **k: _dump(g, repr_name, conv_id, **k),
         # corpus probes: sketch-estimated hub entities / PQ neighbours
         "heavy_hitters": lambda *a, **k: heavy_hitters(g, *a, **k),
+        "boilerplate": lambda *a, **k: boilerplate(g, *a, **k),
         "ann": ann,
     }
     if banner is None:
