@@ -609,3 +609,51 @@ def test_png_roundtrip(img):
     px, w, h, ct = img
     got_px, got_w, got_h, got_ct = decode_png(encode_png(px, w, h, ct))
     assert (got_px, got_w, got_h, got_ct) == (px, w, h, ct)
+
+
+# --- atomic sequence packing: Spark kernel == pure-Python fold ----------------
+
+
+def _nextfit_reference(items, budget):
+    """(doc_id, n_tokens) sorted (n desc, id asc) folded next-fit."""
+    out = {}
+    b, acc = 0, None
+    for doc_id, n in sorted(items, key=lambda t: (-t[1], t[0])):
+        if acc is not None and acc + n <= budget:
+            off = acc
+            acc += n
+        else:
+            if acc is not None:
+                b += 1
+            off, acc = 0, n
+        out[doc_id] = (b, off)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    st.integers(8, 64),
+    st.integers(1, 4),
+)
+def test_pack_sequences_matches_reference_fold(spark, lens, budget, groups):
+    from joern_spark.operators import curate
+
+    rows = [(i, "w " * n, "en", "s", 1) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.seq_id, r.offset_tokens, r.n_tokens)
+        for r in curate.pack_sequences(
+            docs, budget=budget, groups=groups
+        ).collect()
+    }
+    assert set(got) == set(range(len(lens)))
+    for g in range(groups):
+        items = [(i, n) for i, n in enumerate(lens) if i % groups == g]
+        ref = _nextfit_reference(items, budget)
+        for doc_id, (bin_id, off) in ref.items():
+            seq_id, offset, n_tokens = got[doc_id]
+            assert seq_id == f"{g}:{bin_id}", (doc_id, seq_id, bin_id)
+            assert offset == off and n_tokens == lens[doc_id]
