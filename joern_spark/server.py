@@ -17,6 +17,9 @@ Endpoints (JSON in/out):
   POST /heavy_hitters {"k"?, "limit"?}
                             — Count-Min hub-entity estimates over the
                               active project's triples
+  POST /boilerplate {"n"?, "min_df"?, "k"?, "limit"?}
+                            — repeated turn-text n-gram spans across
+                              the active project (template detection)
   POST /sql    {"sql", "limit"?}
                             — run SQL over the registered tpg_*/name_*
                               views (TRUSTED surface, exactly like
@@ -160,6 +163,20 @@ class QueryServer:
 
                         qs = [float(q) for q in req.get("qs", [0.5, 0.9, 0.99])]
                         df = _tq(ws.cpg, qs=qs)
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/boilerplate":
+                        # repeated turn-text n-gram spans across the
+                        # active project (console.boilerplate)
+                        from joern_spark.console import (
+                            boilerplate as _bp,
+                        )
+
+                        df = _bp(
+                            ws.cpg,
+                            n=int(req.get("n", 4)),
+                            min_df=int(req.get("min_df", 2)),
+                            k=int(req.get("k", 20)),
+                        )
                         self._send(_df_payload(df, limit))
                     else:
                         self._send({"error": f"unknown path {self.path}"}, 404)

@@ -186,6 +186,15 @@ def test_http_query_server(spark, tmp_path):
         for pairs in by_role.values():
             assert [q for q, _ in pairs] == [0.5, 0.9]
             assert pairs[0][1] <= pairs[1][1]
+
+        # boilerplate probe: every returned span repeats in ≥ min_df
+        # distinct turns, ordered by df desc
+        status, out = post("/boilerplate", {"n": 2, "min_df": 2, "k": 5})
+        assert status == 200
+        assert out["columns"] == ["shingle", "df", "example_doc"]
+        dfs = [row[1] for row in out["rows"]]
+        assert all(d >= 2 for d in dfs)
+        assert dfs == sorted(dfs, reverse=True)
     finally:
         srv.shutdown()
 
