@@ -649,3 +649,81 @@ def pack_sequences(
         "offset_tokens",
         "n_tokens",
     )
+
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+def eval_split(
+    documents: DataFrame,
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+) -> DataFrame:
+    """(doc_id, lang, split) — deterministic CONTENT-stable
+    train/val/test assignment: the bucket is md5(text) mod 100, so a
+    document keeps its split across re-crawls, id reassignment, and
+    shard reshuffles (the leakage-proof property an id-hash split does
+    not have: the same text re-ingested under a new id cannot migrate
+    from test into train). Pure per-row projection — no shuffle, no
+    state; exact-duplicate texts land in the same split by construction
+    (dedup upstream decides which survives).
+
+    Scale shape: a narrow map over the scan at any corpus size; the
+    split fractions are enforced in expectation by the uniform hash."""
+    from joern_spark.functions.hashing import md5_long
+
+    h = md5_long(F.col("text")) % 100
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+MIX_ALPHA = 0.7  # temperature exponent over per-source token mass
+
+
+def mixture_weights(
+    documents: DataFrame, alpha: float = MIX_ALPHA
+) -> DataFrame:
+    """(source, n_docs, n_tokens, weight) — temperature-scaled sampling
+    mixture over sources: weight_i = n_tokens_i^alpha / Σ_j n_tokens_j^alpha
+    (alpha < 1 upsamples small high-quality sources relative to raw
+    proportions — the standard pretraining mixture move). Deterministic
+    float discipline: the denominator is an ascending-sorted fold of the
+    per-source powers (same expression tree as the oracle's
+    list_sum(list_sort(...))).
+
+    Scale shape: one map-side-combined aggregate to the source
+    vocabulary (dimension-sized), then a one-row broadcast for the
+    denominator — nothing corpus-sized moves twice."""
+    from joern_spark.functions.hashing import tokens_col
+
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    scored = per.withColumn("w", w)
+    total = scored.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("w") / F.col("_total")).alias("weight"),
+        )
+    )

@@ -1900,3 +1900,39 @@ SELECT shingle, count(*)::BIGINT AS df, min(doc_id) AS example_doc
 FROM shb GROUP BY shingle HAVING count(*) >= {BOILERPLATE_MIN_DF}
 ORDER BY df DESC, shingle ASC LIMIT {BOILERPLATE_TOPK}
 """
+
+
+def eval_split_sql() -> str:
+    from joern_spark.operators.curate import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    h = H.format(x="text")
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def mixture_weights_sql() -> str:
+    from joern_spark.operators.curate import MIX_ALPHA
+
+    a = repr(float(MIX_ALPHA))
+    return f"""
+WITH {TOKS},
+per AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         sum(len(t.toks))::BIGINT AS n_tokens
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.source
+),
+scored AS (
+  SELECT source, n_docs, n_tokens,
+         pow(CAST(n_tokens AS DOUBLE), {a}) AS w
+  FROM per
+),
+tot AS (SELECT list_sum(list_sort(list(w))) AS total FROM scored)
+SELECT source, n_docs, n_tokens, w / total AS weight
+FROM scored, tot
+"""

@@ -328,6 +328,26 @@ def q_boilerplate(spark, sf_dir):
     return dedup.boilerplate_ngrams(read_documents(spark, sf_dir))
 
 
+def q_eval_split(spark, sf_dir):
+    """Deterministic CONTENT-stable train/val/test split: bucket =
+    md5(text) mod 100, so a document keeps its split across re-crawls
+    and id reassignment (the leakage-proof property an id-hash split
+    lacks). Pure per-row projection — no shuffle at any corpus size."""
+    from joern_spark.operators import curate
+
+    return curate.eval_split(read_documents(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled sampling mixture over sources:
+    weight = n_tokens^alpha / sorted-fold total (alpha=0.7 upsamples
+    small sources — the standard pretraining mixture move). One
+    dimension-sized aggregate + a one-row broadcast denominator."""
+    from joern_spark.operators import curate
+
+    return curate.mixture_weights(read_documents(spark, sf_dir))
+
+
 def q_triples_final(spark, sf_dir):
     """Scan accounting (measured, sf3, 8 cores): the full extraction runs
     ONCE (feeding the static rewrite); the alias pairs feeding
@@ -1555,6 +1575,8 @@ TPG_QUERIES = {
     "doc_len_hist": q_doc_len_hist,
     "doc_pack_nextfit": q_pack_sequences,
     "doc_boilerplate": q_boilerplate,
+    "doc_split": q_eval_split,
+    "doc_mix_weights": q_mixture_weights,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -1545,3 +1545,47 @@ def test_boilerplate_ngrams(spark):
     assert dedup.boilerplate_ngrams(
         spark.createDataFrame([], "doc_id long, text string, lang string, source string, n_chars long")
     ).count() == 0
+
+
+def test_eval_split_content_stable(spark):
+    """The split is a pure function of TEXT: identical text → identical
+    split regardless of doc_id; fractions are hash-driven; every doc
+    gets exactly one split."""
+    from joern_spark.functions.hashing import md5_long_py
+    from joern_spark.operators import curate
+
+    rows = [
+        (1, "the quick brown fox", "en", "s", 1),
+        (99, "the quick brown fox", "en", "s", 1),  # same text, new id
+        (2, "a different document", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r.split for r in curate.eval_split(docs).collect()}
+    assert out[1] == out[99]  # content-stable: re-ingested text cannot migrate
+    for doc_id, text in [(1, "the quick brown fox"), (2, "a different document")]:
+        h = md5_long_py(text) % 100
+        want = "train" if h < 90 else ("val" if h < 95 else "test")
+        assert out[doc_id] == want
+
+
+def test_mixture_weights_sum_to_one(spark):
+    """Weights are a normalized temperature mixture: sum to 1, and
+    alpha < 1 compresses the gap between large and small sources."""
+    import math
+
+    from joern_spark.operators import curate
+
+    rows = [(i, "w " * (100 if i < 8 else 10), "en",
+             "s0" if i < 8 else "s1", 1) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: (r.n_tokens, r.weight)
+           for r in curate.mixture_weights(docs, alpha=0.5).collect()}
+    assert math.isclose(sum(w for _, w in out.values()), 1.0, rel_tol=1e-9)
+    (n0, w0), (n1, w1) = out["s0"], out["s1"]
+    big, small = max((n0, w0), (n1, w1)), min((n0, w0), (n1, w1))
+    # temperature compresses: weight ratio < raw token ratio
+    assert 1 < big[1] / small[1] < big[0] / small[0]

@@ -44,6 +44,8 @@ MUST_BE_IN_WINDOW = {
     "doc_len_hist",
     "doc_pack_nextfit",
     "doc_boilerplate",
+    "doc_split",
+    "doc_mix_weights",
 }
 
 
