@@ -709,6 +709,16 @@ def mixture_weights(
             "n_tokens"
         ),
     )
+    return mixture_weights_from_counts(per, alpha=alpha)
+
+
+def mixture_weights_from_counts(
+    per: DataFrame, alpha: float = MIX_ALPHA
+) -> DataFrame:
+    """The weighting tail of `mixture_weights` over an already-built
+    (source, n_docs, n_tokens) count table — shared by the batch path
+    and the streaming fold (whose persisted state IS that count table,
+    maintained by cell-wise sum)."""
     w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
     scored = per.withColumn("w", w)
     total = scored.agg(

@@ -646,3 +646,99 @@ def run_hist_increment(
         .start()
     )
     q.awaitTermination()
+
+
+DOC_STREAM_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def read_document_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.format("parquet").schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+_MIX_POINTER = "CURRENT_MIX"
+
+
+def read_mix_counts(spark: SparkSession, state_dir: str):
+    """The currently-committed per-source (n_docs, n_tokens) count
+    table, or None before the first drain. Returns
+    (DataFrame | None, last batch id)."""
+    p = os.path.join(state_dir, _MIX_POINTER)
+    if not os.path.exists(p):
+        return None, -1
+    with open(p) as f:
+        name = f.read().strip()
+    batch_id = int(name.split("-")[1])
+    return spark.read.parquet(os.path.join(state_dir, name)), batch_id
+
+
+def run_mix_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental mixture-planner maintenance: drain newly-landed
+    document files, aggregate the delta's per-source (n_docs, n_tokens),
+    and fold it into the persisted count table by cell-wise sum — the
+    mixture weights themselves are derived on read
+    (curate.mixture_weights_from_counts over the committed counts), so
+    stream and batch share the exact weighting expression tree.
+
+    Exactly-once note: sums are not idempotent, so the fold carries the
+    standard batch-id guard (the committed snapshot name embeds the last
+    folded batch id; a replayed batch id ≤ that is skipped) — the same
+    discipline as the Count-Min and histogram folds."""
+    import uuid
+
+    from joern_spark.functions.hashing import tokens_col
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur, last_id = read_mix_counts(spark, state_dir)
+        if batch_id <= last_id:
+            return  # replay of an already-folded batch
+        delta = (
+            batch_df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(
+                    F.size(tokens_col(F.col("text"))).cast("long")
+                ).alias("n_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if delta.isEmpty():
+            return
+        if cur is not None:
+            merged = (
+                cur.unionByName(delta)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("n_tokens"),
+                )
+            )
+        else:
+            merged = delta
+        snap = os.path.join(
+            state_dir, f"mix-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(
+            state_dir, _MIX_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _MIX_POINTER))
+
+    stream = read_document_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

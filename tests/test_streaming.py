@@ -683,3 +683,65 @@ def test_hist_increment_equals_batch_registers(spark, tmp_path_factory):
         for r in hist_quantiles(hist_registers(vals), [0.5, 0.9]).collect()
     }
     assert sq == bq
+
+
+def test_mix_increment_equals_batch_mixture(spark, tmp_path_factory):
+    """Streaming mixture-planner maintenance: two drains' folded count
+    table derives the SAME weights as the one-shot batch mixture over
+    everything landed; a no-new-files re-drain leaves the pointer
+    untouched."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from joern_spark.operators import curate
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("mix_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    def land(lo, hi, name):
+        import glob
+        import shutil
+
+        rows = [
+            (i, "word " * (10 + i % 7), "en", f"s{i % 3}") for i in range(lo, hi)
+        ]
+        staging = f"{d['landing']}/../_stage_{name}"
+        spark.createDataFrame(
+            rows, ingest.DOC_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+            shutil.move(f, f"{d['landing']}/{name}_{i}.parquet")
+
+    land(0, 40, "batch1")
+    ingest.run_mix_increment(spark, d["landing"], d["state"], d["ckpt"])
+    counts1, id1 = ingest.read_mix_counts(spark, d["state"])
+    assert counts1 is not None and counts1.count() == 3
+
+    # no new files → pointer unchanged
+    ingest.run_mix_increment(spark, d["landing"], d["state"], d["ckpt"])
+    _, id_again = ingest.read_mix_counts(spark, d["state"])
+    assert id_again == id1
+
+    land(40, 100, "batch2")
+    ingest.run_mix_increment(spark, d["landing"], d["state"], d["ckpt"])
+    counts, _ = ingest.read_mix_counts(spark, d["state"])
+
+    stream_w = {
+        r.source: (r.n_docs, r.n_tokens, r.weight)
+        for r in curate.mixture_weights_from_counts(counts).collect()
+    }
+    batch_docs = spark.read.parquet(d["landing"]).withColumn(
+        "n_chars", F.lit(1)
+    )
+    batch_w = {
+        r.source: (r.n_docs, r.n_tokens, r.weight)
+        for r in curate.mixture_weights(batch_docs).collect()
+    }
+    assert set(stream_w) == set(batch_w) == {"s0", "s1", "s2"}
+    for s in batch_w:
+        assert stream_w[s][:2] == batch_w[s][:2]
+        assert math.isclose(stream_w[s][2], batch_w[s][2], rel_tol=1e-12)
