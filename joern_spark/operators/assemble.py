@@ -125,3 +125,32 @@ def contains_edges(transcripts: DataFrame) -> DataFrame:
         F.lit(S.CONTAINS).alias("label"),
         F.lit(None).cast("string").alias("property"),
     )
+
+
+def role_transition_matrix(transcripts: DataFrame) -> DataFrame:
+    """(src_role, dst_role, n) — counts of NEXT_TURN edges by the role
+    pair they connect: the transcript analog of summarizing a CPG's CFG
+    edges by the node kinds at both ends (reference: joern-cli
+    `cpg.method.cfgNext` step composition + the querydb's protocol
+    checks count role patterns one conversation at a time; this is the
+    corpus-level matrix). Protocol analytics read it directly — a
+    healthy agent corpus is dominated by user→assistant→user
+    alternation, and off-diagonal mass (assistant→assistant bursts,
+    user→user re-asks) is the aggregate form of the `protocol` scanner
+    bundle's per-conversation findings.
+
+    Scale shape: one window (lead over the per-conversation sort — the
+    same shuffle every CFG consumer already pays, and AQE coalesces it)
+    then a groupBy on a ~|roles|² key space, so the aggregation is
+    all map-side combine; output is a handful of rows regardless of
+    corpus size. No floats — exact BIGINT counts."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            F.col("role").alias("src_role"),
+            F.lead("role").over(w).alias("dst_role"),
+        )
+        .where(F.col("dst_role").isNotNull())
+        .groupBy("src_role", "dst_role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -650,3 +650,83 @@ def merge_comention_edges(
         .groupBy("a", "b")
         .agg(F.sum("n_convs").cast("long").alias("n_convs"))
     )
+
+
+def entity_jaccard(
+    edges: DataFrame,
+    k: int = SUGGEST_TOP_K,
+    support_quantile: float = SUGGEST_SUPPORT_Q,
+) -> DataFrame:
+    """(entity_key, suggestion, n_common, jaccard, rank) — neighborhood
+    Jaccard link prediction over the strong co-mention graph:
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for non-adjacent pairs, the
+    set-overlap normalization of the common-neighbors signal (the third
+    member of the suggest/common-neighbors/Adamic-Adar family — hubs
+    with huge neighborhoods are penalized by the union size rather than
+    per-middle-node as in Adamic-Adar).
+
+    Same scale shape as entity_adamic_adar (wedges through middles of
+    the vocabulary-bounded strong graph; salted two-window top-k), but
+    float-parity is trivial: every term is an exact BIGINT and the score
+    is ONE division n_common / (deg_a + deg_b - n_common), the identical
+    IEEE operation on both engines — no sorted-fold discipline needed."""
+    from pyspark.sql import Window
+
+    from joern_spark.functions.salted import N_SALTS
+
+    thr = edges.agg(
+        F.expr(f"percentile(n_convs, {support_quantile!r})").alias("thr")
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(thr))
+        .where(F.col("n_convs").cast("double") >= F.col("thr"))
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    sym = strong.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        strong.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.nb") == F.col("y.nb"))
+        .where(F.col("x.node") < F.col("y.node"))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .join(strong, ["a", "b"], "left_anti")
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    sugg = pairs.select(
+        F.col("a").alias("entity_key"),
+        F.col("b").alias("suggestion"),
+        "n_common",
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("entity_key"),
+            F.col("a").alias("suggestion"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    order = [F.desc("jaccard"), F.desc("n_common"), F.asc("suggestion")]
+    w1 = Window.partitionBy("entity_key", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("entity_key").orderBy(*order)
+    return (
+        sugg.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("suggestion")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("entity_key", "suggestion", "n_common", "jaccard", "rank")
+    )

@@ -2076,3 +2076,71 @@ FROM keys k
 LEFT JOIN hits h ON h.entity_key = k.entity_key
 LEFT JOIN e ON e.entity_key = k.entity_key
 """
+
+
+def role_transitions_sql(sf: float) -> str:
+    """Role-transition-matrix twin (assemble.role_transition_matrix):
+    the same lead window and BIGINT count, no floats anywhere."""
+    return f"""
+WITH nx AS (
+  SELECT role AS src_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst_role
+  FROM {t_src(sf)}
+)
+SELECT src_role, dst_role, count(*)::BIGINT AS n
+FROM nx WHERE dst_role IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def entity_jaccard_sql(sf: float) -> str:
+    """Neighborhood-Jaccard twin (rank.entity_jaccard): the AA wedge CTE
+    with the score replaced by one division of exact BIGINTs — the
+    identical IEEE operation on both engines, so no sorted-fold is
+    needed."""
+    from joern_spark.operators.rank import SUGGEST_SUPPORT_Q, SUGGEST_TOP_K
+
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+ew AS MATERIALIZED (
+  SELECT x.k AS a, y.k AS b, count(*)::BIGINT AS n_convs
+  FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+thr AS (SELECT quantile_cont(n_convs, {SUGGEST_SUPPORT_Q!r}) AS thr FROM ew),
+e AS MATERIALIZED (
+  SELECT a, b FROM ew, thr WHERE n_convs::DOUBLE >= thr
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM e UNION ALL SELECT b AS node, a AS nb FROM e
+),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+pairs AS (
+  SELECT x.node AS a, y.node AS b, count(*)::BIGINT AS n_common
+  FROM sym x JOIN sym y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY 1, 2
+),
+missing AS (
+  SELECT p.a, p.b, p.n_common,
+         p.n_common::DOUBLE / (da.deg + db.deg - p.n_common)::DOUBLE AS jaccard
+  FROM pairs p
+  JOIN deg da ON da.node = p.a
+  JOIN deg db ON db.node = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+),
+sugg AS (
+  SELECT a AS entity_key, b AS suggestion, n_common, jaccard FROM missing
+  UNION ALL
+  SELECT b AS entity_key, a AS suggestion, n_common, jaccard FROM missing
+)
+SELECT entity_key, suggestion, n_common, jaccard, rank FROM (
+  SELECT entity_key, suggestion, n_common, jaccard,
+         row_number() OVER (PARTITION BY entity_key
+                            ORDER BY jaccard DESC, n_common DESC,
+                                     suggestion ASC) AS rank
+  FROM sugg
+) WHERE rank <= {SUGGEST_TOP_K}
+"""

@@ -515,6 +515,23 @@ def q_entity_aa(spark, sf_dir):
     return entity_adamic_adar(_comention_edges(spark, sf_dir))
 
 
+def q_entity_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction: common neighbors normalized
+    by the union size — the set-overlap member of the suggest/AA family
+    (hubs penalized by |N(a) ∪ N(b)| instead of per-middle 1/ln(deg));
+    float parity is a single division of exact BIGINTs."""
+    from joern_spark.operators.rank import entity_jaccard
+
+    return entity_jaccard(_comention_edges(spark, sf_dir))
+
+
+def q_role_transitions(spark, sf_dir):
+    """NEXT_TURN edges summarized by the (src_role, dst_role) pair they
+    connect — the corpus-level protocol matrix (aggregate form of the
+    protocol scanner bundle); exact BIGINT counts, no floats."""
+    return assemble.role_transition_matrix(_t(spark, sf_dir))
+
+
 def q_sft_pairs(spark, sf_dir):
     """SFT training pairs: adjacent user→assistant (prompt, response)
     extraction — one conv-keyed window."""
@@ -1569,6 +1586,8 @@ TPG_QUERIES = {
     "tpg_ddg_dot": q_ddg_dot,
     "tpg_flows_named": q_flows_named,
     "tpg_entity_aa": q_entity_aa,
+    "tpg_entity_jaccard": q_entity_jaccard,
+    "tpg_role_transitions": q_role_transitions,
     "tpg_cross_paths_incremental": q_cross_paths_incremental,
     "doc_hll_distinct": q_doc_hll,
     "tpg_bloom_prune": q_bloom_prune,

@@ -794,3 +794,77 @@ def test_round4_ops_degenerate_inputs(spark):
         [("q0", "nomatch")], "query_id string, qtext string"
     )
     assert bm25_topk(docs, q).count() == 0
+
+
+def test_entity_jaccard_hand_computed(spark):
+    """Path graph x–m–y (heavy) + weak edge: the only non-adjacent
+    strong pair (x, y) shares neighbor {m}; N(x) = {m}, N(y) = {m},
+    so jaccard = 1 / (1 + 1 - 1) = 1.0, suggested both ways."""
+    from joern_spark.operators.rank import entity_jaccard
+
+    edges = spark.createDataFrame(
+        [("x", "m", 10), ("m", "y", 10), ("x", "z", 1)],
+        "a string, b string, n_convs long",
+    )
+    got = {
+        (r.entity_key, r.suggestion, r.n_common, r.jaccard, r.rank)
+        for r in entity_jaccard(edges).collect()
+    }
+    assert got == {("x", "y", 1, 1.0, 1), ("y", "x", 1, 1.0, 1)}
+
+    assert (
+        entity_jaccard(
+            spark.createDataFrame([], "a string, b string, n_convs long")
+        ).count()
+        == 0
+    )
+
+
+def test_entity_jaccard_union_normalization(spark):
+    """Square a-b-c-d-a (all edges equal weight → all strong): each
+    diagonal pair shares BOTH its middles, deg = 2 everywhere, so
+    jaccard = 2 / (2 + 2 - 2) = 1.0 and n_common = 2; adjacent pairs
+    are never suggested."""
+    from joern_spark.operators.rank import entity_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("c", "d", 5), ("a", "d", 5)],
+        "a string, b string, n_convs long",
+    )
+    rows = entity_jaccard(edges).collect()
+    got = {(r.entity_key, r.suggestion): (r.n_common, r.jaccard) for r in rows}
+    assert got == {
+        ("a", "c"): (2, 1.0), ("c", "a"): (2, 1.0),
+        ("b", "d"): (2, 1.0), ("d", "b"): (2, 1.0),
+    }
+
+
+def test_role_transition_matrix(spark):
+    """Handcrafted two-conversation corpus: transitions count lead()
+    pairs per conversation; the last turn of each conversation emits
+    nothing."""
+    from joern_spark.operators.assemble import role_transition_matrix
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+            ("c2", 0, "user"), ("c2", 1, "assistant"),
+            ("c2", 2, "assistant"), ("c2", 3, "user"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    got = {
+        (r.src_role, r.dst_role): r.n
+        for r in role_transition_matrix(t).collect()
+    }
+    assert got == {
+        ("user", "assistant"): 2,
+        ("assistant", "user"): 2,
+        ("assistant", "assistant"): 1,
+    }
+    assert (
+        role_transition_matrix(
+            spark.createDataFrame([], "conv_id string, turn_idx int, role string")
+        ).count()
+        == 0
+    )

@@ -38,6 +38,8 @@ MUST_BE_IN_WINDOW = {
     "tpg_ddg_dot",
     "tpg_flows_named",
     "tpg_entity_aa",
+    "tpg_entity_jaccard",
+    "tpg_role_transitions",
     "tpg_cross_paths_incremental",
     "doc_hll_distinct",
     "tpg_bloom_prune",
