@@ -730,3 +730,62 @@ def entity_jaccard(
         .where(F.col("rank") <= k)
         .select("entity_key", "suggestion", "n_common", "jaccard", "rank")
     )
+
+
+WL_ROUNDS = 2
+
+
+def entity_wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """(node, wl_color, n_class) — Weisfeiler-Lehman color refinement
+    over the strong co-mention graph: color_0 = md5('n') uniform, then
+    color_i(v) = md5(color_{i-1}(v) || '|' || comma-joined ASCENDING
+    SORT of the neighbors' round-(i-1) colors). After `rounds` rounds,
+    two entities share a color only if their `rounds`-hop neighborhood
+    trees are isomorphic — the structural-role signature (1-WL kernel,
+    Shervashidze et al. 2011) that separates hub/bridge/leaf roles the
+    way the reference's type-hierarchy grouping separates type shapes
+    (TypeHierarchyPass clusters by inherited structure).
+
+    Scale shape: each round is ONE shuffle of |sym-edges| rows grouped on
+    dst; the collected neighbor-color list is bounded by the entity
+    vocabulary (rule-table domain — the same dimension bound every rank
+    op here relies on), so no per-group blowup. Hash strings make the
+    refinement order-free and engine-portable: the DuckDB oracle replays
+    the identical md5-of-sorted-concat per round."""
+    strong = edges.where(F.col("n_convs") >= COMMUNITY_MIN_CONVS).select(
+        "a", "b"
+    )
+    sym = strong.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(strong.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    colors = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.md5(F.lit("n")).alias("c"))
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(
+                colors.select(
+                    F.col("node").alias("src"), F.col("c").alias("nc")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                F.concat_ws(",", F.array_sort(F.collect_list("nc"))).alias(
+                    "ns"
+                )
+            )
+            .select(F.col("dst").alias("node"), "ns")
+        )
+        colors = colors.join(nbr, "node").select(
+            "node",
+            F.md5(F.concat(F.col("c"), F.lit("|"), F.col("ns"))).alias("c"),
+        )
+    sizes = colors.groupBy("c").agg(F.count(F.lit(1)).alias("n_class"))
+    return colors.join(F.broadcast(sizes), "c").select(
+        "node",
+        F.col("c").alias("wl_color"),
+        F.col("n_class").cast("long").alias("n_class"),
+    )

@@ -863,3 +863,131 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+# Dirichlet query-likelihood retrieval + reciprocal-rank fusion. QLD is
+# the probabilistic LM ranker (Zhai & Lafferty 2001); RRF (Cormack et al.
+# 2009) fuses any two ranked lists by 1/(k0 + rank) — the standard
+# hybrid-retrieval combiner (lexical + second ranker) in RAG / data-
+# selection pipelines.
+QLD_MU = 1000.0
+RRF_K0 = 60.0
+
+
+def qld_topk(
+    documents: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — Dirichlet-smoothed query
+    likelihood top-k per query: score = Σ_{t∈q∩d} ln(1 + tf·|C| /
+    (μ·cf_t)) + |q|·ln(μ / (dl + μ)) — the matched-term rewrite of
+    Σ_{t∈q} ln P(t|d), so only documents sharing ≥1 query term are
+    scored (the standard inverted-index evaluation; unmatched documents
+    rank below every match by construction at these scales).
+
+    Scale shape mirrors bm25_topk: tf/dl/cf aggregate first (map-side
+    combined), the query-term table broadcasts and prunes tf BEFORE any
+    scoring, |C| joins as a one-row broadcast, and the per-query top-k
+    is the salted two-stage window. Float discipline: matched-term
+    contributions fold in ascending sorted order, THEN the per-doc
+    length constant adds once — one fixed IEEE evaluation order the
+    DuckDB oracle replays exactly."""
+    toks = tokens_col(F.col("text"))
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    ctot = cf.agg(F.sum("cf").alias("c_tot"))
+    qt = queries.select(
+        "query_id", F.explode(tokens_col(F.col("qtext"))).alias("tok")
+    ).dropDuplicates()
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    w = F.ln(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        * F.col("c_tot").cast("double")
+        / (F.lit(QLD_MU) * F.col("cf").cast("double"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(cf, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .select("query_id", "doc_id", w.alias("w"))
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    agg = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(sorted_sum.alias("s"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("s")
+                + F.col("nq").cast("double")
+                * F.ln(
+                    F.lit(QLD_MU)
+                    / (F.col("dl").cast("double") + F.lit(QLD_MU))
+                )
+            ).alias("score"),
+        )
+    )
+    from joern_spark.functions.salted import N_SALTS
+
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame, b: DataFrame, k: int = BM25_TOP_K, k0: float = RRF_K0
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — reciprocal-rank fusion of two
+    ranked lists (columns query_id, doc_id, rank each): score =
+    Σ_lists 1/(k0 + rank), documents present in only one list keep that
+    single term. Ranking is (score DESC, doc_id ASC), top-k per query.
+
+    Scale shape: both inputs are already per-query top-k tables (≤
+    k·|queries| rows — dimension-sized however big the corpus), so the
+    full-outer fusion join is broadcast-trivial; all real cost lives in
+    the upstream retrievals. Float discipline: the ≤2 contributions fold
+    in ascending sorted order (array_compact drops the absent side)."""
+    ra = a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    both = ra.join(rb, ["query_id", "doc_id"], "full_outer")
+    contrib = F.array_sort(
+        F.array_compact(
+            F.array(
+                F.lit(1.0) / (F.lit(k0) + F.col("rank_a").cast("double")),
+                F.lit(1.0) / (F.lit(k0) + F.col("rank_b").cast("double")),
+            )
+        )
+    )
+    score = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        both.select("query_id", "doc_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

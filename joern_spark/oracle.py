@@ -2144,3 +2144,45 @@ SELECT entity_key, suggestion, n_common, jaccard, rank FROM (
   FROM sugg
 ) WHERE rank <= {SUGGEST_TOP_K}
 """
+
+
+def entity_wl_sql(sf: float) -> str:
+    """Weisfeiler-Lehman refinement over the strong co-mention graph —
+    rounds unrolled as chained CTEs, each the identical
+    md5(own || '|' || comma-joined sorted neighbor colors) re-hash the
+    Spark operator computes (string md5 on both engines, ascending list
+    sort, comma join — bit-identical inputs, identical hex)."""
+    from joern_spark.operators.rank import COMMUNITY_MIN_CONVS, WL_ROUNDS
+
+    key = NORM.format(x="m.surface")
+    rounds: list[str] = []
+    for i in range(1, WL_ROUNDS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT s.dst AS node,
+         md5(cd.c || '|' ||
+             array_to_string(list_sort(list(cn.c)), ',')) AS c
+  FROM sym s JOIN c{i - 1} cn ON cn.node = s.src
+       JOIN c{i - 1} cd ON cd.node = s.dst
+  GROUP BY s.dst, cd.c
+)"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2 HAVING count(*) >= {COMMUNITY_MIN_CONVS}
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e
+),
+c0 AS (SELECT DISTINCT src AS node, md5('n') AS c FROM sym),
+{joined},
+sizes AS (SELECT c, count(*) AS n_class FROM c{WL_ROUNDS} GROUP BY 1)
+SELECT f.node AS node, f.c AS wl_color, sizes.n_class::BIGINT AS n_class
+FROM c{WL_ROUNDS} f JOIN sizes USING (c)
+"""

@@ -1936,3 +1936,89 @@ tot AS (SELECT list_sum(list_sort(list(w))) AS total FROM scored)
 SELECT source, n_docs, n_tokens, w / total AS weight
 FROM scored, tot
 """
+
+
+def qld_topk_sql() -> str:
+    """Mirror of textstats.qld_topk: identical Dirichlet query-likelihood
+    expression tree — matched-term ln(1 + tf·|C|/(μ·cf)) folded in
+    ascending sorted order, then the per-doc |q|·ln(μ/(dl+μ)) constant
+    added once — with (score DESC, doc_id ASC) ranking."""
+    from joern_spark.operators.textstats import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        QLD_MU,
+    )
+
+    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES)
+    mu = repr(QLD_MU)
+    return f"""
+WITH {TOKS},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+cf AS (SELECT tok, sum(tf) AS cf FROM tf GROUP BY 1),
+ct AS (SELECT sum(cf) AS c_tot FROM cf),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM q
+),
+nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+w AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1.0 + tf.tf::DOUBLE * ct.c_tot::DOUBLE
+            / ({mu} * cf.cf::DOUBLE)) AS w
+  FROM tf JOIN qt USING (tok) JOIN cf USING (tok), ct
+),
+s AS (SELECT query_id, doc_id, list_sum(list_sort(list(w))) AS s
+      FROM w GROUP BY 1, 2),
+sc AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + nq.nq::DOUBLE * ln({mu} / (dl.dl::DOUBLE + {mu})) AS score
+  FROM s JOIN dl USING (doc_id) JOIN nq USING (query_id)
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= {BM25_TOP_K}
+"""
+
+
+def rrf_sql() -> str:
+    """Mirror of textstats.rrf_fuse over bm25_topk + qld_topk: both
+    ranked lists rebuilt by their own oracle SQL as derived tables, then
+    the identical 1/(k0+rank) ascending-sorted fold and (score DESC,
+    doc_id ASC) re-ranking."""
+    from joern_spark.operators.textstats import BM25_TOP_K, RRF_K0
+
+    k0 = repr(RRF_K0)
+    return f"""
+WITH fa AS (SELECT query_id, doc_id, rank AS rank_a
+            FROM ({bm25_topk_sql()})),
+fb AS (SELECT query_id, doc_id, rank AS rank_b
+       FROM ({qld_topk_sql()})),
+both_l AS (
+  SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+         coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+         fa.rank_a AS rank_a, fb.rank_b AS rank_b
+  FROM fa FULL JOIN fb
+    ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id
+),
+sc AS (
+  SELECT query_id, doc_id,
+         list_sum(list_sort(list_filter(
+           [1.0 / ({k0} + rank_a::DOUBLE), 1.0 / ({k0} + rank_b::DOUBLE)],
+           x -> x IS NOT NULL))) AS score
+  FROM both_l
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= {BM25_TOP_K}
+"""

@@ -525,6 +525,16 @@ def q_entity_jaccard(spark, sf_dir):
     return entity_jaccard(_comention_edges(spark, sf_dir))
 
 
+def q_entity_wl(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement over the strong co-mention
+    graph: 2 rounds of md5-of-sorted-neighbor-colors re-hashing — the
+    structural-role signature (two entities share a color only with
+    isomorphic 2-hop neighborhood trees); one |E|-row shuffle per round."""
+    from joern_spark.operators.rank import entity_wl_colors
+
+    return entity_wl_colors(_comention_edges(spark, sf_dir))
+
+
 def q_role_transitions(spark, sf_dir):
     """NEXT_TURN edges summarized by the (src_role, dst_role) pair they
     connect — the corpus-level protocol matrix (aggregate form of the
@@ -1328,6 +1338,31 @@ def q_doc_bm25(spark, sf_dir):
     return textstats.bm25_topk(read_documents(spark, sf_dir), q)
 
 
+def q_doc_qld(spark, sf_dir):
+    """Dirichlet query-likelihood top-k retrieval per benchmark query
+    (matched-term rewrite, broadcast query probe, salted two-stage
+    top-k, sorted-fold float discipline)."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
+    return textstats.qld_topk(read_documents(spark, sf_dir), q)
+
+
+def q_doc_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and query-likelihood top-k
+    lists — the hybrid-retrieval combiner; the fusion join is
+    dimension-sized (≤ k·|queries| rows per side)."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    docs = read_documents(spark, sf_dir)
+    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
+    return textstats.rrf_fuse(
+        textstats.bm25_topk(docs, q), textstats.qld_topk(docs, q)
+    )
+
+
 def q_doc_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail split by unigram log-prob terciles."""
     return textstats.lm_buckets(read_documents(spark, sf_dir))
@@ -1596,6 +1631,11 @@ TPG_QUERIES = {
     "doc_boilerplate": q_boilerplate,
     "doc_split": q_eval_split,
     "doc_mix_weights": q_mixture_weights,
+    # round-5 late additions — inside the gate window (multi-round-green
+    # rotation-block entries below absorb the displacement)
+    "doc_qld": q_doc_qld,
+    "doc_rrf": q_doc_rrf,
+    "tpg_entity_wl": q_entity_wl,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -868,3 +868,49 @@ def test_role_transition_matrix(spark):
         ).count()
         == 0
     )
+
+
+def test_entity_wl_colors_separates_roles(spark):
+    """Path a–b–c (all strong): after one round the two leaves share a
+    color distinct from the middle; after two rounds they still do
+    (leaf-of-middle vs middle-of-two-leaves trees differ). Hand-replay
+    of the md5 refinement confirms the exact strings."""
+    import hashlib
+
+    from joern_spark.operators.rank import entity_wl_colors
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5)], "a string, b string, n_convs long"
+    )
+    got = {
+        r.node: (r.wl_color, r.n_class)
+        for r in entity_wl_colors(edges, rounds=2).collect()
+    }
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    c0 = h("n")
+    leaf1, mid1 = h(f"{c0}|{c0}"), h(f"{c0}|{c0},{c0}")
+    leaf2 = h(f"{leaf1}|{mid1}")
+    mid2 = h(f"{mid1}|{','.join(sorted([leaf1, leaf1]))}")
+    assert got == {
+        "a": (leaf2, 2),
+        "c": (leaf2, 2),
+        "b": (mid2, 1),
+    }
+
+
+def test_entity_wl_colors_regular_graph_uniform(spark):
+    """On a 4-cycle (2-regular) every node's neighborhood tree is
+    isomorphic — one color class of size 4 at any round count."""
+    from joern_spark.operators.rank import entity_wl_colors
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("c", "d", 5), ("a", "d", 5)],
+        "a string, b string, n_convs long",
+    )
+    out = entity_wl_colors(edges, rounds=3).collect()
+    assert len(out) == 4
+    assert len({r.wl_color for r in out}) == 1
+    assert all(r.n_class == 4 for r in out)

@@ -1589,3 +1589,54 @@ def test_mixture_weights_sum_to_one(spark):
     big, small = max((n0, w0), (n1, w1)), min((n0, w0), (n1, w1))
     # temperature compresses: weight ratio < raw token ratio
     assert 1 < big[1] / small[1] < big[0] / small[0]
+
+
+def test_qld_hand_computed(spark):
+    """Dirichlet QLD on a 3-doc corpus, one 2-term query: matched-term
+    ln(1 + tf·|C|/(μ·cf)) plus the |q|·ln(μ/(dl+μ)) length constant,
+    recomputed by hand; the unmatched doc is absent."""
+    d = spark.createDataFrame(
+        [(0, "x y x z"), (1, "x q"), (2, "q r s t")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q0", "x y")], "query_id string, qtext string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in textstats.qld_topk(d, q, k=10).collect()
+    }
+    mu, c_tot = 1000.0, 10  # corpus token count over the 3 docs
+    cf = {"x": 3, "y": 1}
+
+    def w(tok, tf):
+        return math.log(1.0 + tf * c_tot / (mu * cf[tok]))
+
+    def const(nq, dl):
+        return nq * math.log(mu / (dl + mu))
+
+    exp0 = (w("x", 2) + w("y", 1)) + const(2, 4)
+    exp1 = w("x", 1) + const(2, 2)
+    assert got[("q0", 0)][0] == pytest.approx(exp0, abs=1e-12)
+    assert got[("q0", 1)][0] == pytest.approx(exp1, abs=1e-12)
+    assert {k[1] for k in got} == {0, 1}
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF over two hand-built ranked lists: both-list docs sum two
+    reciprocal terms, single-list docs keep one, ranking is score DESC
+    with doc_id tiebreak."""
+    a = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 2, 2)], "query_id string, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q0", 2, 1), ("q0", 3, 2)], "query_id string, doc_id long, rank int"
+    )
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in textstats.rrf_fuse(a, b, k=10).collect()
+    }
+    s2 = 1.0 / 62.0 + 1.0 / 61.0  # ascending-sorted fold order
+    assert got[2][0] == pytest.approx(s2, abs=0) and got[2][1] == 1
+    assert got[1][0] == pytest.approx(1.0 / 61.0, abs=0) and got[1][1] == 2
+    assert got[3][0] == pytest.approx(1.0 / 62.0, abs=0) and got[3][1] == 3

@@ -48,6 +48,9 @@ MUST_BE_IN_WINDOW = {
     "doc_boilerplate",
     "doc_split",
     "doc_mix_weights",
+    "doc_qld",
+    "doc_rrf",
+    "tpg_entity_wl",
 }
 
 
