@@ -154,3 +154,40 @@ def role_transition_matrix(transcripts: DataFrame) -> DataFrame:
         .groupBy("src_role", "dst_role")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def tool_call_bigrams(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n, n_convs) — adjacent pairs in each
+    conversation's TOOL-CALL subsequence (assistant turns that invoke a
+    tool, ordered by turn_idx, non-call turns skipped): the API-usage-
+    sequence miner. The reference's analog is call-graph n-gram mining
+    over `cpg.call` orderings (querydb's misuse patterns check call A
+    directly following call B); here the mined pairs say which tool
+    chains agents actually execute — `search_api→db_query` heavy means
+    retrieval-then-write is the dominant workflow, and rare pairs are
+    candidate protocol anomalies next to the `protocol` scanner bundle.
+
+    n = total adjacent occurrences; n_convs = distinct conversations
+    containing the pair (support — a mega-conversation cannot dominate).
+
+    Scale shape: the filter prunes to call turns BEFORE the one
+    per-conversation window shuffle (the same conv-keyed sort every CFG
+    consumer pays), then a groupBy on a ~|tools|² key space — all
+    map-side combine, dimension-sized output. No floats."""
+    calls = transcripts.where(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        calls.select(
+            "conv_id",
+            F.col("tool").alias("tool_a"),
+            F.lead("tool").over(w).alias("tool_b"),
+        )
+        .where(F.col("tool_b").isNotNull())
+        .groupBy("tool_a", "tool_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )

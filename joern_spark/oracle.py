@@ -2186,3 +2186,48 @@ sizes AS (SELECT c, count(*) AS n_class FROM c{WL_ROUNDS} GROUP BY 1)
 SELECT f.node AS node, f.c AS wl_color, sizes.n_class::BIGINT AS n_class
 FROM c{WL_ROUNDS} f JOIN sizes USING (c)
 """
+
+
+def tool_seqs_sql(sf: float) -> str:
+    """Adjacent pairs in each conversation's tool-call subsequence
+    (mirror of assemble.tool_call_bigrams): same filter-then-lead
+    window, exact BIGINT totals + distinct-conversation support."""
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+calls AS (
+  SELECT conv_id, turn_idx, tool FROM t
+  WHERE role = 'assistant' AND tool IS NOT NULL
+),
+p AS (
+  SELECT conv_id, tool AS tool_a,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+  FROM calls
+)
+SELECT tool_a, tool_b, count(*)::BIGINT AS n,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM p WHERE tool_b IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def skew_profile_sql(sf: float) -> str:
+    """Mirror of plans.profile.key_skew_profile over the mention
+    entity-key column: exact counts, total-order top-k, and the
+    identical single-division share/skew doubles."""
+    from joern_spark.plans.profile import PROFILE_TOP_K
+
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+counts AS (SELECT {key} AS key, count(*) AS n FROM m GROUP BY 1),
+summary AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts),
+top AS (
+  SELECT key, n,
+         row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM counts
+)
+SELECT key, n::BIGINT AS n,
+       n::DOUBLE / total::DOUBLE AS share,
+       n::DOUBLE / (total::DOUBLE / n_keys::DOUBLE) AS skew,
+       n_keys::BIGINT AS n_keys, rank
+FROM top, summary WHERE rank <= {PROFILE_TOP_K}
+"""

@@ -1,0 +1,84 @@
+"""Key-distribution profiler — the diagnostic that decides a shuffle
+strategy BEFORE the job runs it: given any keyed table, report the top
+heavy-hitter keys with their corpus share plus distribution summary
+stats (distinct keys, max/mean ratio). At 100 TB this is the first
+query an operator author runs on a new join/groupBy key: a max/mean
+ratio in the hundreds says "salt this or let AQE split it", a flat
+profile says a plain hash partition is fine. The reference's analog is
+the interactive `cpg.method.name.groupBy(_.size)` cardinality probes a
+joern console user runs before a heavy traversal.
+
+Scale shape: ONE map-side-combined groupBy over the key (the profile of
+a 10^12-row table shuffles |distinct keys| rows, not the corpus), a
+one-row summary broadcast, and a TakeOrderedAndProject top-k — no
+window over the full key table, no collect. Float discipline: `share`
+and `skew` are single divisions of exact BIGINTs — one shared IEEE op
+per cell, replayed identically by the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PROFILE_TOP_K = 20
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, k: int = PROFILE_TOP_K
+) -> DataFrame:
+    """(key, n, share, skew, n_keys, rank) — the k most frequent values
+    of `key` with:
+
+    * n      — exact row count of the key,
+    * share  — n / total rows (this key's fraction of the shuffle),
+    * skew   — n / mean rows-per-key (how many "average keys" this one
+               weighs; the salting trigger),
+    * n_keys — distinct key count (the denominator context),
+    * rank   — 1-based by (n DESC, key ASC).
+
+    Deterministic: exact integer counts, total-order ranking. The top-k
+    itself is the salted two-stage window (a profile of a high-
+    cardinality key must not funnel |distinct keys| rows through one
+    global-window reducer — that would be the very skew bug it hunts):
+    per-salt top-k first, then rank over ≤ k·n_salts survivors; every
+    global winner wins its own salt, so the two-stage form is exact."""
+    from joern_spark.functions.salted import N_SALTS
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    summary = counts.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w1 = Window.partitionBy("_salt").orderBy(F.desc("n"), F.asc("key"))
+    w2 = Window.orderBy(F.desc("n"), F.asc("key"))
+    top = (
+        counts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("key")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("n").cast("double")
+                / (
+                    F.col("total").cast("double")
+                    / F.col("n_keys").cast("double")
+                )
+            ).alias("skew"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "rank",
+        )
+    )

@@ -535,6 +535,24 @@ def q_entity_wl(spark, sf_dir):
     return entity_wl_colors(_comention_edges(spark, sf_dir))
 
 
+def q_tool_seqs(spark, sf_dir):
+    """Tool-call bigram mining: adjacent pairs in each conversation's
+    assistant tool-call subsequence — total count + distinct-conversation
+    support; one conv-keyed window, dimension-sized output."""
+    return assemble.tool_call_bigrams(_t(spark, sf_dir))
+
+
+def q_skew_profile(spark, sf_dir):
+    """Key-distribution profile of the mention entity key: top-20 heavy
+    hitters with share and skew (n / mean-per-key) — the diagnostic that
+    decides salting/AQE strategy; salted two-stage top-k."""
+    from joern_spark.plans.profile import key_skew_profile
+
+    return key_skew_profile(
+        link.keyed_mentions(_mentions(spark, sf_dir)), "entity_key"
+    )
+
+
 def q_role_transitions(spark, sf_dir):
     """NEXT_TURN edges summarized by the (src_role, dst_role) pair they
     connect — the corpus-level protocol matrix (aggregate form of the
@@ -1636,6 +1654,8 @@ TPG_QUERIES = {
     "doc_qld": q_doc_qld,
     "doc_rrf": q_doc_rrf,
     "tpg_entity_wl": q_entity_wl,
+    "tpg_tool_seqs": q_tool_seqs,
+    "tpg_skew_profile": q_skew_profile,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,

@@ -914,3 +914,53 @@ def test_entity_wl_colors_regular_graph_uniform(spark):
     assert len(out) == 4
     assert len({r.wl_color for r in out}) == 1
     assert all(r.n_class == 4 for r in out)
+
+
+def test_tool_call_bigrams(spark):
+    """Handcrafted corpus: only assistant turns WITH a tool join the
+    subsequence; intervening user/tool-role turns are skipped, pairs are
+    adjacent within the subsequence, support counts conversations."""
+    from joern_spark.operators.assemble import tool_call_bigrams
+
+    t = spark.createDataFrame(
+        [
+            # c1: search → (user turn skipped) → db → search
+            ("c1", 0, "assistant", "search_api"),
+            ("c1", 1, "user", None),
+            ("c1", 2, "assistant", "db_query"),
+            ("c1", 3, "tool", "db_query"),  # tool ROLE row: not a call
+            ("c1", 4, "assistant", "search_api"),
+            # c2: search → db
+            ("c2", 0, "assistant", "search_api"),
+            ("c2", 1, "assistant", "db_query"),
+            # c3: a lone call emits nothing
+            ("c3", 0, "assistant", "email_api"),
+        ],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    got = {
+        (r.tool_a, r.tool_b): (r.n, r.n_convs)
+        for r in tool_call_bigrams(t).collect()
+    }
+    assert got == {
+        ("search_api", "db_query"): (2, 2),
+        ("db_query", "search_api"): (1, 1),
+    }
+
+
+def test_key_skew_profile(spark):
+    """6 rows over 3 keys: exact counts, share = n/6, skew = n/(6/3),
+    rank by (n DESC, key ASC); k=2 keeps the two heaviest."""
+    from joern_spark.plans.profile import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("x",), ("y",), ("y",), ("z",)], "k string"
+    )
+    got = {
+        r.key: (r.n, r.share, r.skew, r.n_keys, r.rank)
+        for r in key_skew_profile(df, "k", k=2).collect()
+    }
+    assert got == {
+        "x": (3, 3 / 6, 3 / 2.0, 3, 1),
+        "y": (2, 2 / 6, 2 / 2.0, 3, 2),
+    }

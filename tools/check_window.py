@@ -51,6 +51,8 @@ MUST_BE_IN_WINDOW = {
     "doc_qld",
     "doc_rrf",
     "tpg_entity_wl",
+    "tpg_tool_seqs",
+    "tpg_skew_profile",
 }
 
 
