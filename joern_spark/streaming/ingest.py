@@ -742,3 +742,141 @@ def run_mix_increment(
         .start()
     )
     q.awaitTermination()
+
+
+_DEDUP_POINTER = "CURRENT_DEDUP"
+
+
+def read_dedup_state(spark: SparkSession, state_dir: str):
+    """The committed (bands, pairs) tables of the incremental MinHash
+    dedup, or (None, None) before the first drain."""
+    p = os.path.join(state_dir, _DEDUP_POINTER)
+    if not os.path.exists(p):
+        return None, None
+    with open(p) as f:
+        name = f.read().strip()
+    base = os.path.join(state_dir, name)
+    return (
+        spark.read.parquet(os.path.join(base, "bands")),
+        spark.read.parquet(os.path.join(base, "pairs")),
+    )
+
+
+def run_dedup_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental MinHash-LSH dedup maintenance: drain newly-landed
+    document files, compute the delta's band signatures, and fold them
+    into the persisted band table; NEW verified duplicate pairs come
+    from joining the DELTA's bands against the merged table only — a
+    small delta probes |delta| band rows against the committed buckets,
+    never re-pairing the corpus (old–old pairs are already committed).
+
+    Exact-Jaccard verification re-reads text for ONLY the doc ids
+    touched by new candidate pairs (one semi-join over the landing
+    corpus — predicate pushdown keeps it a pruned scan), so the
+    corpus-sized shingle table is never persisted as state.
+
+    Exactly-once note: band rows are deterministic per doc and pairs
+    dedup on (a, b), so both folds are idempotent under at-least-once
+    replay — no batch-id guard needed (the HLL/Bloom discipline, not
+    the Count-Min one). Snapshots are immutable `dedup-*` dirs behind
+    an atomically-replaced pointer (the canonical-map discipline)."""
+    import uuid
+
+    from joern_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        N_MINHASH,
+        _verify_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    rows_per_band = N_MINHASH // N_BANDS
+
+    def band_table(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(docs)
+        return (
+            sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "sig"))),
+                        lambda x: x["sig"].cast("string"),
+                    ),
+                    "_",
+                ).alias("band_key")
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        old_bands, old_pairs = read_dedup_state(spark, state_dir)
+        delta_docs = batch_df.select("doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        if delta_docs.isEmpty():
+            return
+        delta_bands = band_table(delta_docs).localCheckpoint(eager=True)
+        merged_bands = (
+            old_bands.unionByName(delta_bands).dropDuplicates(
+                ["doc_id", "band"]
+            )
+            if old_bands is not None
+            else delta_bands
+        )
+        cand = (
+            delta_bands.alias("x")
+            .join(merged_bands.alias("y"), ["band", "band_key"])
+            .where(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a"),
+                F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b"),
+            )
+            .distinct()
+        )
+        if old_pairs is not None:
+            cand = cand.join(
+                old_pairs.select("a", "b"), ["a", "b"], "left_anti"
+            )
+        corpus = spark.read.schema(DOC_STREAM_SCHEMA).parquet(landing_dir)
+        touched = cand.select(F.col("a").alias("doc_id")).unionByName(
+            cand.select(F.col("b").alias("doc_id"))
+        ).distinct()
+        sh = shingles(
+            corpus.join(touched, "doc_id", "left_semi").select(
+                "doc_id", "text"
+            )
+        )
+        new_pairs = _verify_pairs(sh, cand, JACCARD_THRESHOLD)
+        merged_pairs = (
+            old_pairs.unionByName(new_pairs).dropDuplicates(["a", "b"])
+            if old_pairs is not None
+            else new_pairs
+        )
+        snap = os.path.join(
+            state_dir, f"dedup-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged_bands.write.mode("overwrite").parquet(
+            os.path.join(snap, "bands")
+        )
+        merged_pairs.write.mode("overwrite").parquet(
+            os.path.join(snap, "pairs")
+        )
+        tmp = os.path.join(
+            state_dir, _DEDUP_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _DEDUP_POINTER))
+
+    stream = read_document_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -745,3 +745,64 @@ def test_mix_increment_equals_batch_mixture(spark, tmp_path_factory):
     for s in batch_w:
         assert stream_w[s][:2] == batch_w[s][:2]
         assert math.isclose(stream_w[s][2], batch_w[s][2], rel_tol=1e-12)
+
+
+def test_dedup_increment_equals_batch_pairs(spark, tmp_path_factory):
+    """Incremental MinHash-LSH dedup: after two drains the committed
+    pair table equals the one-shot batch minhash_lsh_pairs over
+    everything landed — including cross-batch duplicates (a batch-2 doc
+    duplicating a batch-1 doc); a no-new-files re-drain leaves state
+    unchanged."""
+    import glob
+    import os
+    import shutil
+
+    from joern_spark.operators import dedup
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("dedup_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    def text_of(i: int) -> str:
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        if i % 5 == 0:
+            return base  # every 5th doc is an exact near-dup family
+        return f"{base} unique{i} marker{i} tail{i * 7} end{i * 13}"
+
+    def land(lo, hi, name):
+        rows = [(i, text_of(i), "en", "s0") for i in range(lo, hi)]
+        staging = f"{d['landing']}/../_stage_{name}"
+        spark.createDataFrame(
+            rows, ingest.DOC_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+            shutil.move(f, f"{d['landing']}/{name}_{i}.parquet")
+
+    land(0, 30, "batch1")
+    ingest.run_dedup_increment(spark, d["landing"], d["state"], d["ckpt"])
+    bands1, pairs1 = ingest.read_dedup_state(spark, d["state"])
+    assert bands1 is not None
+
+    # no new files → state unchanged
+    n_pairs1 = pairs1.count()
+    ingest.run_dedup_increment(spark, d["landing"], d["state"], d["ckpt"])
+    _, pairs_again = ingest.read_dedup_state(spark, d["state"])
+    assert pairs_again.count() == n_pairs1
+
+    land(30, 60, "batch2")
+    ingest.run_dedup_increment(spark, d["landing"], d["state"], d["ckpt"])
+    _, pairs = ingest.read_dedup_state(spark, d["state"])
+
+    corpus = spark.read.schema(ingest.DOC_STREAM_SCHEMA).parquet(
+        d["landing"]
+    )
+    batch = dedup.minhash_lsh_pairs(corpus.select("doc_id", "text"))
+    got = {(r.a, r.b) for r in pairs.collect()}
+    want = {(r.a, r.b) for r in batch.collect()}
+    assert got == want and want  # non-empty: the near-dup family pairs
+    # cross-batch pair present: doc 0 (batch 1) with doc 30+ (batch 2)
+    assert any(a < 30 <= b for a, b in got)
