@@ -180,6 +180,46 @@ def boilerplate(
     return boilerplate_ngrams(docs, n=n, min_df=min_df, topk=k)
 
 
+def skew(g: GraphResult, k: int = 20) -> DataFrame:
+    """EXACT key-distribution profile of the graph's triple objects —
+    the companion to heavy_hitters (sketch estimate vs exact profile):
+    (key, n, share, skew, n_keys, rank), where skew = n / mean-per-key
+    is the salting trigger a job author reads before shuffling on this
+    key (plans/profile.key_skew_profile)."""
+    from joern_spark.plans.profile import key_skew_profile
+
+    return key_skew_profile(g.triples_final, "obj", k=k)
+
+
+def tool_seqs(g: GraphResult) -> DataFrame:
+    """Tool-call bigram mining over the corpus — which tool chains
+    agents actually execute (assemble.tool_call_bigrams): (tool_a,
+    tool_b, n, n_convs) by descending total count."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.assemble import tool_call_bigrams
+
+    return tool_call_bigrams(g.transcripts).orderBy(
+        F_.desc("n"), "tool_a", "tool_b"
+    )
+
+
+def roles(g: GraphResult) -> DataFrame:
+    """WL structural-role classes of the strong co-mention graph —
+    which entities play isomorphic graph roles (rank.entity_wl_colors):
+    (node, wl_color, n_class) grouped by descending class size."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.rank import (
+        entity_cooccurrence,
+        entity_wl_colors,
+    )
+
+    return entity_wl_colors(entity_cooccurrence(g.mentions)).orderBy(
+        F_.desc("n_class"), "wl_color", "node"
+    )
+
+
 def ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """PQ/ADC nearest neighbours of the corpus's deterministic probe
     vector (similarity.pq_topk_adc): (vec_id, adc) ascending — the
@@ -256,6 +296,10 @@ def repl(
         # corpus probes: sketch-estimated hub entities / PQ neighbours
         "heavy_hitters": lambda *a, **k: heavy_hitters(g, *a, **k),
         "boilerplate": lambda *a, **k: boilerplate(g, *a, **k),
+        # exact-profile / sequence / role probes
+        "skew": lambda *a, **k: skew(g, *a, **k),
+        "tool_seqs": lambda: tool_seqs(g),
+        "roles": lambda: roles(g),
         "ann": ann,
     }
     if banner is None:

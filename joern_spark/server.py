@@ -20,6 +20,14 @@ Endpoints (JSON in/out):
   POST /boilerplate {"n"?, "min_df"?, "k"?, "limit"?}
                             — repeated turn-text n-gram spans across
                               the active project (template detection)
+  POST /skew   {"k"?, "limit"?}
+                            — exact key-distribution profile of the
+                              active project's triple objects (the
+                              salting diagnostic next to the Count-Min
+                              estimate)
+  POST /tool_seqs {"limit"?}
+                            — tool-call bigram mining over the active
+                              project (which tool chains agents run)
   POST /sql    {"sql", "limit"?}
                             — run SQL over the registered tpg_*/name_*
                               views (TRUSTED surface, exactly like
@@ -163,6 +171,21 @@ class QueryServer:
 
                         qs = [float(q) for q in req.get("qs", [0.5, 0.9, 0.99])]
                         df = _tq(ws.cpg, qs=qs)
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/skew":
+                        # exact key-skew profile of the triple objects
+                        # (console.skew — plans/profile)
+                        from joern_spark.console import skew as _sk
+
+                        df = _sk(ws.cpg, k=int(req.get("k", 20)))
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/tool_seqs":
+                        # tool-call bigram mining (console.tool_seqs)
+                        from joern_spark.console import (
+                            tool_seqs as _ts,
+                        )
+
+                        df = _ts(ws.cpg)
                         self._send(_df_payload(df, limit))
                     elif self.path == "/boilerplate":
                         # repeated turn-text n-gram spans across the

@@ -195,6 +195,25 @@ def test_http_query_server(spark, tmp_path):
         dfs = [row[1] for row in out["rows"]]
         assert all(d >= 2 for d in dfs)
         assert dfs == sorted(dfs, reverse=True)
+
+        # exact key-skew profile of the triple objects: shares in (0, 1]
+        # sum ≤ 1, rank is total-ordered, k bounds rows
+        status, out = post("/skew", {"k": 5})
+        assert status == 200 and 0 < out["n"] <= 5
+        assert out["columns"] == [
+            "key", "n", "share", "skew", "n_keys", "rank"
+        ]
+        shares = [row[2] for row in out["rows"]]
+        ranks = [row[5] for row in out["rows"]]
+        assert sum(shares) <= 1.0 + 1e-9 and all(0 < s <= 1 for s in shares)
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+        # tool-call bigram probe: support never exceeds the total count
+        status, out = post("/tool_seqs", {})
+        assert status == 200
+        assert out["columns"] == ["tool_a", "tool_b", "n", "n_convs"]
+        for _, _, n, n_convs in out["rows"]:
+            assert 1 <= n_convs <= n
     finally:
         srv.shutdown()
 
