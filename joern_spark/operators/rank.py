@@ -789,3 +789,107 @@ def entity_wl_colors(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
         F.col("c").alias("wl_color"),
         F.col("n_class").cast("long").alias("n_class"),
     )
+
+
+def entity_pmi(mentions: DataFrame, cap: int = CONV_KEY_CAP) -> DataFrame:
+    """(a, b, n_ab, pmi, npmi) — pointwise-mutual-information weighting
+    of the co-mention edges: pmi = ln(n_ab·N / (n_a·n_b)) over
+    conversation-level occurrence counts, npmi = pmi / −ln(n_ab/N) ∈
+    [−1, 1]. THE standard association score for KG edge construction —
+    raw co-mention counts crown hub entities that co-occur with
+    everything by chance; PMI promotes pairs that co-occur MORE than
+    their marginals predict (the signal a SAME_AS/RELATED_TO candidate
+    generator actually wants). The reference's analog is call-pair
+    affinity in querydb misuse scoring (two calls that appear together
+    far above base rate).
+
+    Scale shape: everything derives from ONE capped per-conversation
+    key-set scan (conv_key_sets — the shared co-mention CTE): marginals
+    are a vocabulary-bounded aggregate, N is a one-row broadcast, the
+    pair join is the same capped self-join every co-mention op pays.
+    Float discipline: pmi/npmi are single ln-of-ratio expressions of
+    exact BIGINTs — the identical expression tree in the oracle."""
+    pc = conv_key_sets(mentions, cap=cap)
+    nk = pc.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n_k"))
+    ntot = pc.agg(F.countDistinct("conv_id").alias("n_total"))
+    pairs = (
+        pc.alias("x")
+        .join(pc.alias("y"), "conv_id")
+        .where(F.col("x.entity_key") < F.col("y.entity_key"))
+        .groupBy(
+            F.col("x.entity_key").alias("a"), F.col("y.entity_key").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pmi = F.ln(
+        F.col("n_ab").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    # n_ab == n_total ⇒ −ln(n_ab/N) = 0: define npmi = 1 by convention
+    # (perfect co-occurrence) instead of relying on either engine's
+    # 0-division double semantics
+    npmi = F.when(F.col("n_ab") == F.col("n_total"), F.lit(1.0)).otherwise(
+        pmi
+        / -F.ln(
+            F.col("n_ab").cast("double") / F.col("n_total").cast("double")
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                nk.select(
+                    F.col("entity_key").alias("a"), F.col("n_k").alias("n_a")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                nk.select(
+                    F.col("entity_key").alias("b"), F.col("n_k").alias("n_b")
+                )
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            pmi.alias("pmi"),
+            npmi.alias("npmi"),
+        )
+    )
+
+
+def entity_timeline(
+    transcripts: DataFrame, mentions: DataFrame
+) -> DataFrame:
+    """(entity_key, first_ts, last_ts, n_mentions, n_convs) — temporal
+    extent and volume per entity: when the corpus first/last mentioned
+    it and how broadly. The KG-freshness signal (a fact's subject whose
+    last_ts is stale feeds the fact-flip/stale-use scanner family) and
+    the entity-churn dashboard a curation pipeline reads before
+    retraining. Reference analog: per-method first/last line bookkeeping
+    (LINE_NUMBER min/max over CONTAINS — Metrics-style rollups).
+
+    Scale shape: one (conv_id, turn_idx) equi-join of mentions against
+    the turn timestamps (both sides share the transcripts scan's
+    partitioning), then a vocabulary-bounded groupBy — all map-side
+    combine. Timestamps compare exactly on both engines (no floats)."""
+    from joern_spark.operators.link import keyed_mentions
+
+    ts = transcripts.select("conv_id", "turn_idx", "ts")
+    return (
+        keyed_mentions(mentions)
+        .select("conv_id", "turn_idx", "entity_key")
+        .join(ts, ["conv_id", "turn_idx"])
+        .groupBy("entity_key")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )

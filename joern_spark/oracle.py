@@ -2231,3 +2231,48 @@ SELECT key, n::BIGINT AS n,
        n_keys::BIGINT AS n_keys, rank
 FROM top, summary WHERE rank <= {PROFILE_TOP_K}
 """
+
+
+def entity_pmi_sql(sf: float) -> str:
+    """PMI/NPMI co-mention edge weighting (mirror of rank.entity_pmi):
+    the same capped per-conversation key sets, single ln-of-ratio
+    doubles, and the n_ab == N npmi convention."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+nk AS (SELECT k, count(*) AS n_k FROM pc GROUP BY 1),
+nt AS (SELECT count(DISTINCT conv_id) AS n_total FROM pc),
+pairs AS (
+  SELECT x.k AS a, y.k AS b, count(*) AS n_ab FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.n_ab::BIGINT AS n_ab,
+       ln(p.n_ab::DOUBLE * nt.n_total::DOUBLE
+          / (na.n_k::DOUBLE * nb.n_k::DOUBLE)) AS pmi,
+       CASE WHEN p.n_ab = nt.n_total THEN 1.0
+            ELSE ln(p.n_ab::DOUBLE * nt.n_total::DOUBLE
+                    / (na.n_k::DOUBLE * nb.n_k::DOUBLE))
+                 / -ln(p.n_ab::DOUBLE / nt.n_total::DOUBLE)
+       END AS npmi
+FROM pairs p
+JOIN nk na ON na.k = p.a
+JOIN nk nb ON nb.k = p.b, nt
+"""
+
+
+def entity_timeline_sql(sf: float) -> str:
+    """Temporal extent per entity (mirror of rank.entity_timeline):
+    the same mention→timestamp equi-join and exact aggregates."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)})
+SELECT {key} AS entity_key,
+       min(t.ts) AS first_ts, max(t.ts) AS last_ts,
+       count(*)::BIGINT AS n_mentions,
+       count(DISTINCT m.conv_id)::BIGINT AS n_convs
+FROM m JOIN t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+GROUP BY 1
+"""

@@ -535,6 +535,26 @@ def q_entity_wl(spark, sf_dir):
     return entity_wl_colors(_comention_edges(spark, sf_dir))
 
 
+def q_entity_pmi(spark, sf_dir):
+    """PMI/NPMI association weighting of the co-mention edges — the KG
+    edge-scoring signal (pairs co-occurring above their marginals'
+    prediction); one capped key-set scan, vocabulary-bounded joins."""
+    from joern_spark.operators.rank import entity_pmi
+
+    return entity_pmi(_mentions(spark, sf_dir))
+
+
+def q_entity_timeline(spark, sf_dir):
+    """Temporal extent + volume per entity (first/last mention ts,
+    mention and conversation counts) — the KG-freshness rollup; one
+    turn-key equi-join + vocabulary-bounded aggregate."""
+    from joern_spark.operators.rank import entity_timeline
+
+    return entity_timeline(
+        _t(spark, sf_dir), _mentions(spark, sf_dir)
+    )
+
+
 def q_tool_seqs(spark, sf_dir):
     """Tool-call bigram mining: adjacent pairs in each conversation's
     assistant tool-call subsequence — total count + distinct-conversation
@@ -1655,6 +1675,8 @@ TPG_QUERIES = {
     "doc_rrf": q_doc_rrf,
     "tpg_entity_wl": q_entity_wl,
     "tpg_tool_seqs": q_tool_seqs,
+    "tpg_entity_pmi": q_entity_pmi,
+    "tpg_entity_timeline": q_entity_timeline,
     "tpg_skew_profile": q_skew_profile,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,

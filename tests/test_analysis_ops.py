@@ -964,3 +964,76 @@ def test_key_skew_profile(spark):
         "x": (3, 3 / 6, 3 / 2.0, 3, 1),
         "y": (2, 2 / 6, 2 / 2.0, 3, 2),
     }
+
+
+def test_entity_pmi_hand_computed(spark):
+    """3 conversations: (x,y) together in 2 of 3, x in 3, y in 2 →
+    pmi = ln(2·3/(3·2)) = 0; (x,z) in 1, z in 1 → pmi = ln(1·3/(3·1))
+    = 0 as well, but npmi differs via the −ln(n_ab/N) normalizer."""
+    import math
+
+    from joern_spark.operators.rank import entity_pmi
+
+    m = spark.createDataFrame(
+        [
+            ("c1", 0, "x"), ("c1", 1, "y"),
+            ("c2", 0, "x"), ("c2", 1, "y"),
+            ("c3", 0, "x"), ("c3", 1, "z"),
+        ],
+        "conv_id string, turn_idx int, surface string",
+    )
+    got = {
+        (r.a, r.b): (r.n_ab, r.pmi, r.npmi)
+        for r in entity_pmi(m).collect()
+    }
+    assert got[("x", "y")][0] == 2
+    assert got[("x", "y")][1] == 0.0  # ln(2·3/(3·2)) is exactly ln(1)
+    assert got[("x", "y")][2] == 0.0 / -math.log(2 / 3)
+    assert got[("x", "z")][0] == 1
+    assert got[("x", "z")][1] == 0.0
+
+
+def test_entity_pmi_perfect_cooccurrence_npmi_one(spark):
+    """A pair present in EVERY conversation hits the n_ab == N branch:
+    npmi = 1 by convention (no 0-division reliance)."""
+    from joern_spark.operators.rank import entity_pmi
+
+    m = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 1, "y"), ("c2", 0, "x"), ("c2", 1, "y")],
+        "conv_id string, turn_idx int, surface string",
+    )
+    got = {(r.a, r.b): r.npmi for r in entity_pmi(m).collect()}
+    assert got[("x", "y")] == 1.0
+
+
+def test_entity_timeline(spark):
+    """Two entities across two conversations: first/last ts and counts
+    from the turn-key join; a mention at a turn with no transcript row
+    cannot occur by construction (mentions derive from turns)."""
+    import datetime as dt
+
+    from joern_spark.operators.rank import entity_timeline
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, t0), ("c1", 1, t0 + dt.timedelta(hours=1)),
+            ("c2", 0, t0 + dt.timedelta(days=1)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    m = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 1, "x"), ("c2", 0, "x"), ("c1", 1, "y")],
+        "conv_id string, turn_idx int, surface string",
+    )
+    got = {
+        r.entity_key: (r.first_ts, r.last_ts, r.n_mentions, r.n_convs)
+        for r in entity_timeline(t, m).collect()
+    }
+    assert got["x"] == (t0, t0 + dt.timedelta(days=1), 3, 2)
+    assert got["y"] == (
+        t0 + dt.timedelta(hours=1),
+        t0 + dt.timedelta(hours=1),
+        1,
+        1,
+    )

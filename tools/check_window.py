@@ -52,6 +52,8 @@ MUST_BE_IN_WINDOW = {
     "doc_rrf",
     "tpg_entity_wl",
     "tpg_tool_seqs",
+    "tpg_entity_pmi",
+    "tpg_entity_timeline",
     "tpg_skew_profile",
 }
 
