@@ -809,7 +809,15 @@ def entity_pmi(mentions: DataFrame, cap: int = CONV_KEY_CAP) -> DataFrame:
     pair join is the same capped self-join every co-mention op pays.
     Float discipline: pmi/npmi are single ln-of-ratio expressions of
     exact BIGINTs — the identical expression tree in the oracle."""
-    pc = conv_key_sets(mentions, cap=cap)
+    # lazy checkpoint (the pagerank `sym` discipline): pc feeds FIVE
+    # consumers (marginals, N, both self-join sides); uncheckpointed,
+    # Catalyst replans the key-set subtree under each (13 exchanges /
+    # 10 window-limits in the executed plan vs 3/2 checkpointed).
+    # Measured wall-NEUTRAL on idle local[32] (spare cores absorb the
+    # duplicates) — kept for the 5× total-work cut, which is what a
+    # saturated multi-tenant cluster bills; the DuckDB oracle needs
+    # MATERIALIZED pc for the identical reason.
+    pc = conv_key_sets(mentions, cap=cap).localCheckpoint(eager=False)
     nk = pc.groupBy("entity_key").agg(F.count(F.lit(1)).alias("n_k"))
     ntot = pc.agg(F.countDistinct("conv_id").alias("n_total"))
     pairs = (

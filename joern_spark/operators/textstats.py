@@ -773,46 +773,51 @@ BM25_QUERIES: list[tuple[str, str]] = [
 ]
 
 
-def bm25_topk(
-    documents: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
-) -> DataFrame:
-    """(query_id, doc_id, score, rank) — Okapi BM25 top-k retrieval of
-    documents per query: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
-    b + b·dl/avgdl)) with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
-    The lexical-retrieval baseline every RAG / hard-negative pipeline
-    starts from (the reference's property starters `name(re)`/`code(re)`
-    are its one-term boolean ancestor — querydb regex matching,
-    DangerousFunctions.scala:25; BM25 is the ranked generalization).
-
-    Scale shape: per-(doc, token) term frequencies and per-doc lengths
-    aggregate FIRST (map-side combined); the query-term table is a
-    broadcast probe that prunes the tf table BEFORE any scoring, so the
-    scored set is (query terms ∩ corpus) rows, never the corpus; df is
-    one row per token and N/avgdl join as one-row broadcasts. The final
-    per-query top-k is the salted two-stage window (salted.py
-    discipline): per-(query, salt) top-k first, then top-k over the
-    ≤ k·n_salts survivors — a query whose terms match 10^10 documents
-    never funnels them through one reducer. Exact: every global winner
-    is a winner within its own salt.
-
-    Float discipline (rank.py): identical expression tree in the DuckDB
-    oracle (constants substituted as the same Python literals), and the
-    per-(query, doc) term contributions fold in ascending sorted order,
-    so the IEEE additions happen identically and hashes match."""
+def _tf_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) — the inverted index's posting table."""
     toks = tokens_col(F.col("text"))
-    tf = (
+    return (
         documents.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
+
+
+def _topk_per_query(agg: DataFrame, k: int) -> DataFrame:
+    """Salted two-stage per-query top-k over (query_id, doc_id, score)
+    — shared by every retrieval scorer (exact: a global winner wins its
+    own salt)."""
+    from joern_spark.functions.salted import N_SALTS
+
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _bm25_from(
+    tf: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    """BM25 scoring over prebuilt index tables — the shared kernel of
+    bm25_topk (fresh tables) and bm25_topk_indexed (durable artifacts),
+    so the two paths are the same expression tree by construction."""
     qt = queries.select(
         "query_id", F.explode(tokens_col(F.col("qtext"))).alias("tok")
     ).dropDuplicates()
@@ -845,24 +850,45 @@ def bm25_topk(
         F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
     )
     agg = scored.groupBy("query_id", "doc_id").agg(sorted_sum.alias("score"))
-    from joern_spark.functions.salted import N_SALTS
+    return _topk_per_query(agg, k)
 
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.desc("score"), F.asc("doc_id")
+
+def bm25_topk(
+    documents: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — Okapi BM25 top-k retrieval of
+    documents per query: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    b + b·dl/avgdl)) with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    The lexical-retrieval baseline every RAG / hard-negative pipeline
+    starts from (the reference's property starters `name(re)`/`code(re)`
+    are its one-term boolean ancestor — querydb regex matching,
+    DangerousFunctions.scala:25; BM25 is the ranked generalization).
+
+    Scale shape: per-(doc, token) term frequencies and per-doc lengths
+    aggregate FIRST (map-side combined); the query-term table is a
+    broadcast probe that prunes the tf table BEFORE any scoring, so the
+    scored set is (query terms ∩ corpus) rows, never the corpus; df is
+    one row per token and N/avgdl join as one-row broadcasts. The final
+    per-query top-k is the salted two-stage window (salted.py
+    discipline): per-(query, salt) top-k first, then top-k over the
+    ≤ k·n_salts survivors — a query whose terms match 10^10 documents
+    never funnels them through one reducer. Exact: every global winner
+    is a winner within its own salt.
+
+    Float discipline (rank.py): identical expression tree in the DuckDB
+    oracle (constants substituted as the same Python literals), and the
+    per-(query, doc) term contributions fold in ascending sorted order,
+    so the IEEE additions happen identically and hashes match."""
+    tf = _tf_table(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SALTS))
-        )
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_from(tf, dl, dfreq, stats, queries, k)
 
 
 # Dirichlet query-likelihood retrieval + reciprocal-rank fusion. QLD is
@@ -874,32 +900,17 @@ QLD_MU = 1000.0
 RRF_K0 = 60.0
 
 
-def qld_topk(
-    documents: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
+def _qld_from(
+    tf: DataFrame,
+    dl: DataFrame,
+    cf: DataFrame,
+    ctot: DataFrame,
+    queries: DataFrame,
+    k: int,
 ) -> DataFrame:
-    """(query_id, doc_id, score, rank) — Dirichlet-smoothed query
-    likelihood top-k per query: score = Σ_{t∈q∩d} ln(1 + tf·|C| /
-    (μ·cf_t)) + |q|·ln(μ / (dl + μ)) — the matched-term rewrite of
-    Σ_{t∈q} ln P(t|d), so only documents sharing ≥1 query term are
-    scored (the standard inverted-index evaluation; unmatched documents
-    rank below every match by construction at these scales).
-
-    Scale shape mirrors bm25_topk: tf/dl/cf aggregate first (map-side
-    combined), the query-term table broadcasts and prunes tf BEFORE any
-    scoring, |C| joins as a one-row broadcast, and the per-query top-k
-    is the salted two-stage window. Float discipline: matched-term
-    contributions fold in ascending sorted order, THEN the per-doc
-    length constant adds once — one fixed IEEE evaluation order the
-    DuckDB oracle replays exactly."""
-    toks = tokens_col(F.col("text"))
-    tf = (
-        documents.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
-    ctot = cf.agg(F.sum("cf").alias("c_tot"))
+    """Dirichlet-QLD scoring over prebuilt index tables — the shared
+    kernel of qld_topk and qld_topk_indexed (same expression tree on
+    both paths by construction)."""
     qt = queries.select(
         "query_id", F.explode(tokens_col(F.col("qtext"))).alias("tok")
     ).dropDuplicates()
@@ -937,24 +948,31 @@ def qld_topk(
             ).alias("score"),
         )
     )
-    from joern_spark.functions.salted import N_SALTS
+    return _topk_per_query(agg, k)
 
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SALTS))
-        )
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+
+def qld_topk(
+    documents: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — Dirichlet-smoothed query
+    likelihood top-k per query: score = Σ_{t∈q∩d} ln(1 + tf·|C| /
+    (μ·cf_t)) + |q|·ln(μ / (dl + μ)) — the matched-term rewrite of
+    Σ_{t∈q} ln P(t|d), so only documents sharing ≥1 query term are
+    scored (the standard inverted-index evaluation; unmatched documents
+    rank below every match by construction at these scales).
+
+    Scale shape mirrors bm25_topk: tf/dl/cf aggregate first (map-side
+    combined), the query-term table broadcasts and prunes tf BEFORE any
+    scoring, |C| joins as a one-row broadcast, and the per-query top-k
+    is the salted two-stage window. Float discipline: matched-term
+    contributions fold in ascending sorted order, THEN the per-doc
+    length constant adds once — one fixed IEEE evaluation order the
+    DuckDB oracle replays exactly."""
+    tf = _tf_table(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    ctot = cf.agg(F.sum("cf").alias("c_tot"))
+    return _qld_from(tf, dl, cf, ctot, queries, k)
 
 
 def rrf_fuse(
@@ -990,4 +1008,101 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def save_text_index(documents: DataFrame, path: str) -> dict:
+    """Persist the lexical retrieval index as durable artifacts:
+    `<path>/tf` (the posting table), `/dl`, `/dfreq`, `/cf`, plus
+    one-row `/stats` (n_docs, avgdl, c_tot) and `<path>/index.json`
+    carrying an order-insensitive corpus fingerprint (count + bit_xor
+    of doc_id hashes, one scan). A matching fingerprint SKIPS the
+    rebuild — the same load-don't-recompute discipline as the IVF
+    index and the workspace flow-walk cache (similarity.save_ivf_index).
+    At 100 TB this is the difference between one index build and a
+    per-query corpus re-aggregation. Returns the manifest dict with
+    `"hit"` marking reuse."""
+    import json as _json
+    from pathlib import Path
+
+    from joern_spark.functions.hashing import md5_long
+
+    row = documents.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col("doc_id").cast("string"))).alias("x"),
+    ).collect()[0]
+    meta = {"n_docs": row["n"], "fingerprint": f"{row['n']}:{row['x']}"}
+    mpath = Path(path) / "index.json"
+    if mpath.exists():
+        old = _json.loads(mpath.read_text())
+        if old.get("fingerprint") == meta["fingerprint"]:
+            return {**old, "hit": True}
+    tf = _tf_table(documents)
+    tf.write.mode("overwrite").parquet(f"{path}/tf")
+    spark = documents.sparkSession
+    tf_r = spark.read.parquet(f"{path}/tf")
+    dl = tf_r.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/dl")
+    tf_r.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/dfreq")
+    tf_r.groupBy("tok").agg(F.sum("tf").alias("cf")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/cf")
+    spark.read.parquet(f"{path}/dl").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        F.sum("dl").cast("long").alias("c_tot"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    mpath.write_text(_json.dumps(meta, indent=1))
+    return {**meta, "hit": False}
+
+
+def load_text_index(spark, path: str) -> dict:
+    """{'tf', 'dl', 'dfreq', 'cf', 'stats', 'meta'} from a saved index
+    — all tables stay distributed; stats is the one-row summary."""
+    import json as _json
+    from pathlib import Path
+
+    return {
+        "tf": spark.read.parquet(f"{path}/tf"),
+        "dl": spark.read.parquet(f"{path}/dl"),
+        "dfreq": spark.read.parquet(f"{path}/dfreq"),
+        "cf": spark.read.parquet(f"{path}/cf"),
+        "stats": spark.read.parquet(f"{path}/stats"),
+        "meta": _json.loads((Path(path) / "index.json").read_text()),
+    }
+
+
+def bm25_topk_indexed(
+    index: dict, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """BM25 top-k over a persisted index — probes the durable posting
+    table without touching document text; same kernel as bm25_topk, so
+    indexed == fresh row-for-row."""
+    return _bm25_from(
+        index["tf"],
+        index["dl"],
+        index["dfreq"],
+        index["stats"].select("n_docs", "avgdl"),
+        queries,
+        k,
+    )
+
+
+def qld_topk_indexed(
+    index: dict, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """Dirichlet-QLD top-k over a persisted index (same kernel as
+    qld_topk; indexed == fresh row-for-row)."""
+    return _qld_from(
+        index["tf"],
+        index["dl"],
+        index["cf"],
+        index["stats"].select("c_tot"),
+        queries,
+        k,
     )

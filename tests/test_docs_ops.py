@@ -1640,3 +1640,36 @@ def test_rrf_fuse_semantics(spark):
     assert got[2][0] == pytest.approx(s2, abs=0) and got[2][1] == 1
     assert got[1][0] == pytest.approx(1.0 / 61.0, abs=0) and got[1][1] == 2
     assert got[3][0] == pytest.approx(1.0 / 62.0, abs=0) and got[3][1] == 3
+
+
+def test_text_index_roundtrip_and_hit(spark, tmp_path):
+    """Durable lexical index: first save builds (hit=False), second
+    save with the same corpus skips (hit=True); indexed BM25/QLD equal
+    the fresh-table scorers row-for-row; a changed corpus flips the
+    fingerprint and rebuilds."""
+    d = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma" + " beta" * (i % 3)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q0", "alpha beta"), ("q1", "gamma doc3")],
+        "query_id string, qtext string",
+    )
+    path = str(tmp_path / "tix")
+    m1 = textstats.save_text_index(d, path)
+    assert m1["hit"] is False and m1["n_docs"] == 12
+    m2 = textstats.save_text_index(d, path)
+    assert m2["hit"] is True
+
+    idx = textstats.load_text_index(spark, path)
+    for fresh, indexed in [
+        (textstats.bm25_topk(d, q), textstats.bm25_topk_indexed(idx, q)),
+        (textstats.qld_topk(d, q), textstats.qld_topk_indexed(idx, q)),
+    ]:
+        a = {(r.query_id, r.doc_id): (r.score, r.rank) for r in fresh.collect()}
+        b = {(r.query_id, r.doc_id): (r.score, r.rank) for r in indexed.collect()}
+        assert a == b and a
+
+    d2 = d.where(F.col("doc_id") < 10)
+    m3 = textstats.save_text_index(d2, path)
+    assert m3["hit"] is False and m3["n_docs"] == 10
