@@ -1106,3 +1106,121 @@ def qld_topk_indexed(
         queries,
         k,
     )
+
+
+# Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
+# k greedy selections maximizing λ·relevance − (1−λ)·max-similarity to
+# the already-selected set — the diversity pass after hybrid retrieval.
+MMR_LAMBDA = 0.7
+MMR_K = 5
+
+
+def mmr_rerank(
+    documents: DataFrame,
+    candidates: DataFrame,
+    lam: float = MMR_LAMBDA,
+    k: int = MMR_K,
+) -> DataFrame:
+    """(query_id, doc_id, mmr, sel_rank) — MMR selection of k documents
+    per query from a (query_id, doc_id, score, rank) candidate table:
+    pick 1 = the rank-1 candidate with mmr = λ·score; each later round
+    picks argmax λ·score − (1−λ)·max_{s∈selected} jaccard(c, s) over
+    the remaining candidates (tie-break doc_id ASC). Similarity is
+    3-gram shingle Jaccard between candidate documents — the near-dup
+    family's own measure, so retrieval dedups with the same notion of
+    "same" the curation pipeline uses.
+
+    Scale shape: candidates are per-query top-k tables (dimension-
+    sized), so every round's joins touch ≤ k·|queries| rows; document
+    text enters ONCE, through a candidate-pruned semi-join scan
+    (predicate pushdown), never the corpus. The candidate and pair-sim
+    tables are lazily checkpointed — k unrolled rounds would otherwise
+    replan the entire upstream retrieval per round. Float discipline:
+    sim is one division of exact BIGINTs, mmr one λ-literal
+    multiply-subtract, max is order-free — identical trees in the
+    oracle."""
+    from joern_spark.operators.dedup import shingles
+
+    cand = candidates.localCheckpoint(eager=False)
+    ids = cand.select("doc_id").distinct()
+    sh = shingles(
+        documents.join(ids, "doc_id", "left_semi").select("doc_id", "text")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    prs = (
+        cand.select("query_id", F.col("doc_id").alias("a"))
+        .join(cand.select("query_id", F.col("doc_id").alias("b")), "query_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        prs.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(
+            sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"]
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    half = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("sim"),
+        )
+    )
+    sims = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"), "sim")
+    ).localCheckpoint(eager=False)
+
+    lam_l, oml_l = F.lit(lam), F.lit(1.0 - lam)
+    sel = cand.where(F.col("rank") == 1).select(
+        "query_id",
+        "doc_id",
+        (lam_l * F.col("score")).alias("mmr"),
+        F.lit(1).alias("sel_rank"),
+    )
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            sel.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+        )
+        pen = (
+            remaining.join(
+                sel.select("query_id", F.col("doc_id").alias("b")), "query_id"
+            )
+            .join(
+                sims.select(F.col("a").alias("doc_id"), "b", "sim"),
+                ["doc_id", "b"],
+                "left",
+            )
+            .groupBy("query_id", "doc_id", "score")
+            .agg(F.max(F.coalesce(F.col("sim"), F.lit(0.0))).alias("msim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.asc("doc_id")
+        )
+        pick = (
+            pen.select(
+                "query_id",
+                "doc_id",
+                (lam_l * F.col("score") - oml_l * F.col("msim")).alias("mmr"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "query_id", "doc_id", "mmr", F.lit(r).alias("sel_rank")
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel

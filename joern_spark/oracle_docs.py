@@ -2022,3 +2022,87 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM sc
 ) WHERE rank <= {BM25_TOP_K}
 """
+
+
+def mmr_sql() -> str:
+    """Mirror of textstats.mmr_rerank over the RRF candidates: the RRF
+    oracle as a derived table, candidate-pruned shingle Jaccard sims,
+    and the k greedy rounds unrolled as chained CTEs — λ and (1−λ)
+    substituted as the SAME Python float `repr()` literals the Spark
+    plan carries (0.7 and 0.30000000000000004), coalesce-inside-max and
+    the single sim division identical."""
+    from joern_spark.operators.textstats import MMR_K, MMR_LAMBDA
+
+    lam, oml = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    rounds: list[str] = []
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, r))
+        rounds.append(
+            f"""p{r} AS ({prev}),
+pen{r} AS (
+  SELECT c.query_id, c.doc_id, c.score,
+         max(coalesce(s.sim, 0.0)) AS msim
+  FROM cand c JOIN p{r} p ON p.query_id = c.query_id
+  LEFT JOIN sims s ON s.a = c.doc_id AND s.b = p.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM p{r} q
+                    WHERE q.query_id = c.query_id
+                      AND q.doc_id = c.doc_id)
+  GROUP BY 1, 2, 3
+),
+s{r} AS (
+  SELECT query_id, doc_id, mmr, {r} AS sel_rank FROM (
+    SELECT query_id, doc_id, {lam} * score - {oml} * msim AS mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * score - {oml} * msim DESC,
+                                       doc_id ASC) AS rn
+    FROM pen{r}
+  ) WHERE rn = 1
+)"""
+        )
+    joined = ",\n".join(rounds)
+    final = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH cand AS MATERIALIZED (SELECT * FROM ({rrf_sql()})),
+ids AS (SELECT DISTINCT doc_id FROM cand),
+docs_c AS (SELECT d.doc_id, d.text FROM documents d JOIN ids USING (doc_id)),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM docs_c
+),
+shc AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(
+           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)])) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+prs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM cand x JOIN cand y
+  ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT p.a, p.b, count(*) AS n_inter
+  FROM prs p JOIN shc sa ON sa.doc_id = p.a
+       JOIN shc sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+half AS (
+  SELECT i.a, i.b,
+         i.n_inter::DOUBLE / (za.n_sh + zb.n_sh - i.n_inter) AS sim
+  FROM inter i JOIN sizes za ON za.doc_id = i.a
+       JOIN sizes zb ON zb.doc_id = i.b
+),
+sims AS MATERIALIZED (
+  SELECT a, b, sim FROM half
+  UNION ALL SELECT b AS a, a AS b, sim FROM half
+),
+s1 AS (SELECT query_id, doc_id, {lam} * score AS mmr, 1 AS sel_rank
+       FROM cand WHERE rank = 1),
+{joined}
+{final}
+"""

@@ -1401,6 +1401,21 @@ def q_doc_rrf(spark, sf_dir):
     )
 
 
+def q_doc_mmr(spark, sf_dir):
+    """MMR diversified selection over the RRF-fused candidates (λ=0.7,
+    k=5): greedy relevance-vs-diversity picks with shingle-Jaccard
+    similarity; all rounds over dimension-sized candidate tables."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    docs = read_documents(spark, sf_dir)
+    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
+    fused = textstats.rrf_fuse(
+        textstats.bm25_topk(docs, q), textstats.qld_topk(docs, q)
+    )
+    return textstats.mmr_rerank(docs, fused)
+
+
 def q_doc_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail split by unigram log-prob terciles."""
     return textstats.lm_buckets(read_documents(spark, sf_dir))
@@ -1674,6 +1689,7 @@ TPG_QUERIES = {
     "doc_qld": q_doc_qld,
     "doc_rrf": q_doc_rrf,
     "tpg_entity_wl": q_entity_wl,
+    "doc_mmr": q_doc_mmr,
     "tpg_tool_seqs": q_tool_seqs,
     "tpg_entity_pmi": q_entity_pmi,
     "tpg_entity_timeline": q_entity_timeline,

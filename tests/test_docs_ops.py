@@ -1673,3 +1673,31 @@ def test_text_index_roundtrip_and_hit(spark, tmp_path):
     d2 = d.where(F.col("doc_id") < 10)
     m3 = textstats.save_text_index(d2, path)
     assert m3["hit"] is False and m3["n_docs"] == 10
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Docs 1 and 2 are verbatim duplicates, doc 3 is different: after
+    picking doc 1, MMR's round-2 penalty (sim=1.0 to the selection)
+    drops doc 2 below doc 3 despite its higher relevance; doc 2 lands
+    third; exhausted candidates stop the selection early."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [("q0", 1, 1.0, 1), ("q0", 2, 0.8, 2), ("q0", 3, 0.5, 3)],
+        "query_id string, doc_id long, score double, rank int",
+    )
+    got = {
+        r.sel_rank: (r.doc_id, r.mmr)
+        for r in textstats.mmr_rerank(docs, cand).collect()
+    }
+    assert got[1] == (1, 0.7 * 1.0)
+    assert got[2] == (3, 0.7 * 0.5 - (1.0 - 0.7) * 0.0)
+    assert got[3][0] == 2
+    assert got[3][1] == 0.7 * 0.8 - (1.0 - 0.7) * 1.0
+    assert set(got) == {1, 2, 3}  # only 3 candidates → no rounds 4/5

@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "doc_qld",
     "doc_rrf",
     "tpg_entity_wl",
+    "doc_mmr",
     "tpg_tool_seqs",
     "tpg_entity_pmi",
     "tpg_entity_timeline",
