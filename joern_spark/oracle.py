@@ -2276,3 +2276,55 @@ SELECT {key} AS entity_key,
 FROM m JOIN t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
 GROUP BY 1
 """
+
+
+def entity_ppr_sql(sf: float) -> str:
+    """Personalized PageRank (mirror of rank.entity_ppr): seed vector =
+    1/|S| on the md5-smallest PPR_SEEDS nodes (the same hash order the
+    Spark pick uses), restart term (1−d)·seed per node, iterations
+    unrolled with the ascending-sorted contribution fold; float
+    literals substituted via repr() so both engines parse the same
+    doubles."""
+    from joern_spark.operators.rank import (
+        PPR_SEEDS,
+        PR_DAMPING,
+        PR_ITERATIONS,
+    )
+
+    key = NORM.format(x="m.surface")
+    d, omd = repr(PR_DAMPING), repr(1.0 - PR_DAMPING)
+    sv = repr(1.0 / PPR_SEEDS)
+    h = "(('0x' || substr(md5(src), 1, 15))::BIGINT)"
+    rounds: list[str] = []
+    for i in range(1, PR_ITERATIONS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT s.dst AS node,
+         {omd} * coalesce(sv.seed, 0.0)
+           + {d} * list_sum(list_sort(list(r.rank / dg.deg))) AS rank
+  FROM sym s JOIN r{i - 1} r ON r.node = s.src
+       JOIN deg dg ON dg.src = s.src
+       LEFT JOIN seedv sv ON sv.node = s.dst
+  GROUP BY s.dst, sv.seed
+)"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+seedv AS MATERIALIZED (
+  SELECT src AS node, {sv} AS seed FROM deg
+  ORDER BY {h}, src LIMIT {PPR_SEEDS}
+),
+r0 AS (SELECT d.src AS node, coalesce(s.seed, 0.0) AS rank
+       FROM deg d LEFT JOIN seedv s ON s.node = d.src),
+{joined}
+SELECT node, rank FROM r{PR_ITERATIONS}
+"""

@@ -525,6 +525,16 @@ def q_entity_jaccard(spark, sf_dir):
     return entity_jaccard(_comention_edges(spark, sf_dir))
 
 
+def q_entity_ppr(spark, sf_dir):
+    """Personalized PageRank around the md5-smallest seed entities —
+    proximity-weighted importance (restart mass returns to the seeds);
+    driver fast path with sorted folds, distributed twin above the
+    threshold."""
+    from joern_spark.operators.rank import entity_ppr
+
+    return entity_ppr(_comention_edges(spark, sf_dir))
+
+
 def q_entity_wl(spark, sf_dir):
     """Weisfeiler-Lehman color refinement over the strong co-mention
     graph: 2 rounds of md5-of-sorted-neighbor-colors re-hashing — the
@@ -1690,6 +1700,7 @@ TPG_QUERIES = {
     "doc_rrf": q_doc_rrf,
     "tpg_entity_wl": q_entity_wl,
     "doc_mmr": q_doc_mmr,
+    "tpg_entity_ppr": q_entity_ppr,
     "tpg_tool_seqs": q_tool_seqs,
     "tpg_entity_pmi": q_entity_pmi,
     "tpg_entity_timeline": q_entity_timeline,

@@ -1037,3 +1037,48 @@ def test_entity_timeline(spark):
         1,
         1,
     )
+
+
+def test_entity_ppr_local_equals_distributed(spark):
+    """PPR's driver fast path and distributed join loop are
+    bit-identical (the pagerank sorted-fold contract, extended with the
+    per-node restart term)."""
+    import joern_spark.operators.rank as rank_mod
+    from joern_spark.operators.rank import entity_ppr
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1)],
+        "a string, b string, n_convs long",
+    )
+    fast = {r.node: r.rank for r in entity_ppr(edges).collect()}
+    orig = rank_mod.PR_LOCAL_THRESHOLD
+    rank_mod.PR_LOCAL_THRESHOLD = 0
+    try:
+        dist = {r.node: r.rank for r in entity_ppr(edges).collect()}
+    finally:
+        rank_mod.PR_LOCAL_THRESHOLD = orig
+    assert fast == dist  # exact float equality
+
+
+def test_entity_ppr_mass_localizes_near_seeds(spark):
+    """On a long path graph with n_seeds=1, rank decays with distance
+    from the seed: the seed's neighbor outranks nodes ≥3 hops away."""
+    import hashlib
+
+    from joern_spark.operators.rank import entity_ppr
+
+    nodes = [f"n{i}" for i in range(8)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in zip(nodes, nodes[1:])],
+        "a string, b string, n_convs long",
+    )
+    out = {r.node: r.rank for r in entity_ppr(edges, n_seeds=1).collect()}
+    seed = min(
+        nodes,
+        key=lambda n: (int(hashlib.md5(n.encode()).hexdigest()[:15], 16), n),
+    )
+    i = nodes.index(seed)
+    near = out[nodes[i - 1] if i > 0 else nodes[i + 1]]
+    far = [out[n] for n in nodes if abs(nodes.index(n) - i) >= 3]
+    assert out[seed] == max(out.values())
+    assert far and all(near > f for f in far)
