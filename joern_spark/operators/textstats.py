@@ -1224,3 +1224,67 @@ def mmr_rerank(
         )
         sel = sel.unionByName(pick)
     return sel
+
+
+RBO_P = 0.9
+
+
+def rank_agreement(
+    a: DataFrame, b: DataFrame, k: int = BM25_TOP_K, p: float = RBO_P
+) -> DataFrame:
+    """(query_id, n_common, jaccard_k, rbo) — agreement between two
+    per-query rankings (columns query_id, doc_id, rank): set overlap at
+    depth k plus truncated rank-biased overlap RBO@k = (1−p)·Σ_{d=1..k}
+    p^{d−1}·|A_d ∩ B_d|/d (Webber et al. 2010) — the retrieval-eval
+    probe that says whether the lexical and LM rankers agree enough for
+    fusion to matter. A doc at ranks (ra, rb) joins every prefix
+    intersection from depth max(ra, rb) on, so its RBO contribution is
+    the CONSTANT w(m) = (1−p)·Σ_{d=m..k} p^{d−1}/d — precomputed in
+    Python and emitted as the same double literals into both engines'
+    CASE expressions; the per-query sum folds ascending-sorted.
+
+    Scale shape: inputs are top-k tables (dimension-sized); one
+    broadcast-sized inner join + one fold. Full-corpus cost is zero."""
+    w = {}
+    for m in range(1, k + 1):
+        acc = 0.0
+        for d in range(m, k + 1):
+            acc += (1.0 - p) * p ** (d - 1) / d
+        w[m] = acc
+    ra = a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    both = ra.join(rb, ["query_id", "doc_id"])
+    m_col = F.greatest("rank_a", "rank_b")
+    contrib = F.lit(0.0)
+    expr = None
+    for m in range(k, 0, -1):
+        expr = (
+            F.when(m_col == m, F.lit(w[m]))
+            if expr is None
+            else expr.when(m_col == m, F.lit(w[m]))
+        )
+    contrib = expr.otherwise(F.lit(0.0))
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = ra.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = rb.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        both.select("query_id", contrib.alias("w"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            sorted_sum.alias("rbo"),
+        )
+        .join(F.broadcast(na), "query_id")
+        .join(F.broadcast(nb), "query_id")
+        .select(
+            "query_id",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard_k"),
+            "rbo",
+        )
+    )

@@ -2106,3 +2106,45 @@ s1 AS (SELECT query_id, doc_id, {lam} * score AS mmr, 1 AS sel_rank
 {joined}
 {final}
 """
+
+
+def rank_agreement_sql() -> str:
+    """Mirror of textstats.rank_agreement over the BM25 vs QLD top-k
+    lists: both oracles as derived tables, the per-doc RBO contribution
+    CASE generated from the SAME Python-computed w(m) double literals,
+    ascending-sorted fold, identical Jaccard division. Queries sharing
+    zero documents emit no row on both engines (inner-join semantics)."""
+    from joern_spark.operators.textstats import BM25_TOP_K, RBO_P
+
+    k, p = BM25_TOP_K, RBO_P
+    w = {}
+    for m in range(1, k + 1):
+        acc = 0.0
+        for d in range(m, k + 1):
+            acc += (1.0 - p) * p ** (d - 1) / d
+        w[m] = acc
+    whens = " ".join(
+        f"WHEN {m} THEN {w[m]!r}" for m in range(k, 0, -1)
+    )
+    return f"""
+WITH fa AS (SELECT query_id, doc_id, rank AS rank_a
+            FROM ({bm25_topk_sql()})),
+fb AS (SELECT query_id, doc_id, rank AS rank_b
+       FROM ({qld_topk_sql()})),
+both_l AS (
+  SELECT fa.query_id, fa.doc_id,
+         CASE greatest(fa.rank_a, fb.rank_b) {whens} ELSE 0.0 END AS w
+  FROM fa JOIN fb ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id
+),
+na AS (SELECT query_id, count(*) AS n_a FROM fa GROUP BY 1),
+nb AS (SELECT query_id, count(*) AS n_b FROM fb GROUP BY 1),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n_common,
+         list_sum(list_sort(list(w))) AS rbo
+  FROM both_l GROUP BY 1
+)
+SELECT a.query_id, a.n_common,
+       a.n_common::DOUBLE / (na.n_a + nb.n_b - a.n_common) AS jaccard_k,
+       a.rbo
+FROM agg a JOIN na USING (query_id) JOIN nb USING (query_id)
+"""

@@ -1411,6 +1411,20 @@ def q_doc_rrf(spark, sf_dir):
     )
 
 
+def q_rank_agreement(spark, sf_dir):
+    """Jaccard@k + truncated RBO between the BM25 and QLD rankings —
+    the fusion-worthiness eval; dimension-sized join over two top-k
+    tables, per-depth weights as shared double literals."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    docs = read_documents(spark, sf_dir)
+    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
+    return textstats.rank_agreement(
+        textstats.bm25_topk(docs, q), textstats.qld_topk(docs, q)
+    )
+
+
 def q_doc_mmr(spark, sf_dir):
     """MMR diversified selection over the RRF-fused candidates (λ=0.7,
     k=5): greedy relevance-vs-diversity picks with shingle-Jaccard
@@ -1700,6 +1714,7 @@ TPG_QUERIES = {
     "doc_rrf": q_doc_rrf,
     "tpg_entity_wl": q_entity_wl,
     "doc_mmr": q_doc_mmr,
+    "doc_rank_agreement": q_rank_agreement,
     "tpg_entity_ppr": q_entity_ppr,
     "tpg_tool_seqs": q_tool_seqs,
     "tpg_entity_pmi": q_entity_pmi,

@@ -1701,3 +1701,33 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert got[3][0] == 2
     assert got[3][1] == 0.7 * 0.8 - (1.0 - 0.7) * 1.0
     assert set(got) == {1, 2, 3}  # only 3 candidates → no rounds 4/5
+
+
+def test_rank_agreement_hand_computed(spark):
+    """Two 3-item rankings sharing 2 docs: per-doc RBO weights w(m) =
+    (1−p)·Σ_{d=m..k} p^{d−1}/d recomputed by hand; jaccard uses actual
+    list sizes; a disjoint query emits no row."""
+    a = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 2, 2), ("q0", 3, 3), ("q1", 9, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q0", 2, 1), ("q0", 1, 2), ("q0", 4, 3), ("q1", 8, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = {
+        r.query_id: (r.n_common, r.jaccard_k, r.rbo)
+        for r in textstats.rank_agreement(a, b, k=3, p=0.9).collect()
+    }
+    p = 0.9
+
+    def w(m, k=3):
+        return sum((1.0 - p) * p ** (d - 1) / d for d in range(m, k + 1))
+
+    # doc 1: ranks (1, 2) → w(2); doc 2: ranks (2, 1) → w(2)
+    expected_rbo = w(2) + w(2)
+    n_common, jacc, rbo = out["q0"]
+    assert n_common == 2
+    assert jacc == 2 / (3 + 3 - 2)
+    assert abs(rbo - expected_rbo) < 1e-15
+    assert "q1" not in out  # disjoint lists → no row (both engines)

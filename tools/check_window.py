@@ -52,6 +52,7 @@ MUST_BE_IN_WINDOW = {
     "doc_rrf",
     "tpg_entity_wl",
     "doc_mmr",
+    "doc_rank_agreement",
     "tpg_entity_ppr",
     "tpg_tool_seqs",
     "tpg_entity_pmi",
