@@ -1029,6 +1029,48 @@ def scan_tool_thrash(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def scan_rare_tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Conversations containing a tool-call transition UNIQUE in the
+    whole corpus (corpus-wide distinct-conversation support == 1 for
+    the assistant-call bigram): a one-of-a-kind tool chain is either an
+    operator improvising outside every known workflow or a misrouted
+    dispatch — the sequence-level protocol anomaly next to tool-thrash
+    (which scores oscillation, not rarity). Cross-conversation by
+    construction: support aggregates over the corpus (the
+    conversation-clone discipline). Evidence conv:tool_a>tool_b, score
+    = occurrences of the rare pair in that conversation."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.where(
+            (F.col("role") == "assistant") & F.col("tool").isNotNull()
+        )
+        .select(
+            "conv_id",
+            F.col("tool").alias("tool_a"),
+            F.lead("tool").over(w).alias("tool_b"),
+        )
+        .where(F.col("tool_b").isNotNull())
+    )
+    rare = (
+        pairs.groupBy("tool_a", "tool_b")
+        .agg(F.countDistinct("conv_id").alias("sup"))
+        .where(F.col("sup") == 1)
+        .select("tool_a", "tool_b")
+    )
+    return (
+        pairs.join(rare, ["tool_a", "tool_b"])
+        .groupBy("conv_id", "tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rare-tool-transition").alias("query_name"),
+            F.concat(
+                "conv_id", F.lit(":"), "tool_a", F.lit(">"), "tool_b"
+            ).alias("evidence"),
+            F.col("n").cast("long").alias("score"),
+        )
+    )
+
+
 def scan_answered_reasks(
     transcripts: DataFrame, slices: TurnSlices | None = None
 ) -> DataFrame:
@@ -1782,6 +1824,7 @@ SCANNERS: dict[str, Callable] = {
     "globally-unanswered-ask": scan_globally_unanswered_asks,
     "role-imbalance": scan_role_imbalance,
     "tool-thrash": scan_tool_thrash,
+    "rare-tool-transition": scan_rare_tool_transitions,
     "rebind-churn": scan_rebind_churn,
     "answered-reask": scan_answered_reasks,
     "entity-spread": scan_entity_spread,

@@ -1835,6 +1835,26 @@ SELECT 'tool-thrash', conv_id, count(*)::BIGINT FROM (
 ) WHERE prev IS NOT NULL AND prev <> tool
 GROUP BY conv_id HAVING count(*) >= {TOOL_THRASH_MIN}
 UNION ALL
+SELECT 'rare-tool-transition',
+       p.conv_id || ':' || p.tool_a || '>' || p.tool_b, count(*)::BIGINT
+FROM (
+  SELECT conv_id, tool_a, tool_b FROM (
+    SELECT conv_id, tool AS tool_a,
+           lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+    FROM t WHERE role = 'assistant' AND tool IS NOT NULL
+  ) WHERE tool_b IS NOT NULL
+) p
+JOIN (
+  SELECT tool_a, tool_b FROM (
+    SELECT conv_id, tool_a, tool_b FROM (
+      SELECT conv_id, tool AS tool_a,
+             lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+      FROM t WHERE role = 'assistant' AND tool IS NOT NULL
+    ) WHERE tool_b IS NOT NULL
+  ) GROUP BY 1, 2 HAVING count(DISTINCT conv_id) = 1
+) s ON s.tool_a = p.tool_a AND s.tool_b = p.tool_b
+GROUP BY 1, 2
+UNION ALL
 SELECT 'rebind-churn', conv_id || ':' || new_db, count(*)::BIGINT
 FROM (SELECT conv_id, regexp_extract(text, '{rebind.pattern}', 1) AS new_db
       FROM t WHERE {_rule_where(rebind)})

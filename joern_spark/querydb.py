@@ -937,6 +937,37 @@ QUERY_DB.extend(
             ],
         ),
         Query(
+            name="rare-tool-transition",
+            author=_A,
+            title="Tool chain unique in the whole corpus",
+            description="A conversation contains an assistant tool-call "
+            "transition (bigram over the call subsequence) that NO other "
+            "conversation executes — a one-of-a-kind chain: improvised "
+            "workflow or misrouted dispatch. Cross-conversation support "
+            "aggregation, the sequence-rarity twin of tool-thrash.",
+            score=2.0,
+            scanner=scan.scan_rare_tool_transitions,
+            tags=["callgraph", "ambiguity"],
+            positive_examples=[
+                [  # c1's search>email chain appears nowhere else
+                    ("c1", 0, "assistant", "pad 0", "search_api"),
+                    ("c1", 1, "assistant", "pad 1", "email_api"),
+                    ("c2", 0, "assistant", "pad 2", "db_query"),
+                    ("c2", 1, "assistant", "pad 3", "db_query"),
+                    ("c3", 0, "assistant", "pad 4", "db_query"),
+                    ("c3", 1, "assistant", "pad 5", "db_query"),
+                ]
+            ],
+            negative_examples=[
+                [  # the same chain in TWO conversations → support 2
+                    ("c4", 0, "assistant", "pad 0", "search_api"),
+                    ("c4", 1, "assistant", "pad 1", "email_api"),
+                    ("c5", 0, "assistant", "pad 2", "search_api"),
+                    ("c5", 1, "assistant", "pad 3", "email_api"),
+                ]
+            ],
+        ),
+        Query(
             name="answered-reask",
             author=_A,
             title="Location asked again after it was answered",
@@ -1685,7 +1716,7 @@ BUNDLES: dict[str, tuple[str, ...]] = {
     "callgraph": (
         "unanswered-ask", "dangling-call", "orphan-result", "retry-loop",
         "repeated-question", "result-mismatch", "tool-thrash",
-        "answered-reask", "unasked-result",
+        "rare-tool-transition", "answered-reask", "unasked-result",
     ),
     # fact-level consistency, single-snapshot
     "consistency": (
