@@ -880,3 +880,124 @@ def run_dedup_increment(
         .start()
     )
     q.awaitTermination()
+
+
+_TINDEX_POINTER = "CURRENT_TINDEX"
+
+
+def read_text_index(spark: SparkSession, state_dir: str):
+    """The committed incremental lexical index in the same dict shape
+    `textstats.load_text_index` returns (usable directly by
+    `bm25_topk_indexed` / `qld_topk_indexed`), or None before the
+    first drain."""
+    p = os.path.join(state_dir, _TINDEX_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        name = f.read().strip()
+    base = os.path.join(state_dir, name)
+    return {
+        "tf": spark.read.parquet(os.path.join(base, "tf")),
+        "dl": spark.read.parquet(os.path.join(base, "dl")),
+        "dfreq": spark.read.parquet(os.path.join(base, "dfreq")),
+        "cf": spark.read.parquet(os.path.join(base, "cf")),
+        "stats": spark.read.parquet(os.path.join(base, "stats")),
+        "meta": {"snapshot": name},
+    }
+
+
+def run_index_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental inverted-index maintenance: drain newly-landed
+    document files and fold their postings into the persisted lexical
+    index — tf/dl rows APPEND (documents are immutable), df/cf cells
+    SUM (vocabulary-bounded merge), stats re-derive from the
+    maintained (n_docs, c_tot) sums. A delta of d documents costs
+    O(d·terms) plus one vocabulary-sized merge — the corpus posting
+    table is never re-aggregated (at 10^12 docs a per-query index
+    rebuild is the difference between serving retrieval and not).
+
+    Exactly-once: the delta anti-joins the committed dl's doc ids, so
+    an at-least-once replay folds an EMPTY delta — idempotent without
+    a batch-id guard (the Bloom/HLL discipline; doc ids are the
+    natural dedup key). Snapshots are immutable `tindex-*` dirs behind
+    an atomically-replaced pointer."""
+    import uuid
+
+    from joern_spark.operators.textstats import _tf_table
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur = read_text_index(spark, state_dir)
+        delta_docs = batch_df.select("doc_id", "text")
+        if cur is not None:
+            delta_docs = delta_docs.join(
+                cur["dl"].select("doc_id"), "doc_id", "left_anti"
+            )
+        delta_docs = delta_docs.localCheckpoint(eager=True)
+        if delta_docs.isEmpty():
+            return
+        tf_d = _tf_table(delta_docs).localCheckpoint(eager=True)
+        dl_d = tf_d.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        df_d = tf_d.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        cf_d = tf_d.groupBy("tok").agg(F.sum("tf").alias("cf"))
+        if cur is not None:
+            tf_m = cur["tf"].unionByName(tf_d)
+            dl_m = cur["dl"].unionByName(dl_d)
+            df_m = (
+                cur["dfreq"].unionByName(df_d)
+                .groupBy("tok")
+                .agg(F.sum("df").alias("df"))
+            )
+            cf_m = (
+                cur["cf"].unionByName(cf_d)
+                .groupBy("tok")
+                .agg(F.sum("cf").alias("cf"))
+            )
+            st_old = cur["stats"].select("n_docs", "c_tot")
+            st_new = dl_d.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("long").alias("c_tot"),
+            )
+            sums = st_old.unionByName(st_new).agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("c_tot").cast("long").alias("c_tot"),
+            )
+        else:
+            tf_m, dl_m, df_m, cf_m = tf_d, dl_d, df_d, cf_d
+            sums = dl_d.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("c_tot"),
+            )
+        st_m = sums.select(
+            "n_docs",
+            (
+                F.col("c_tot").cast("double") / F.col("n_docs").cast("double")
+            ).alias("avgdl"),
+            "c_tot",
+        )
+        snap = os.path.join(
+            state_dir, f"tindex-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        tf_m.write.mode("overwrite").parquet(os.path.join(snap, "tf"))
+        dl_m.write.mode("overwrite").parquet(os.path.join(snap, "dl"))
+        df_m.write.mode("overwrite").parquet(os.path.join(snap, "dfreq"))
+        cf_m.write.mode("overwrite").parquet(os.path.join(snap, "cf"))
+        st_m.write.mode("overwrite").parquet(os.path.join(snap, "stats"))
+        tmp = os.path.join(
+            state_dir, _TINDEX_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _TINDEX_POINTER))
+
+    stream = read_document_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -806,3 +806,62 @@ def test_dedup_increment_equals_batch_pairs(spark, tmp_path_factory):
     assert got == want and want  # non-empty: the near-dup family pairs
     # cross-batch pair present: doc 0 (batch 1) with doc 30+ (batch 2)
     assert any(a < 30 <= b for a, b in got)
+
+
+def test_index_increment_equals_batch_index(spark, tmp_path_factory):
+    """Incremental inverted-index maintenance: after two drains the
+    maintained index scores BM25 and QLD identically to the fresh
+    batch scorers over everything landed (exact integer merges, same
+    stats division); a replayed/no-new-files drain is a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators import textstats
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("tindex_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    def land(lo, hi, name):
+        rows = [
+            (i, f"alpha beta doc{i} gamma" + " beta" * (i % 3), "en", "s0")
+            for i in range(lo, hi)
+        ]
+        staging = f"{d['landing']}/../_stage_{name}"
+        spark.createDataFrame(
+            rows, ingest.DOC_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+            shutil.move(f, f"{d['landing']}/{name}_{i}.parquet")
+
+    land(0, 15, "batch1")
+    ingest.run_index_increment(spark, d["landing"], d["state"], d["ckpt"])
+    idx1 = ingest.read_text_index(spark, d["state"])
+    assert idx1 is not None
+    snap1 = idx1["meta"]["snapshot"]
+
+    ingest.run_index_increment(spark, d["landing"], d["state"], d["ckpt"])
+    assert ingest.read_text_index(spark, d["state"])["meta"]["snapshot"] == snap1
+
+    land(15, 30, "batch2")
+    ingest.run_index_increment(spark, d["landing"], d["state"], d["ckpt"])
+    idx = ingest.read_text_index(spark, d["state"])
+
+    corpus = spark.read.schema(ingest.DOC_STREAM_SCHEMA).parquet(
+        d["landing"]
+    ).select("doc_id", "text")
+    q = local_df(
+        spark,
+        [("q0", "alpha beta"), ("q1", "gamma doc3")],
+        "query_id string, qtext string",
+    )
+    for fresh, indexed in [
+        (textstats.bm25_topk(corpus, q), textstats.bm25_topk_indexed(idx, q)),
+        (textstats.qld_topk(corpus, q), textstats.qld_topk_indexed(idx, q)),
+    ]:
+        a = {(r.query_id, r.doc_id): (r.score, r.rank) for r in fresh.collect()}
+        b = {(r.query_id, r.doc_id): (r.score, r.rank) for r in indexed.collect()}
+        assert a == b and a
