@@ -220,6 +220,47 @@ def roles(g: GraphResult) -> DataFrame:
     )
 
 
+def ppr(g: GraphResult) -> DataFrame:
+    """Personalized PageRank around the md5-smallest seed entities —
+    proximity-weighted importance near the seeds (rank.entity_ppr):
+    (node, rank) by descending rank."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.rank import entity_cooccurrence, entity_ppr
+
+    return entity_ppr(entity_cooccurrence(g.mentions)).orderBy(
+        F_.desc("rank"), "node"
+    )
+
+
+def pmi(g: GraphResult, k: int = 20) -> DataFrame:
+    """Strongest entity associations by NPMI — pairs co-occurring above
+    what their marginals predict (rank.entity_pmi): (a, b, n_ab, pmi,
+    npmi), top-k by npmi."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.rank import entity_pmi
+
+    return (
+        entity_pmi(g.mentions)
+        .orderBy(F_.desc("npmi"), "a", "b")
+        .limit(k)
+    )
+
+
+def timeline(g: GraphResult) -> DataFrame:
+    """Temporal extent + volume per entity (rank.entity_timeline):
+    (entity_key, first_ts, last_ts, n_mentions, n_convs) by last_ts
+    descending — the freshness probe."""
+    from pyspark.sql import functions as F_
+
+    from joern_spark.operators.rank import entity_timeline
+
+    return entity_timeline(g.transcripts, g.mentions).orderBy(
+        F_.desc("last_ts"), "entity_key"
+    )
+
+
 def ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """PQ/ADC nearest neighbours of the corpus's deterministic probe
     vector (similarity.pq_topk_adc): (vec_id, adc) ascending — the
@@ -300,6 +341,9 @@ def repl(
         "skew": lambda *a, **k: skew(g, *a, **k),
         "tool_seqs": lambda: tool_seqs(g),
         "roles": lambda: roles(g),
+        "ppr": lambda: ppr(g),
+        "pmi": lambda *a, **k: pmi(g, *a, **k),
+        "timeline": lambda: timeline(g),
         "ann": ann,
     }
     if banner is None:

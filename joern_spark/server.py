@@ -28,6 +28,10 @@ Endpoints (JSON in/out):
   POST /tool_seqs {"limit"?}
                             — tool-call bigram mining over the active
                               project (which tool chains agents run)
+  POST /pmi    {"k"?, "limit"?}
+                            — strongest entity associations by NPMI
+  POST /timeline {"limit"?}
+                            — per-entity first/last mention + volume
   POST /sql    {"sql", "limit"?}
                             — run SQL over the registered tpg_*/name_*
                               views (TRUSTED surface, exactly like
@@ -186,6 +190,20 @@ class QueryServer:
                         )
 
                         df = _ts(ws.cpg)
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/pmi":
+                        # NPMI entity-association probe (console.pmi)
+                        from joern_spark.console import pmi as _pmi
+
+                        df = _pmi(ws.cpg, k=int(req.get("k", 20)))
+                        self._send(_df_payload(df, limit))
+                    elif self.path == "/timeline":
+                        # entity freshness probe (console.timeline)
+                        from joern_spark.console import (
+                            timeline as _tl,
+                        )
+
+                        df = _tl(ws.cpg)
                         self._send(_df_payload(df, limit))
                     elif self.path == "/boilerplate":
                         # repeated turn-text n-gram spans across the

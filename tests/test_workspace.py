@@ -214,6 +214,23 @@ def test_http_query_server(spark, tmp_path):
         assert out["columns"] == ["tool_a", "tool_b", "n", "n_convs"]
         for _, _, n, n_convs in out["rows"]:
             assert 1 <= n_convs <= n
+
+        # NPMI association probe: npmi ∈ [−1, 1], descending order
+        status, out = post("/pmi", {"k": 5})
+        assert status == 200 and 0 < out["n"] <= 5
+        assert out["columns"] == ["a", "b", "n_ab", "pmi", "npmi"]
+        npmis = [row[4] for row in out["rows"]]
+        assert npmis == sorted(npmis, reverse=True)
+        assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in npmis)
+
+        # entity-timeline probe: first_ts ≤ last_ts, counts ≥ 1
+        status, out = post("/timeline", {"limit": 10})
+        assert status == 200 and out["n"] > 0
+        assert out["columns"] == [
+            "entity_key", "first_ts", "last_ts", "n_mentions", "n_convs"
+        ]
+        for _, first_ts, last_ts, n_m, n_c in out["rows"]:
+            assert first_ts <= last_ts and n_m >= n_c >= 1
     finally:
         srv.shutdown()
 
