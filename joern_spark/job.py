@@ -114,6 +114,87 @@ def run_job(
     }
 
 
+def run_retrieval_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    n_buckets: int = 16,
+    fail_after_buckets: int | None = None,
+    runner: StageRunner | None = None,
+) -> dict[str, DataFrame]:
+    """Resumable lexical-index build — the FOURTH pipeline on the
+    generic StageRunner (after KG, curation, embedding-index): builds
+    the same tf/dl/dfreq/cf/stats tables `textstats.save_text_index`
+    persists, with per-bucket lineage so a killed build resumes without
+    re-tokenizing committed buckets:
+
+      t1_tf     doc-local per bucket: (doc_id, tok, tf) postings
+      t2_dl     doc-local per bucket: per-doc lengths (off t1's rows)
+      t3_vocab  global: df/cf vocabulary aggregate over the COMMITTED
+                posting table + the one-row stats summary
+
+    Indexed scoring over the job's outputs equals the fresh scorers
+    row-for-row (tested) — at 10^12 documents tokenization dominates
+    the build, so bucket-level resume is the difference between
+    re-paying it and not."""
+    from joern_spark.operators.textstats import _tf_table
+    from joern_spark.sources.testdata import read_documents
+
+    runner = runner or StageRunner(
+        spark, out_root, n_buckets, fail_after_buckets=fail_after_buckets
+    )
+    n_buckets = runner.n_buckets
+    d = with_bucket(read_documents(spark, sf_dir), n_buckets, key="doc_id").repartition(
+        n_buckets, F.col(BUCKET_COL)
+    )
+    d.cache()
+    fps = input_fingerprint(d, ["doc_id", "text"])
+    global_fp = "|".join(f"{b}:{fp}" for b, fp in sorted(fps.items()))
+
+    def compute_tf(pending):
+        sub = d.where(F.col(BUCKET_COL).isin(pending)).drop(BUCKET_COL)
+        return with_bucket(
+            _tf_table(sub.select("doc_id", "text")), n_buckets, key="doc_id"
+        )
+
+    tf = runner.run_stage("t1_tf", compute_tf, fps)
+
+    def compute_dl(pending):
+        sub = tf.where(F.col(BUCKET_COL).isin(pending))
+        return sub.groupBy(BUCKET_COL, "doc_id").agg(
+            F.sum("tf").alias("dl")
+        )
+
+    dl = runner.run_stage("t2_dl", compute_dl, fps)
+
+    def compute_vocab():
+        t = tf.drop(BUCKET_COL)
+        return (
+            t.groupBy("tok")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("cf"),
+            )
+        )
+
+    vocab = runner.run_global_stage("t3_vocab", compute_vocab, global_fp)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        F.sum("dl").cast("long").alias("c_tot"),
+    )
+    d.unpersist()
+    return {
+        "tf": tf.drop(BUCKET_COL),
+        "dl": dl.drop(BUCKET_COL),
+        "dfreq": vocab.select("tok", "df"),
+        "cf": vocab.select("tok", "cf"),
+        "stats": stats,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.001)

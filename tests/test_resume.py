@@ -224,3 +224,46 @@ def test_index_job_kill_and_resume(spark, tmp_path_factory):
         result["quantized"].select("vec_id", "i", "q"),
         similarity.quantize_int8(embs),
     )
+
+
+def test_retrieval_job_kill_and_resume(spark, tmp_path_factory):
+    """Fourth pipeline on the generic StageRunner: the lexical-index
+    build kills mid-tokenization, resumes without recomputing committed
+    buckets, and indexed BM25/QLD over the job's outputs equal the
+    fresh scorers."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.job import run_retrieval_job
+    from joern_spark.operators import textstats
+    from joern_spark.sources.testdata import read_documents
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = str(tmp_path_factory.mktemp("tix_out"))
+
+    killed = StageRunner(spark, out, BUCKETS, fail_after_buckets=2)
+    with pytest.raises(SimulatedKill):
+        run_retrieval_job(spark, sf_dir, out, BUCKETS, runner=killed)
+    m = Manifest(f"{out}/_manifest")
+    done1 = m.completed("t1_tf")
+    assert len(done1) == 2
+
+    resumed = StageRunner(spark, out, BUCKETS)
+    result = run_retrieval_job(spark, sf_dir, out, BUCKETS, runner=resumed)
+    done2 = m.completed("t1_tf")
+    assert len(done2) == BUCKETS
+    survivors = [b for b, r in done2.items() if r["run_id"] == killed.run_id]
+    assert sorted(survivors) == sorted(done1)
+
+    docs = read_documents(spark, sf_dir)
+    q = local_df(
+        spark,
+        textstats.BM25_QUERIES,
+        "query_id string, qtext string",
+    )
+    idx = {k: result[k] for k in ("tf", "dl", "dfreq", "cf", "stats")}
+    for fresh, indexed in [
+        (textstats.bm25_topk(docs, q), textstats.bm25_topk_indexed(idx, q)),
+        (textstats.qld_topk(docs, q), textstats.qld_topk_indexed(idx, q)),
+    ]:
+        a = {(r.query_id, r.doc_id): (r.score, r.rank) for r in fresh.collect()}
+        b = {(r.query_id, r.doc_id): (r.score, r.rank) for r in indexed.collect()}
+        assert a == b and a
