@@ -1375,39 +1375,66 @@ def q_doc_keywords(spark, sf_dir):
     return textstats.doc_keywords(read_documents(spark, sf_dir))
 
 
+# BM25 / QLD top-k tables: five registered retrieval queries (bm25, qld,
+# rrf, mmr, rank_agreement) consume one or both; each is a full corpus
+# tokenize + aggregate (~2-3 s at sf0.1), so the session memo pays it
+# once per ranker (the co-mention-edge discipline). The memoized frame
+# is the per-query TOP-K table (dimension-sized) — checkpointing it
+# truncates the whole retrieval lineage.
+_BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
+_QLD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bm25_ranked(spark, sf_dir):
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    return _session_memo(
+        _BM25_CACHE,
+        spark,
+        sf_dir,
+        lambda: textstats.bm25_topk(
+            read_documents(spark, sf_dir),
+            local_df(spark, BM25_QUERIES, "query_id string, qtext string"),
+        ),
+    )
+
+
+def _qld_ranked(spark, sf_dir):
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    return _session_memo(
+        _QLD_CACHE,
+        spark,
+        sf_dir,
+        lambda: textstats.qld_topk(
+            read_documents(spark, sf_dir),
+            local_df(spark, BM25_QUERIES, "query_id string, qtext string"),
+        ),
+    )
+
+
 def q_doc_bm25(spark, sf_dir):
     """Okapi BM25 top-k retrieval per benchmark query (fixed query
     dimension table, salted two-stage per-query top-k, sorted-fold float
     discipline)."""
-    from joern_spark.functions.localrel import local_df
-    from joern_spark.operators.textstats import BM25_QUERIES
-
-    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
-    return textstats.bm25_topk(read_documents(spark, sf_dir), q)
+    return _bm25_ranked(spark, sf_dir)
 
 
 def q_doc_qld(spark, sf_dir):
     """Dirichlet query-likelihood top-k retrieval per benchmark query
     (matched-term rewrite, broadcast query probe, salted two-stage
     top-k, sorted-fold float discipline)."""
-    from joern_spark.functions.localrel import local_df
-    from joern_spark.operators.textstats import BM25_QUERIES
-
-    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
-    return textstats.qld_topk(read_documents(spark, sf_dir), q)
+    return _qld_ranked(spark, sf_dir)
 
 
 def q_doc_rrf(spark, sf_dir):
     """Reciprocal-rank fusion of the BM25 and query-likelihood top-k
     lists — the hybrid-retrieval combiner; the fusion join is
     dimension-sized (≤ k·|queries| rows per side)."""
-    from joern_spark.functions.localrel import local_df
-    from joern_spark.operators.textstats import BM25_QUERIES
-
-    docs = read_documents(spark, sf_dir)
-    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
     return textstats.rrf_fuse(
-        textstats.bm25_topk(docs, q), textstats.qld_topk(docs, q)
+        _bm25_ranked(spark, sf_dir), _qld_ranked(spark, sf_dir)
     )
 
 
@@ -1415,13 +1442,8 @@ def q_rank_agreement(spark, sf_dir):
     """Jaccard@k + truncated RBO between the BM25 and QLD rankings —
     the fusion-worthiness eval; dimension-sized join over two top-k
     tables, per-depth weights as shared double literals."""
-    from joern_spark.functions.localrel import local_df
-    from joern_spark.operators.textstats import BM25_QUERIES
-
-    docs = read_documents(spark, sf_dir)
-    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
     return textstats.rank_agreement(
-        textstats.bm25_topk(docs, q), textstats.qld_topk(docs, q)
+        _bm25_ranked(spark, sf_dir), _qld_ranked(spark, sf_dir)
     )
 
 
@@ -1429,15 +1451,10 @@ def q_doc_mmr(spark, sf_dir):
     """MMR diversified selection over the RRF-fused candidates (λ=0.7,
     k=5): greedy relevance-vs-diversity picks with shingle-Jaccard
     similarity; all rounds over dimension-sized candidate tables."""
-    from joern_spark.functions.localrel import local_df
-    from joern_spark.operators.textstats import BM25_QUERIES
-
-    docs = read_documents(spark, sf_dir)
-    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
     fused = textstats.rrf_fuse(
-        textstats.bm25_topk(docs, q), textstats.qld_topk(docs, q)
+        _bm25_ranked(spark, sf_dir), _qld_ranked(spark, sf_dir)
     )
-    return textstats.mmr_rerank(docs, fused)
+    return textstats.mmr_rerank(read_documents(spark, sf_dir), fused)
 
 
 def q_doc_lm_buckets(spark, sf_dir):
