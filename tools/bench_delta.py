@@ -43,6 +43,10 @@ KNOWN_CAUSES: dict[str, str] = {
     # time is 6.4 s vs the 13.3 s battery figure (first trial pays the
     # session reaching cache).
     "tpg_dbcur_general": "ring-capable routing added (r4 misrouted rings)",
+    # r5-late grew the battery 57 → 58 scanners (rare-tool-transition:
+    # one extra window + support aggregate unioned into the findings
+    # plan) — a real, named semantic growth of the query.
+    "tpg_findings": "58th scanner (rare-tool-transition) added",
 }
 
 
