@@ -1014,3 +1014,55 @@ def _ppr_local(
     from joern_spark.functions.localrel import local_df
 
     return local_df(spark, sorted(rank.items()), "node string, rank double")
+
+
+BURST_MIN_MENTIONS = 8
+BURST_FACTOR = 4.0
+
+
+def entity_bursts(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    min_count: int = BURST_MIN_MENTIONS,
+    factor: float = BURST_FACTOR,
+) -> DataFrame:
+    """(entity_key, hour, n, mean_n) — hours where an entity's mention
+    rate spikes to ≥ `factor`× its own hourly mean (and ≥ `min_count`
+    absolute): the entity-level burst detector (Kleinberg-style rate
+    anomaly, threshold form). The temporal twin of the
+    burst-conversation scanner — THAT flags machine-rate turns inside
+    one conversation; this flags corpus-wide attention spikes on one
+    entity (a news event, an incident, a coordinated probe) that feed
+    the fact-flip/freshness scanner family.
+
+    Scale shape: one (conv, turn) equi-join against turn timestamps
+    (the entity_timeline join), one map-side-combined (entity, hour)
+    aggregate — the domain is vocabulary × corpus-hours, far below row
+    count — and a vocabulary-bounded mean join (broadcast). Float
+    discipline: mean_n is one division of exact BIGINTs; the burst
+    predicate compares the same doubles in both engines."""
+    from joern_spark.operators.link import keyed_mentions
+
+    ts = transcripts.select("conv_id", "turn_idx", "ts")
+    ph = (
+        keyed_mentions(mentions)
+        .select("conv_id", "turn_idx", "entity_key")
+        .join(ts, ["conv_id", "turn_idx"])
+        .groupBy(
+            "entity_key", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mn = ph.groupBy("entity_key").agg(
+        (
+            F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_n")
+    )
+    return (
+        ph.join(F.broadcast(mn), "entity_key")
+        .where(
+            (F.col("n") >= min_count)
+            & (F.col("n").cast("double") >= F.lit(factor) * F.col("mean_n"))
+        )
+        .select("entity_key", "hour", F.col("n").cast("long").alias("n"), "mean_n")
+    )

@@ -2348,3 +2348,29 @@ r0 AS (SELECT d.src AS node, coalesce(s.seed, 0.0) AS rank
 {joined}
 SELECT node, rank FROM r{PR_ITERATIONS}
 """
+
+
+def entity_bursts_sql(sf: float) -> str:
+    """Entity-level burst hours (mirror of rank.entity_bursts): same
+    hour truncation, integer counts, single-division mean, and the
+    factor literal substituted via repr()."""
+    from joern_spark.operators.rank import BURST_FACTOR, BURST_MIN_MENTIONS
+
+    key = NORM.format(x="m.surface")
+    f = repr(BURST_FACTOR)
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)}),
+ph AS (
+  SELECT {key} AS entity_key, date_trunc('hour', t.ts) AS hour,
+         count(*) AS n
+  FROM m JOIN t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+  GROUP BY 1, 2
+),
+mn AS (SELECT entity_key,
+              sum(n)::DOUBLE / count(*)::DOUBLE AS mean_n
+       FROM ph GROUP BY 1)
+SELECT ph.entity_key, ph.hour, ph.n::BIGINT AS n, mn.mean_n
+FROM ph JOIN mn USING (entity_key)
+WHERE ph.n >= {BURST_MIN_MENTIONS} AND ph.n::DOUBLE >= {f} * mn.mean_n
+"""

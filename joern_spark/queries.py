@@ -565,6 +565,15 @@ def q_entity_timeline(spark, sf_dir):
     )
 
 
+def q_entity_bursts(spark, sf_dir):
+    """Hours where an entity's mention rate spikes ≥4× its own hourly
+    mean (≥8 absolute) — corpus-wide attention-burst detection; one
+    turn-key join + (entity, hour) map-side aggregate."""
+    from joern_spark.operators.rank import entity_bursts
+
+    return entity_bursts(_t(spark, sf_dir), _mentions(spark, sf_dir))
+
+
 def q_tool_seqs(spark, sf_dir):
     """Tool-call bigram mining: adjacent pairs in each conversation's
     assistant tool-call subsequence — total count + distinct-conversation
@@ -1736,6 +1745,7 @@ TPG_QUERIES = {
     "tpg_tool_seqs": q_tool_seqs,
     "tpg_entity_pmi": q_entity_pmi,
     "tpg_entity_timeline": q_entity_timeline,
+    "tpg_entity_bursts": q_entity_bursts,
     "tpg_skew_profile": q_skew_profile,
     # (3) round-3 rotation block + battery trio
     "dd_span_dedup": q_dd_span_dedup,

@@ -1082,3 +1082,44 @@ def test_entity_ppr_mass_localizes_near_seeds(spark):
     far = [out[n] for n in nodes if abs(nodes.index(n) - i) >= 3]
     assert out[seed] == max(out.values())
     assert far and all(near > f for f in far)
+
+
+def test_entity_bursts(spark):
+    """Entity x: 16 mentions in one hour, 1 in each of 4 other hours →
+    mean = 20/5 = 4.0, the burst hour fires exactly at the boundary
+    (16 ≥ 4·4.0 and ≥ 8); entity y spread evenly never fires; a spike
+    below the absolute floor never fires regardless of ratio."""
+    import datetime as dt
+
+    from joern_spark.operators.rank import entity_bursts
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows_t, rows_m, idx = [], [], 0
+
+    def add(entity, hour, count):
+        nonlocal idx
+        for _ in range(count):
+            conv = f"c{idx}"
+            rows_t.append((conv, 0, t0 + dt.timedelta(hours=hour)))
+            rows_m.append((conv, 0, entity))
+            idx += 1
+
+    add("x", 0, 16)
+    for h in range(1, 5):
+        add("x", h, 1)
+    for h in range(6):
+        add("y", h, 2)
+    add("z", 0, 6)  # ratio 6/1.5=4 BUT below the absolute floor of 8
+    for h in range(1, 4):
+        add("z", h, 1)
+    t = spark.createDataFrame(
+        rows_t, "conv_id string, turn_idx int, ts timestamp"
+    )
+    m = spark.createDataFrame(
+        rows_m, "conv_id string, turn_idx int, surface string"
+    )
+    got = {
+        (r.entity_key, r.hour, r.n, r.mean_n)
+        for r in entity_bursts(t, m).collect()
+    }
+    assert got == {("x", t0, 16, 20 / 5)}

@@ -57,6 +57,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_tool_seqs",
     "tpg_entity_pmi",
     "tpg_entity_timeline",
+    "tpg_entity_bursts",
     "tpg_skew_profile",
 }
 
