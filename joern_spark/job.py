@@ -200,6 +200,12 @@ def main() -> None:
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument(
+        "--job",
+        choices=["kg", "curation", "index", "retrieval"],
+        default="kg",
+        help="which resumable pipeline to run (all share the StageRunner)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -217,18 +223,30 @@ def main() -> None:
     G.ensure_entities()
     G.ensure_transcripts(args.sf)
     t0 = time.time()
-    out = run_job(spark, args.sf, args.out, args.buckets)
-    n = out["triples_final"].count()
+    sf_dir = f"/root/testdata/sf{args.sf:g}"
+    if args.job == "kg":
+        out = run_job(spark, args.sf, args.out, args.buckets)
+        headline = ("triples_final", out["triples_final"].count())
+    elif args.job == "curation":
+        out = run_curation_job(spark, sf_dir, args.out, args.buckets)
+        headline = ("verdicts", out["verdict"].count())
+    elif args.job == "index":
+        out = run_index_job(spark, sf_dir, args.out, args.buckets)
+        headline = ("assignments", out["assign"].count())
+    else:
+        out = run_retrieval_job(spark, sf_dir, args.out, args.buckets)
+        headline = ("postings", out["tf"].count())
     print(
         json.dumps(
-            {"sf": args.sf, "triples_final": n, "wall_s": round(time.time() - t0, 2)}
+            {
+                "sf": args.sf,
+                "job": args.job,
+                headline[0]: headline[1],
+                "wall_s": round(time.time() - t0, 2),
+            }
         )
     )
     spark.stop()
-
-
-if __name__ == "__main__":
-    main()
 
 
 def run_curation_job(
@@ -383,3 +401,7 @@ def run_index_job(
         "quantized": quant,
         "keepmap": keepmap,
     }
+
+
+if __name__ == "__main__":
+    main()
