@@ -499,3 +499,38 @@ def boilerplate_ngrams(
         .where(F.col("df") >= min_df)
     )
     return agg.orderBy(F.desc("df"), F.asc("shingle")).limit(topk)
+
+
+def novelty_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty) — per document the share
+    of its distinct 3-gram shingles that appear NOWHERE else in the
+    corpus (corpus document frequency == 1): the inverse of the
+    boilerplate probe. A curation pipeline reads this as the
+    information-density signal — novelty ≈ 0 marks template/mirror
+    text that survived doc-level dedup, novelty ≈ 1 marks genuinely
+    new content worth its training tokens; the synthetic-data loop uses
+    it to reject generations that only recombine the corpus.
+
+    Scale shape: ONE shingle-keyed shuffle (map-side partial counts —
+    the boilerplate_ngrams shape) plus the shingle→doc join back; the
+    per-doc aggregate is map-side combined. Documents shorter than one
+    shingle emit no row (no shingle set to score). `novelty` is one
+    division of exact BIGINTs."""
+    sh = shingles(documents)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles")
+            ).alias("novelty"),
+        )
+    )

@@ -1210,3 +1210,44 @@ def pq_topk_adc_indexed(
         .orderBy("adc", "vec_id")
         .limit(k)
     )
+
+
+def cluster_quality(
+    embeddings: DataFrame,
+    k: int = IVF_CELLS,
+    rounds: int = KMEANS_ROUNDS,
+    sample_n: int = KMEANS_SAMPLE,
+) -> DataFrame:
+    """(cell, n, mean_sim) — cohesion of each Lloyd-refined k-means
+    cell: member count and mean cosine of members to their own
+    centroid. The index-health dashboard for the ANN family — a cell
+    whose mean_sim sags is a candidate for splitting (its members
+    scatter), and the spread across cells says whether the IVF probe
+    budget is balanced. Reads the SAME fused assignment projection as
+    `kmeans_assignments` (centroids as plan literals, rank-1 cosine
+    kept), so quality costs one corpus scan and a vocabulary-sized
+    (k-cell) aggregate — no extra shuffle beyond the groupBy.
+
+    Float discipline: per-cell means fold the member cosines in
+    ascending sorted order, then ONE division by the exact BIGINT
+    count — the DuckDB oracle replays the identical expression over
+    the identical centroid arithmetic (the emb_kmeans parity chain)."""
+    cents = kmeans_centroids(embeddings, k, rounds, sample_n)
+    a = _cell_assignments(embeddings, cents, probes=1)
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("csim")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            sorted_sum.alias("_s"),
+        )
+        .select(
+            "cell",
+            "n",
+            (F.col("_s") / F.col("n").cast("double")).alias("mean_sim"),
+        )
+    )

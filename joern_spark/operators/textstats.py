@@ -1288,3 +1288,58 @@ def rank_agreement(
             "rbo",
         )
     )
+
+
+PRF_TERMS = 5
+
+
+def prf_expansion_terms(
+    documents: DataFrame,
+    ranked: DataFrame,
+    queries: DataFrame,
+    k_terms: int = PRF_TERMS,
+) -> DataFrame:
+    """(query_id, tok, weight, rank) — pseudo-relevance-feedback query
+    expansion (RM3-lite): treat each query's retrieved top-k documents
+    as relevant, score every term in that feedback set by its summed
+    tf·ln(N/df) weight there, drop the query's own terms, and keep the
+    k_terms strongest — the classic recall move after first-pass
+    retrieval (Lavrenko & Croft relevance models, tf-idf weighting).
+
+    Scale shape: the feedback set is k docs per query, so the scored
+    term table is bounded by k·|doc vocabulary| per query (hundreds of
+    rows — dimension-sized); the only corpus-scale work is the tf/df
+    build the retrieval already pays. Float discipline: contributions
+    fold ascending-sorted; ln(N/df) uses corpus-wide exact BIGINTs."""
+    tf = _tf_table(documents)
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    qt = queries.select(
+        "query_id", F.explode(tokens_col(F.col("qtext"))).alias("tok")
+    ).dropDuplicates()
+    fb = ranked.select("query_id", "doc_id")
+    w = (
+        F.col("tf").cast("double")
+        * F.ln(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    )
+    scored = (
+        tf.join(fb, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select("query_id", "tok", w.alias("w"))
+        .join(qt, ["query_id", "tok"], "left_anti")
+    )
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list("w")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("weight"), F.asc("tok")
+    )
+    return (
+        scored.groupBy("query_id", "tok")
+        .agg(sorted_sum.alias("weight"))
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k_terms)
+    )

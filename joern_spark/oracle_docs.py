@@ -1111,6 +1111,7 @@ def kmeans_sql(
     k: int = IVF_CELLS,
     rounds: int = KMEANS_ROUNDS,
     sample_n: int = KMEANS_SAMPLE,
+    final: str = "assignments",
 ) -> str:
     """Lloyd-refined k-means mirror: identical hash-seeded centroids,
     `rounds` unrolled assign→update iterations over the identical
@@ -1169,14 +1170,26 @@ def kmeans_sql(
         f"FOR i IN range(1, {DIM + 1})])"
     )
     joined = ",\n".join(ctes)
+    assigned = f"""asg AS (
+  SELECT vec_id, cell, sim FROM (
+    SELECT v.vec_id, c.cell, {fdot} / (v.norm * c.cnorm) AS sim
+    FROM normed v CROSS JOIN cent{rounds} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell ASC) = 1
+)"""
+    if final == "quality":
+        return f"""
+WITH {joined},
+{assigned}
+SELECT cell, count(*)::BIGINT AS n,
+       list_sum(list_sort(list(sim))) / count(*)::DOUBLE AS mean_sim
+FROM asg GROUP BY 1
+"""
     return f"""
-WITH {joined}
-SELECT vec_id, cell FROM (
-  SELECT v.vec_id, c.cell, {fdot} / (v.norm * c.cnorm) AS sim
-  FROM normed v CROSS JOIN cent{rounds} c
-)
-QUALIFY row_number() OVER (PARTITION BY vec_id
-                           ORDER BY sim DESC, cell ASC) = 1
+WITH {joined},
+{assigned}
+SELECT vec_id, cell FROM asg
 """
 
 
@@ -2148,3 +2161,71 @@ SELECT a.query_id, a.n_common,
        a.rbo
 FROM agg a JOIN na USING (query_id) JOIN nb USING (query_id)
 """
+
+
+def novelty_sql() -> str:
+    """Mirror of dedup.novelty_stats: same distinct-shingle CTE, same
+    df==1 counting, same single division."""
+    return f"""
+WITH {TOKS},
+{SHINGLES},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS novelty
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY 1
+"""
+
+
+def prf_sql() -> str:
+    """Mirror of textstats.prf_expansion_terms over the BM25 feedback
+    set: same corpus tf/df, same tf·ln(N/df) ascending-sorted fold,
+    same query-term exclusion and (weight DESC, tok ASC) top-k."""
+    from joern_spark.operators.textstats import BM25_QUERIES, PRF_TERMS
+
+    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES)
+    return f"""
+WITH {TOKS},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+q(query_id, qtext) AS (VALUES {values}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM q
+),
+fb AS (SELECT query_id, doc_id FROM ({bm25_topk_sql()})),
+scored AS (
+  SELECT fb.query_id, tf.tok,
+         tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / dfreq.df::DOUBLE) AS w
+  FROM tf JOIN fb USING (doc_id) JOIN dfreq USING (tok), nd
+),
+ex AS (
+  SELECT s.query_id, s.tok, s.w FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM qt
+                    WHERE qt.query_id = s.query_id AND qt.tok = s.tok)
+),
+agg AS (SELECT query_id, tok, list_sum(list_sort(list(w))) AS weight
+        FROM ex GROUP BY 1, 2)
+SELECT query_id, tok, weight, rank FROM (
+  SELECT query_id, tok, weight,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY weight DESC, tok ASC) AS rank
+  FROM agg
+) WHERE rank <= {PRF_TERMS}
+"""
+
+
+def cluster_quality_sql() -> str:
+    """Per-cell cohesion of the Lloyd-refined k-means cells (mirror of
+    similarity.cluster_quality): the SAME centroid chain as the
+    emb_kmeans oracle, keeping the rank-1 cosine and folding per-cell
+    means over the ascending-sorted member list with one exact-count
+    division."""
+    return kmeans_sql(final="quality")

@@ -1466,6 +1466,37 @@ def q_doc_mmr(spark, sf_dir):
     return textstats.mmr_rerank(read_documents(spark, sf_dir), fused)
 
 
+def q_doc_prf(spark, sf_dir):
+    """RM3-lite pseudo-relevance-feedback expansion terms per query
+    over the BM25 feedback set — the recall move after first-pass
+    retrieval; the scored term table is dimension-sized."""
+    from joern_spark.functions.localrel import local_df
+    from joern_spark.operators.textstats import BM25_QUERIES
+
+    q = local_df(spark, BM25_QUERIES, "query_id string, qtext string")
+    return textstats.prf_expansion_terms(
+        read_documents(spark, sf_dir), _bm25_ranked(spark, sf_dir), q
+    )
+
+
+def q_emb_cluster_quality(spark, sf_dir):
+    """Per-cell cohesion (n, mean member-to-centroid cosine) of the
+    Lloyd-refined k-means cells — the ANN index-health metric; one
+    corpus scan + k-cell aggregate."""
+    from joern_spark.operators.similarity import cluster_quality
+
+    return cluster_quality(read_embeddings(spark, sf_dir))
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Per-document novelty: share of its shingles appearing nowhere
+    else in the corpus — the information-density inverse of the
+    boilerplate probe; one shingle-keyed shuffle."""
+    from joern_spark.operators.dedup import novelty_stats
+
+    return novelty_stats(read_documents(spark, sf_dir))
+
+
 def q_doc_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail split by unigram log-prob terciles."""
     return textstats.lm_buckets(read_documents(spark, sf_dir))
@@ -1741,6 +1772,9 @@ TPG_QUERIES = {
     "tpg_entity_wl": q_entity_wl,
     "doc_mmr": q_doc_mmr,
     "doc_rank_agreement": q_rank_agreement,
+    "doc_novelty": q_doc_novelty,
+    "doc_prf": q_doc_prf,
+    "emb_cluster_quality": q_emb_cluster_quality,
     "tpg_entity_ppr": q_entity_ppr,
     "tpg_tool_seqs": q_tool_seqs,
     "tpg_entity_pmi": q_entity_pmi,

@@ -53,6 +53,9 @@ MUST_BE_IN_WINDOW = {
     "tpg_entity_wl",
     "doc_mmr",
     "doc_rank_agreement",
+    "doc_novelty",
+    "doc_prf",
+    "emb_cluster_quality",
     "tpg_entity_ppr",
     "tpg_tool_seqs",
     "tpg_entity_pmi",
