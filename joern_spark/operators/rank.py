@@ -1066,3 +1066,74 @@ def entity_bursts(
         )
         .select("entity_key", "hour", F.col("n").cast("long").alias("n"), "mean_n")
     )
+
+
+HITS_ITERATIONS = 5
+
+
+def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
+    """(node, hub, authority) — Kleinberg HITS over a DIRECTED weighted
+    edge table (src, dst, w): authority(j) = Σ_i w(i,j)·hub(i) and
+    hub(i) = Σ_j w(i,j)·authority(j), each L1-normalized per half-step,
+    `iterations` fixed rounds from a uniform start. On the tool-call
+    transition graph this separates the two roles a co-occurrence count
+    conflates: hubs INITIATE chains (the tool agents reach for first),
+    authorities CONCLUDE them (the tool chains deliver into) — the
+    directed complement of the undirected co-mention analytics.
+
+    Scale shape: the node set is a closed vocabulary (tools), so every
+    table here is dimension-sized; each half-step is one |E|-row join +
+    vocabulary-bounded aggregate, and the L1 total is a one-row
+    broadcast. Float discipline: every per-node sum AND each
+    normalization total folds ascending-sorted; the divisions are
+    single shared IEEE ops — the oracle unrolls the identical rounds."""
+    e = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, hub double, authority double"
+        )
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+
+    def _l1(df, col):
+        total = df.agg(_sorted_sum(F.col(col)).alias("_t"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("w") * F.col("hub")).alias("c"))
+            .groupBy("node")
+            .agg(_sorted_sum(F.col("c")).alias("authority"))
+        )
+        auth = _l1(
+            nodes.join(araw, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint(eager=False)
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .select(
+                F.col("src").alias("node"),
+                (F.col("w") * F.col("authority")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(_sorted_sum(F.col("c")).alias("hub"))
+        )
+        hub = _l1(
+            nodes.join(hraw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=False)
+    return hub.join(auth, "node").select("node", "hub", "authority")

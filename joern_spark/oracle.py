@@ -2374,3 +2374,69 @@ SELECT ph.entity_key, ph.hour, ph.n::BIGINT AS n, mn.mean_n
 FROM ph JOIN mn USING (entity_key)
 WHERE ph.n >= {BURST_MIN_MENTIONS} AND ph.n::DOUBLE >= {f} * mn.mean_n
 """
+
+
+def tool_hits_sql(sf: float) -> str:
+    """HITS over the directed tool-transition graph (mirror of
+    rank.hits on assemble.tool_call_bigrams): iterations unrolled, every
+    per-node sum and every L1 total folded over ascending-sorted lists,
+    single shared divisions."""
+    from joern_spark.operators.rank import HITS_ITERATIONS
+
+    rounds: list[str] = []
+    for i in range(1, HITS_ITERATIONS + 1):
+        rounds.append(
+            f"""af{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(ar.authority, 0.0) AS authority
+  FROM nodes n LEFT JOIN (
+    SELECT p.dst AS node,
+           list_sum(list_sort(list(p.w * h.hub))) AS authority
+    FROM p JOIN h{i - 1} h ON h.node = p.src GROUP BY 1
+  ) ar USING (node)
+),
+a{i} AS MATERIALIZED (
+  SELECT node,
+         authority / (SELECT list_sum(list_sort(list(authority)))
+                      FROM af{i}) AS authority
+  FROM af{i}
+),
+hf{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(hr.hub, 0.0) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT p.src AS node,
+           list_sum(list_sort(list(p.w * a.authority))) AS hub
+    FROM p JOIN a{i} a ON a.node = p.dst GROUP BY 1
+  ) hr USING (node)
+),
+h{i} AS MATERIALIZED (
+  SELECT node,
+         hub / (SELECT list_sum(list_sort(list(hub))) FROM hf{i}) AS hub
+  FROM hf{i}
+)"""
+        )
+    joined = ",\n".join(rounds)
+    n = HITS_ITERATIONS
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+calls AS (
+  SELECT conv_id, turn_idx, tool FROM t
+  WHERE role = 'assistant' AND tool IS NOT NULL
+),
+bg AS (
+  SELECT conv_id, tool AS src,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM calls
+),
+p AS MATERIALIZED (
+  SELECT src, dst, count(*)::DOUBLE AS w FROM bg
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM p UNION SELECT dst AS node FROM p
+),
+cnt AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS hub FROM nodes),
+{joined}
+SELECT h.node, h.hub, a.authority
+FROM h{n} h JOIN a{n} a USING (node)
+"""

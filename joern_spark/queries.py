@@ -581,6 +581,20 @@ def q_tool_seqs(spark, sf_dir):
     return assemble.tool_call_bigrams(_t(spark, sf_dir))
 
 
+def q_tool_hits(spark, sf_dir):
+    """HITS hubs/authorities over the directed tool-transition graph —
+    which tools INITIATE chains vs CONCLUDE them (the directed
+    complement of co-occurrence); all tables dimension-sized."""
+    from joern_spark.operators.assemble import tool_call_bigrams
+    from joern_spark.operators.rank import hits
+
+    e = tool_call_bigrams(_t(spark, sf_dir)).select(
+        F.col("tool_a").alias("src"), F.col("tool_b").alias("dst"),
+        F.col("n").alias("w"),
+    )
+    return hits(e)
+
+
 def q_skew_profile(spark, sf_dir):
     """Key-distribution profile of the mention entity key: top-20 heavy
     hitters with share and skew (n / mean-per-key) — the diagnostic that
@@ -1738,8 +1752,6 @@ TPG_QUERIES = {
     "tpg_entity_suggest": q_entity_suggest,
     "doc_kmv_distinct": q_doc_kmv,
     "doc_kmv_overlap": q_doc_kmv_overlap,
-    "doc_weighted_sample": q_weighted_sample,
-    "doc_dsir": q_dsir_select,
     # round-4 additions (must sit inside the first-50 driver gate window)
     "tpg_reaching_defs": q_reaching_defs,
     "mm_decode_png": q_mm_decode_png,
@@ -1781,7 +1793,12 @@ TPG_QUERIES = {
     "tpg_entity_timeline": q_entity_timeline,
     "tpg_entity_bursts": q_entity_bursts,
     "tpg_skew_profile": q_skew_profile,
-    # (3) round-3 rotation block + battery trio
+    "tpg_tool_hits": q_tool_hits,
+    # (3) round-3 rotation block + battery trio (doc_weighted_sample /
+    # doc_dsir rotated down here in r5-late — driver-green in r4 — to
+    # free window slots for the newest additions)
+    "doc_weighted_sample": q_weighted_sample,
+    "doc_dsir": q_dsir_select,
     "dd_span_dedup": q_dd_span_dedup,
     "ev_asof": q_ev_asof,
     "ev_range": q_ev_range,

@@ -1123,3 +1123,25 @@ def test_entity_bursts(spark):
         for r in entity_bursts(t, m).collect()
     }
     assert got == {("x", t0, 16, 20 / 5)}
+
+
+def test_hits_separates_hub_from_authority(spark):
+    """Star digraph: s feeds a, b, c (s is the pure hub; a/b/c pure
+    authorities) — hub mass concentrates on s, authority splits over
+    a/b/c; both vectors L1-normalize to 1."""
+    from joern_spark.operators.rank import hits
+
+    e = spark.createDataFrame(
+        [("s", "a", 2), ("s", "b", 1), ("s", "c", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: (r.hub, r.authority) for r in hits(e).collect()}
+    assert got["s"][0] == max(h for h, _ in got.values())
+    assert got["s"][1] == 0.0  # nothing points AT s
+    assert all(got[x][0] == 0.0 for x in "abc")  # leaves point nowhere
+    assert got["a"][1] > got["b"][1] == got["c"][1] > 0
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-12
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-12
+    assert hits(
+        spark.createDataFrame([], "src string, dst string, w long")
+    ).count() == 0

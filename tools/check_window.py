@@ -62,6 +62,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_entity_timeline",
     "tpg_entity_bursts",
     "tpg_skew_profile",
+    "tpg_tool_hits",
 }
 
 
