@@ -1137,3 +1137,46 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
             "hub",
         ).localCheckpoint(eager=False)
     return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def conversation_topics(
+    mentions: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """(conv_id, topic, n_topic_mentions) — each conversation labeled
+    with its DOMINANT entity community (most mentions from one
+    community; ties break to the lexicographically smaller community
+    id): the graph-enrichment loop closed back onto conversations —
+    communities are discovered FROM co-mentions, then every
+    conversation is classified BY them (the corpus topic model a
+    curation pipeline stratifies mixtures on). Conversations whose
+    mentions all fall outside the strong-graph communities emit no row.
+
+    Scale shape: one broadcast join against the vocabulary-bounded
+    community map, a map-side (conv, community) aggregate, and a
+    per-conversation window over ≤ |communities| rows per group.
+    Integer-only."""
+    from pyspark.sql import Window
+
+    from joern_spark.operators.link import keyed_mentions
+
+    counts = (
+        keyed_mentions(mentions)
+        .join(
+            F.broadcast(communities.select("entity_key", "community")),
+            "entity_key",
+        )
+        .groupBy("conv_id", "community")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("n"), F.asc("community")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            F.col("community").alias("topic"),
+            F.col("n").cast("long").alias("n_topic_mentions"),
+        )
+    )

@@ -2440,3 +2440,45 @@ h0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS hub FROM nodes),
 SELECT h.node, h.hub, a.authority
 FROM h{n} h JOIN a{n} a USING (node)
 """
+
+
+def conv_topics_sql(sf: float) -> str:
+    """Dominant-community conversation labeling (mirror of
+    rank.conversation_topics): the entity_communities recursive closure
+    builds the same community map, then per-conversation argmax with
+    (n DESC, community ASC) tie-break."""
+    from joern_spark.operators.rank import COMMUNITY_MIN_CONVS
+
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH RECURSIVE t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2 HAVING count(*) >= {COMMUNITY_MIN_CONVS}
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+),
+reach(n, mm) AS (
+    SELECT DISTINCT a AS n, a AS mm FROM sym
+    UNION
+    SELECT r.n, s.b AS mm FROM reach r JOIN sym s ON s.a = r.mm
+),
+cmap AS MATERIALIZED (
+  SELECT n AS entity_key, min(mm) AS community FROM reach GROUP BY n
+),
+counts AS (
+  SELECT m.conv_id, c.community, count(*) AS n
+  FROM m JOIN cmap c ON {key} = c.entity_key
+  GROUP BY 1, 2
+)
+SELECT conv_id, community AS topic, n::BIGINT AS n_topic_mentions FROM (
+  SELECT conv_id, community, n,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n DESC, community ASC) AS rn
+  FROM counts
+) WHERE rn = 1
+"""

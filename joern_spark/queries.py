@@ -581,6 +581,21 @@ def q_tool_seqs(spark, sf_dir):
     return assemble.tool_call_bigrams(_t(spark, sf_dir))
 
 
+def q_conv_topics(spark, sf_dir):
+    """Each conversation labeled with its dominant entity community —
+    the graph-enrichment loop closed back onto conversations (corpus
+    topic stratification); broadcast community map + per-conv argmax."""
+    from joern_spark.operators.rank import (
+        conversation_topics,
+        entity_communities,
+    )
+
+    return conversation_topics(
+        _mentions(spark, sf_dir),
+        entity_communities(_comention_edges(spark, sf_dir)),
+    )
+
+
 def q_tool_hits(spark, sf_dir):
     """HITS hubs/authorities over the directed tool-transition graph —
     which tools INITIATE chains vs CONCLUDE them (the directed
@@ -1794,6 +1809,7 @@ TPG_QUERIES = {
     "tpg_entity_bursts": q_entity_bursts,
     "tpg_skew_profile": q_skew_profile,
     "tpg_tool_hits": q_tool_hits,
+    "tpg_conv_topics": q_conv_topics,
     # (3) round-3 rotation block + battery trio (doc_weighted_sample /
     # doc_dsir rotated down here in r5-late — driver-green in r4 — to
     # free window slots for the newest additions)

@@ -1145,3 +1145,28 @@ def test_hits_separates_hub_from_authority(spark):
     assert hits(
         spark.createDataFrame([], "src string, dst string, w long")
     ).count() == 0
+
+
+def test_conversation_topics(spark):
+    """Two communities {x, y} and {z}: c1 mentions x twice + z once →
+    topic = community(x); tie in c2 breaks to the smaller community id;
+    a conversation with no community-mapped mention emits no row."""
+    from joern_spark.operators.rank import conversation_topics
+
+    m = spark.createDataFrame(
+        [
+            ("c1", 0, "x"), ("c1", 1, "x"), ("c1", 2, "z"),
+            ("c2", 0, "y"), ("c2", 1, "z"),
+            ("c3", 0, "unmapped"),
+        ],
+        "conv_id string, turn_idx int, surface string",
+    )
+    communities = spark.createDataFrame(
+        [("x", "cx", 2), ("y", "cx", 2), ("z", "cz", 1)],
+        "entity_key string, community string, size long",
+    )
+    got = {
+        r.conv_id: (r.topic, r.n_topic_mentions)
+        for r in conversation_topics(m, communities).collect()
+    }
+    assert got == {"c1": ("cx", 2), "c2": ("cx", 1)}

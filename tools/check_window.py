@@ -63,6 +63,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_entity_bursts",
     "tpg_skew_profile",
     "tpg_tool_hits",
+    "tpg_conv_topics",
 }
 
 
