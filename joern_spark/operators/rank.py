@@ -1180,3 +1180,91 @@ def conversation_topics(
             F.col("n").cast("long").alias("n_topic_mentions"),
         )
     )
+
+
+def comention_edge_churn(
+    transcripts: DataFrame, mentions: DataFrame, cap: int = CONV_KEY_CAP
+) -> DataFrame:
+    """(day, n_new_pairs) — how many DISTINCT co-mention edges the
+    graph gains each day (an edge's birthday = the earliest
+    conversation day that co-mentions its endpoints): the KG-growth
+    curve. A flattening churn says the corpus has saturated its
+    relation vocabulary (new data re-treads known pairs — diminishing
+    returns for KG construction); a spike dates a domain shift. The
+    edge-level twin of the entity timeline.
+
+    Scale shape: one per-conversation day aggregate (min ts), the SAME
+    capped key-set self-join every co-mention op pays, then two
+    map-side-combined aggregates down to pair-vocabulary and calendar
+    cardinality. Integer-only."""
+    conv_day = transcripts.groupBy("conv_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    pc = conv_key_sets(mentions, cap=cap)
+    pair_day = (
+        pc.alias("x")
+        .join(pc.alias("y"), "conv_id")
+        .where(F.col("x.entity_key") < F.col("y.entity_key"))
+        .join(conv_day, "conv_id")
+        .groupBy(
+            F.col("x.entity_key").alias("a"),
+            F.col("y.entity_key").alias("b"),
+        )
+        .agg(F.min("day").alias("day"))
+    )
+    return pair_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_pairs")
+    )
+
+
+def community_density(
+    edges: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """(community, n_nodes, n_edges, density) — internal edge density
+    2E / (n·(n−1)) of each entity community over the strong co-mention
+    graph: the community-quality metric next to size (a dense community
+    is a real topic cluster; a sparse one is a chain artifact union-find
+    glued together — a candidate for a stricter edge threshold).
+    Singleton communities are excluded (density undefined at n = 1 —
+    both engines would 0-divide).
+
+    Scale shape: the strong edge table joins the broadcast community
+    map twice (vocabulary-bounded); intra-community edges aggregate to
+    the community cardinality map-side. One shared division."""
+    strong = edges.where(F.col("n_convs") >= COMMUNITY_MIN_CONVS).select(
+        "a", "b"
+    )
+    cmap = communities.select("entity_key", "community")
+    intra = (
+        strong.join(
+            F.broadcast(cmap.select(F.col("entity_key").alias("a"),
+                                    F.col("community").alias("ca"))),
+            "a",
+        )
+        .join(
+            F.broadcast(cmap.select(F.col("entity_key").alias("b"),
+                                    F.col("community").alias("cb"))),
+            "b",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    sizes = communities.select("community", "size").distinct()
+    return (
+        intra.join(F.broadcast(sizes), "community")
+        .where(F.col("size") > 1)
+        .select(
+            "community",
+            F.col("size").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            (
+                F.lit(2.0)
+                * F.col("n_edges").cast("double")
+                / (
+                    F.col("size").cast("double")
+                    * (F.col("size").cast("double") - F.lit(1.0))
+                )
+            ).alias("density"),
+        )
+    )

@@ -2482,3 +2482,68 @@ SELECT conv_id, community AS topic, n::BIGINT AS n_topic_mentions FROM (
   FROM counts
 ) WHERE rn = 1
 """
+
+
+def edge_churn_sql(sf: float) -> str:
+    """KG edge-growth curve (mirror of rank.comention_edge_churn):
+    identical capped key sets, per-conversation min-ts day, per-pair
+    earliest day, per-day new-edge counts."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+cd AS (SELECT conv_id, date_trunc('day', min(ts)) AS day
+       FROM t GROUP BY 1),
+pd AS (
+  SELECT x.k AS a, y.k AS b, min(cd.day) AS day
+  FROM pc x JOIN pc y ON x.conv_id = y.conv_id AND x.k < y.k
+  JOIN cd ON cd.conv_id = x.conv_id
+  GROUP BY 1, 2
+)
+SELECT day, count(*)::BIGINT AS n_new_pairs FROM pd GROUP BY 1
+"""
+
+
+def community_density_sql(sf: float) -> str:
+    """Internal edge density per entity community (mirror of
+    rank.community_density): the communities closure, intra-community
+    edge counts, identical 2E/(n(n−1)) expression, singletons
+    excluded."""
+    from joern_spark.operators.rank import COMMUNITY_MIN_CONVS
+
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH RECURSIVE t AS (SELECT * FROM {t_src(sf)}),
+m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2 HAVING count(*) >= {COMMUNITY_MIN_CONVS}
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+),
+reach(n, mm) AS (
+    SELECT DISTINCT a AS n, a AS mm FROM sym
+    UNION
+    SELECT r.n, s.b AS mm FROM reach r JOIN sym s ON s.a = r.mm
+),
+cmap AS MATERIALIZED (
+  SELECT n AS entity_key, min(mm) AS community FROM reach GROUP BY n
+),
+sizes AS (SELECT community, count(*) AS size FROM cmap GROUP BY 1),
+intra AS (
+  SELECT ca.community, count(*) AS n_edges
+  FROM e JOIN cmap ca ON ca.entity_key = e.a
+       JOIN cmap cb ON cb.entity_key = e.b
+  WHERE ca.community = cb.community
+  GROUP BY 1
+)
+SELECT i.community, s.size::BIGINT AS n_nodes, i.n_edges::BIGINT AS n_edges,
+       2.0 * i.n_edges::DOUBLE / (s.size::DOUBLE * (s.size::DOUBLE - 1.0))
+         AS density
+FROM intra i JOIN sizes s USING (community)
+WHERE s.size > 1
+"""

@@ -581,6 +581,32 @@ def q_tool_seqs(spark, sf_dir):
     return assemble.tool_call_bigrams(_t(spark, sf_dir))
 
 
+def q_community_density(spark, sf_dir):
+    """Internal edge density 2E/(n(n−1)) per entity community — the
+    community-quality metric (dense = real topic cluster, sparse =
+    union-find chain artifact); broadcast map joins, one division."""
+    from joern_spark.operators.rank import (
+        community_density,
+        entity_communities,
+    )
+
+    return community_density(
+        _comention_edges(spark, sf_dir),
+        entity_communities(_comention_edges(spark, sf_dir)),
+    )
+
+
+def q_edge_churn(spark, sf_dir):
+    """Daily count of NEW co-mention edges (edge birthday = earliest
+    co-mentioning conversation day) — the KG-growth curve; capped pair
+    join + calendar-sized aggregates."""
+    from joern_spark.operators.rank import comention_edge_churn
+
+    return comention_edge_churn(
+        _t(spark, sf_dir), _mentions(spark, sf_dir)
+    )
+
+
 def q_conv_topics(spark, sf_dir):
     """Each conversation labeled with its dominant entity community —
     the graph-enrichment loop closed back onto conversations (corpus
@@ -1761,8 +1787,6 @@ TPG_QUERIES = {
     # covered in r1-r3 (judge-verified green via tools/check_oracle.py in
     # r3; VERDICT r3 "Next round" #1) — pinned directly after the
     # fundamentals so CORRECTNESS_r04 gives them driver rows.
-    "tpg_entity_communities": q_entity_communities,
-    "tpg_entity_kcore": q_entity_kcore,
     "tpg_entity_closeness": q_entity_closeness,
     "tpg_entity_suggest": q_entity_suggest,
     "doc_kmv_distinct": q_doc_kmv,
@@ -1810,9 +1834,14 @@ TPG_QUERIES = {
     "tpg_skew_profile": q_skew_profile,
     "tpg_tool_hits": q_tool_hits,
     "tpg_conv_topics": q_conv_topics,
+    "tpg_edge_churn": q_edge_churn,
+    "tpg_community_density": q_community_density,
     # (3) round-3 rotation block + battery trio (doc_weighted_sample /
-    # doc_dsir rotated down here in r5-late — driver-green in r4 — to
-    # free window slots for the newest additions)
+    # doc_dsir / entity_communities / entity_kcore rotated down here in
+    # r5-late — all multi-round driver-green — to free window slots for
+    # the newest additions)
+    "tpg_entity_communities": q_entity_communities,
+    "tpg_entity_kcore": q_entity_kcore,
     "doc_weighted_sample": q_weighted_sample,
     "doc_dsir": q_dsir_select,
     "dd_span_dedup": q_dd_span_dedup,

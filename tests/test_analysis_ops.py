@@ -1170,3 +1170,47 @@ def test_conversation_topics(spark):
         for r in conversation_topics(m, communities).collect()
     }
     assert got == {"c1": ("cx", 2), "c2": ("cx", 1)}
+
+
+def test_community_density_and_edge_churn(spark):
+    """Density: a strong triangle {a,b,c} plus pendant-pair {d,e}:
+    triangle community density = 2·3/(3·2) = 1.0, pair = 2·1/(2·1) =
+    1.0; add a strong chain f–g–h (2 edges, 3 nodes): 2·2/(3·2) = 2/3.
+    Churn: pair first-seen day = earliest co-mentioning conversation
+    day."""
+    import datetime as dt
+
+    from joern_spark.operators.rank import (
+        community_density,
+        comention_edge_churn,
+        entity_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("a", "c", 5), ("b", "c", 5), ("d", "e", 5),
+         ("f", "g", 5), ("g", "h", 5)],
+        "a string, b string, n_convs long",
+    )
+    comm = entity_communities(edges)
+    got = {
+        r.community: (r.n_nodes, r.n_edges, r.density)
+        for r in community_density(edges, comm).collect()
+    }
+    assert got == {
+        "a": (3, 3, 1.0),
+        "d": (2, 1, 1.0),
+        "f": (3, 2, 2.0 * 2.0 / (3.0 * 2.0)),
+    }
+
+    t0 = dt.datetime(2026, 3, 1)
+    t = spark.createDataFrame(
+        [("c1", 0, t0), ("c2", 0, t0 + dt.timedelta(days=2))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    m = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 0, "y"),          # (x,y) born day 0
+         ("c2", 0, "x"), ("c2", 0, "y"), ("c2", 0, "z")],  # (x,z),(y,z) day 2
+        "conv_id string, turn_idx int, surface string",
+    )
+    churn = {r.day: r.n_new_pairs for r in comention_edge_churn(t, m).collect()}
+    assert churn == {t0: 1, t0 + dt.timedelta(days=2): 2}

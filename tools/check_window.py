@@ -64,6 +64,8 @@ MUST_BE_IN_WINDOW = {
     "tpg_skew_profile",
     "tpg_tool_hits",
     "tpg_conv_topics",
+    "tpg_edge_churn",
+    "tpg_community_density",
 }
 
 
