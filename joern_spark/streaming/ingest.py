@@ -1001,3 +1001,110 @@ def run_index_increment(
         .start()
     )
     q.awaitTermination()
+
+
+_BURST_POINTER = "CURRENT_BURST"
+
+
+def read_burst_counts(spark: SparkSession, state_dir: str):
+    """The committed per-(entity, hour) mention-count table, or None.
+    Returns (DataFrame | None, last batch id)."""
+    p = os.path.join(state_dir, _BURST_POINTER)
+    if not os.path.exists(p):
+        return None, -1
+    with open(p) as f:
+        name = f.read().strip()
+    batch_id = int(name.split("-")[1])
+    return spark.read.parquet(os.path.join(state_dir, name)), batch_id
+
+
+def burst_hours_from_counts(counts: DataFrame) -> DataFrame:
+    """The burst predicate over ANY per-(entity, hour) count table —
+    the shared read-side tail (the mixture-planner discipline), so the
+    stream-maintained table and a one-shot batch aggregate answer burst
+    queries through ONE expression tree."""
+    from joern_spark.operators.rank import BURST_FACTOR, BURST_MIN_MENTIONS
+
+    mn = counts.groupBy("entity_key").agg(
+        (
+            F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_n")
+    )
+    return (
+        counts.join(F.broadcast(mn), "entity_key")
+        .where(
+            (F.col("n") >= BURST_MIN_MENTIONS)
+            & (
+                F.col("n").cast("double")
+                >= F.lit(BURST_FACTOR) * F.col("mean_n")
+            )
+        )
+        .select(
+            "entity_key", "hour", F.col("n").cast("long").alias("n"), "mean_n"
+        )
+    )
+
+
+def run_burst_increment(
+    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental burst-detector maintenance: drain newly-landed
+    transcript files, aggregate the delta's per-(entity, hour) mention
+    counts, and fold them into the persisted count table by cell-wise
+    sum; burst hours derive ON READ via `burst_hours_from_counts` (the
+    per-entity mean must see the WHOLE history, so the maintained state
+    is counts, not verdicts — a burst can appear or retract as the mean
+    moves, exactly like the batch operator). Sums are not idempotent →
+    the Count-Min batch-id replay guard. State is vocabulary ×
+    corpus-hours cells — dimension-sized forever."""
+    import uuid
+
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.link import keyed_mentions
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur, last_id = read_burst_counts(spark, state_dir)
+        if batch_id <= last_id:
+            return  # replay of an already-folded batch
+        ts = batch_df.select("conv_id", "turn_idx", "ts")
+        delta = (
+            keyed_mentions(extract_mentions(batch_df))
+            .select("conv_id", "turn_idx", "entity_key")
+            .join(ts, ["conv_id", "turn_idx"])
+            .groupBy(
+                "entity_key",
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if delta.isEmpty():
+            return
+        merged = (
+            cur.unionByName(delta)
+            .groupBy("entity_key", "hour")
+            .agg(F.sum("n").cast("long").alias("n"))
+            if cur is not None
+            else delta
+        )
+        snap = os.path.join(
+            state_dir, f"burst-{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(
+            state_dir, _BURST_POINTER + f".tmp{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(snap))
+        os.replace(tmp, os.path.join(state_dir, _BURST_POINTER))
+
+    stream = read_transcript_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -865,3 +865,44 @@ def test_index_increment_equals_batch_index(spark, tmp_path_factory):
         a = {(r.query_id, r.doc_id): (r.score, r.rank) for r in fresh.collect()}
         b = {(r.query_id, r.doc_id): (r.score, r.rank) for r in indexed.collect()}
         assert a == b and a
+
+
+def test_burst_increment_equals_batch_bursts(spark, tmp_path_factory):
+    """Streaming burst maintenance: after two drains, burst hours
+    derived from the folded count table equal the one-shot batch
+    `entity_bursts` over everything landed (counts fold by sum; the
+    per-entity mean must see the whole history, so verdicts derive on
+    read); a no-new-files re-drain leaves the pointer untouched."""
+    import os
+
+    from joern_spark.operators.extract import extract_mentions
+    from joern_spark.operators.rank import entity_bursts
+    from joern_spark.streaming import ingest
+
+    root = tmp_path_factory.mktemp("burst_stream")
+    d = {k: str(root / k) for k in ("landing", "state", "ckpt")}
+    os.makedirs(d["landing"])
+
+    _land(spark, d, 0, 60, "batch1")
+    ingest.run_burst_increment(spark, d["landing"], d["state"], d["ckpt"])
+    counts1, id1 = ingest.read_burst_counts(spark, d["state"])
+    assert counts1 is not None and counts1.count() > 0
+
+    ingest.run_burst_increment(spark, d["landing"], d["state"], d["ckpt"])
+    _, id_again = ingest.read_burst_counts(spark, d["state"])
+    assert id_again == id1
+
+    _land(spark, d, 60, 120, "batch2")
+    ingest.run_burst_increment(spark, d["landing"], d["state"], d["ckpt"])
+    counts, _ = ingest.read_burst_counts(spark, d["state"])
+
+    corpus = spark.read.parquet(d["landing"])
+    stream_bursts = {
+        (r.entity_key, r.hour, r.n, r.mean_n)
+        for r in ingest.burst_hours_from_counts(counts).collect()
+    }
+    batch_bursts = {
+        (r.entity_key, r.hour, r.n, r.mean_n)
+        for r in entity_bursts(corpus, extract_mentions(corpus)).collect()
+    }
+    assert stream_bursts == batch_bursts and batch_bursts
