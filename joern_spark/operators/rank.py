@@ -1268,3 +1268,27 @@ def community_density(
             ).alias("density"),
         )
     )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, max_degree, mean_degree) of the
+    co-mention graph — the before-you-traverse cardinality probe (the
+    `cpg.graph` summary a joern console session starts with), and the
+    number a capacity planner reads before sizing the walk queries.
+
+    Scale shape: one degree aggregate over the symmetric edge table +
+    a one-row reduction; mean_degree = 2E/N is one division of exact
+    BIGINTs."""
+    sym = edges.select(F.col("a").alias("src")).unionByName(
+        edges.select(F.col("b").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ne = edges.count()
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.lit(ne).cast("long").alias("n_edges"),
+        F.max("deg").cast("long").alias("max_degree"),
+        (
+            F.lit(2.0) * F.lit(float(ne)) / F.count(F.lit(1)).cast("double")
+        ).alias("mean_degree"),
+    )

@@ -2547,3 +2547,26 @@ SELECT i.community, s.size::BIGINT AS n_nodes, i.n_edges::BIGINT AS n_edges,
 FROM intra i JOIN sizes s USING (community)
 WHERE s.size > 1
 """
+
+
+def graph_summary_sql(sf: float) -> str:
+    """One-row co-mention graph summary (mirror of rank.graph_summary):
+    same degree aggregate, 2E/N as the identical double division."""
+    key = NORM.format(x="m.surface")
+    return f"""
+WITH m AS ({mentions_sql(sf)}),
+{pc_capped(key)},
+e AS (
+  SELECT x.k AS a, y.k AS b FROM pc x JOIN pc y
+  ON x.conv_id = y.conv_id AND x.k < y.k
+  GROUP BY 1, 2
+),
+sym AS (SELECT a AS src FROM e UNION ALL SELECT b AS src FROM e),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+ne AS (SELECT count(*) AS n FROM e)
+SELECT count(*)::BIGINT AS n_nodes,
+       (SELECT n FROM ne)::BIGINT AS n_edges,
+       max(deg)::BIGINT AS max_degree,
+       2.0 * (SELECT n FROM ne)::DOUBLE / count(*)::DOUBLE AS mean_degree
+FROM deg
+"""

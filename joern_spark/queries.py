@@ -581,6 +581,14 @@ def q_tool_seqs(spark, sf_dir):
     return assemble.tool_call_bigrams(_t(spark, sf_dir))
 
 
+def q_graph_summary(spark, sf_dir):
+    """One-row co-mention graph summary (nodes, edges, max/mean degree)
+    — the before-you-traverse cardinality probe."""
+    from joern_spark.operators.rank import graph_summary
+
+    return graph_summary(_comention_edges(spark, sf_dir))
+
+
 def q_community_density(spark, sf_dir):
     """Internal edge density 2E/(n(n−1)) per entity community — the
     community-quality metric (dense = real topic cluster, sparse =
@@ -1787,8 +1795,6 @@ TPG_QUERIES = {
     # covered in r1-r3 (judge-verified green via tools/check_oracle.py in
     # r3; VERDICT r3 "Next round" #1) — pinned directly after the
     # fundamentals so CORRECTNESS_r04 gives them driver rows.
-    "tpg_entity_closeness": q_entity_closeness,
-    "tpg_entity_suggest": q_entity_suggest,
     "doc_kmv_distinct": q_doc_kmv,
     "doc_kmv_overlap": q_doc_kmv_overlap,
     # round-4 additions (must sit inside the first-50 driver gate window)
@@ -1836,12 +1842,15 @@ TPG_QUERIES = {
     "tpg_conv_topics": q_conv_topics,
     "tpg_edge_churn": q_edge_churn,
     "tpg_community_density": q_community_density,
+    "tpg_graph_summary": q_graph_summary,
     # (3) round-3 rotation block + battery trio (doc_weighted_sample /
     # doc_dsir / entity_communities / entity_kcore rotated down here in
     # r5-late — all multi-round driver-green — to free window slots for
     # the newest additions)
     "tpg_entity_communities": q_entity_communities,
     "tpg_entity_kcore": q_entity_kcore,
+    "tpg_entity_closeness": q_entity_closeness,
+    "tpg_entity_suggest": q_entity_suggest,
     "doc_weighted_sample": q_weighted_sample,
     "doc_dsir": q_dsir_select,
     "dd_span_dedup": q_dd_span_dedup,

@@ -66,6 +66,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_conv_topics",
     "tpg_edge_churn",
     "tpg_community_density",
+    "tpg_graph_summary",
 }
 
 
