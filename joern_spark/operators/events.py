@@ -420,3 +420,73 @@ def sessionize_lag(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
             ).cast("long").alias("duration_us"),
         )
     )
+
+
+RFM_QS = [0.3333333333333333, 0.6666666666666666]
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """(r_seg, f_seg, m_seg, n_users) — RFM segmentation of the user
+    base: per user recency (days since last event, vs the corpus
+    horizon), frequency (event count) and monetary (integer cents —
+    per-event floor(value·100) summed as exact BIGINTs, so the sum is
+    order-free), each cut into low/mid/high at the tercile points of
+    the MERGEABLE log-linear histogram sketch (operators/sketch) —
+    the scale-correct substitute for a global ntile(): an exact
+    per-user tercile is a full sort of the user dimension (10^9 rows
+    at corpus scale), while the sketch shuffles ≤ ~500 buckets per
+    dimension and its cut points are deterministic bucket lower
+    bounds both engines reproduce bit-exactly.
+
+    Output is the ≤27-row segment-grid census a mixture planner or
+    marketing pipeline reads. Scale shape: one user-keyed aggregate
+    (map-side combined), three bucket aggregates over the user
+    dimension, three 2-row broadcast cut-point tables, one ≤27-key
+    census aggregate. Integer-only except the q literals."""
+    from joern_spark.operators.sketch import hist_quantiles, hist_registers
+
+    horizon = events.agg(F.max(F.to_date("ts")).alias("h"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0)).cast("long")
+            ).cast("long").alias("m"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.col("h"), F.col("last_day")).cast("long").alias("r"),
+            "f",
+            "m",
+        )
+        .localCheckpoint(eager=False)  # three sketch consumers + classify
+    )
+
+    def cuts(col: str):
+        qs = hist_quantiles(
+            hist_registers(per_user.select(F.col(col).alias("v"))), RFM_QS
+        )
+        return (
+            qs.groupBy()
+            .pivot("q", RFM_QS)
+            .agg(F.first("est"))
+            .select(
+                F.col(f"`{RFM_QS[0]}`").alias(f"{col}33"),
+                F.col(f"`{RFM_QS[1]}`").alias(f"{col}66"),
+            )
+        )
+
+    seg = per_user
+    for col in ("r", "f", "m"):
+        seg = seg.crossJoin(F.broadcast(cuts(col))).withColumn(
+            f"{col}_seg",
+            F.when(F.col(col) <= F.col(f"{col}33"), F.lit("low"))
+            .when(F.col(col) <= F.col(f"{col}66"), F.lit("mid"))
+            .otherwise(F.lit("high")),
+        )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

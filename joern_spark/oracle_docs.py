@@ -2229,3 +2229,68 @@ def cluster_quality_sql() -> str:
     means over the ascending-sorted member list with one exact-count
     division."""
     return kmeans_sql(final="quality")
+
+
+def rfm_sql() -> str:
+    """RFM segment census (mirror of events.rfm_segments): identical
+    per-user integers (recency days, count, floor-cents sum), the same
+    log-linear bucket arithmetic and tercile pick as the len_hist
+    oracle, identical low/mid/high classification."""
+    from joern_spark.operators.events import RFM_QS
+
+    q33, q66 = repr(RFM_QS[0]), repr(RFM_QS[1])
+
+    def low(b):
+        return (
+            f"CASE WHEN {b} < 8 THEN CAST({b} AS BIGINT) "
+            f"ELSE CAST(({b} - 8) % 8 + 8 AS BIGINT) << (({b} - 8) // 8) END"
+        )
+
+    dims = []
+    for col in ("r", "f", "m"):
+        dims.append(
+            f"""{col}b AS (
+  SELECT CASE WHEN {col} < 8 THEN CAST({col} AS INT)
+              ELSE CAST((length(bin({col})) - 4) * 8
+                        + ({col} >> (length(bin({col})) - 4)) AS INT) END
+           AS bucket
+  FROM pu
+),
+{col}regs AS (SELECT bucket, count(*) AS cnt FROM {col}b GROUP BY 1),
+{col}cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER () AS total
+  FROM {col}regs
+),
+{col}cl AS (
+  SELECT {low("b33")} AS c33, {low("b66")} AS c66 FROM (
+    SELECT
+      (SELECT min(bucket) FROM {col}cum
+       WHERE cum >= ceil({q33} * total)) AS b33,
+      (SELECT min(bucket) FROM {col}cum
+       WHERE cum >= ceil({q66} * total)) AS b66
+  )
+)"""
+        )
+    joined = ",\n".join(dims)
+    return f"""
+WITH pu AS MATERIALIZED (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE),
+                   (SELECT CAST(max(ts) AS DATE) FROM events)) AS r,
+         count(*) AS f,
+         sum(CAST(floor(value * 100.0) AS BIGINT)) AS m
+  FROM events GROUP BY user_id
+),
+{joined}
+SELECT r_seg, f_seg, m_seg, count(*)::BIGINT AS n_users FROM (
+  SELECT
+    CASE WHEN pu.r <= rc.c33 THEN 'low'
+         WHEN pu.r <= rc.c66 THEN 'mid' ELSE 'high' END AS r_seg,
+    CASE WHEN pu.f <= fc.c33 THEN 'low'
+         WHEN pu.f <= fc.c66 THEN 'mid' ELSE 'high' END AS f_seg,
+    CASE WHEN pu.m <= mc.c33 THEN 'low'
+         WHEN pu.m <= mc.c66 THEN 'mid' ELSE 'high' END AS m_seg
+  FROM pu, rcl rc, fcl fc, mcl mc
+) GROUP BY 1, 2, 3
+"""

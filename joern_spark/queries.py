@@ -1587,6 +1587,15 @@ def q_dd_span_dedup(spark, sf_dir):
     return dedup.span_dedup(read_documents(spark, sf_dir))
 
 
+def q_ev_rfm(spark, sf_dir):
+    """RFM user segmentation with tercile cuts from the mergeable
+    log-linear histogram sketch (the scale-correct substitute for a
+    global ntile); ≤27-row segment census."""
+    from joern_spark.operators.events import rfm_segments
+
+    return rfm_segments(read_events(spark, sf_dir))
+
+
 def q_ev_asof(spark, sf_dir):
     """As-of join (zero-join windowed union, operators/events.py): every
     error event gains the user's most recent at-or-before signup or
@@ -1843,6 +1852,7 @@ TPG_QUERIES = {
     "tpg_edge_churn": q_edge_churn,
     "tpg_community_density": q_community_density,
     "tpg_graph_summary": q_graph_summary,
+    "ev_rfm": q_ev_rfm,
     # (3) round-3 rotation block + battery trio (doc_weighted_sample /
     # doc_dsir / entity_communities / entity_kcore rotated down here in
     # r5-late — all multi-round driver-green — to free window slots for

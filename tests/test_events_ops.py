@@ -257,3 +257,33 @@ def test_sessionize_native_equals_lag_twin(spark):
     a = events.sessionize(evs).orderBy("user_id", "session_idx")
     b = events.sessionize_lag(evs).orderBy("user_id", "session_idx")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rfm_segments_terciles(spark):
+    """Six single-event users on one day (r = 0, f = 1 for all) with
+    monetary cents 1..6 (exact small-value buckets): m terciles cut at
+    2 and 4, so the census is two users in each m segment; r/f collapse
+    to 'low' for everyone; segments partition the user base."""
+    import datetime as dt
+
+    from joern_spark.operators.events import rfm_segments
+
+    t0 = dt.datetime(2026, 5, 1, 12, 0, 0)
+    rows = [
+        (i, t0, i, "click", 0.01 * i, None) for i in range(1, 7)
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.r_seg, r.f_seg, r.m_seg): r.n_users
+        for r in rfm_segments(e).collect()
+    }
+    assert got == {
+        ("low", "low", "low"): 2,
+        ("low", "low", "mid"): 2,
+        ("low", "low", "high"): 2,
+    }
+    assert sum(got.values()) == 6

@@ -67,6 +67,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_edge_churn",
     "tpg_community_density",
     "tpg_graph_summary",
+    "ev_rfm",
 }
 
 
