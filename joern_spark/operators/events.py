@@ -490,3 +490,74 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: Sequence[str] = FUNNEL_STEPS,
+    gap_s: int = SESSION_GAP_S,
+) -> DataFrame:
+    """(depth, n_sessions) — funnel conversion census at SESSION
+    granularity: each gap-delimited session is scored by how many
+    ordered funnel steps it completes (the strict conditional-min
+    semantics of `funnel`, keyed by (user, session) instead of user),
+    including depth 0 for sessions that never reach step 1. The
+    composition query: a user may convert across days, but a SESSION
+    funnel measures whether one sitting converts — the number an
+    engagement dashboard actually wants next to the user-level funnel.
+
+    Scale shape: one user-keyed window assigns per-event session ids
+    (lag + cumsum — the sessionize_lag twin, deterministic under the
+    (ts, event_id) tiebreak), then N−1 conditional-min stages keyed on
+    (user_id, session) and one ≤(N+1)-row census. Integer-only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us("ts")
+    sid = F.sum(
+        F.when(
+            us - F.lag(us).over(w) > F.lit(gap_s) * F.lit(1_000_000),
+            1,
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ev = events.select(
+        "user_id", "event_type", "ts", sid.alias("sid")
+    ).localCheckpoint(eager=False)
+    cur = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("step_1_ts"))
+    )
+    carried = ["step_1_ts"]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("event_type") == step).select(
+            "user_id", "sid", "ts"
+        )
+        prev = F.col(f"step_{i - 1}_ts")
+        cur = (
+            cur.join(nxt, ["user_id", "sid"], "left")
+            .groupBy("user_id", "sid", *carried)
+            .agg(
+                F.min(
+                    F.when(F.col("ts") > prev, F.col("ts"))
+                ).alias(f"step_{i}_ts")
+            )
+        )
+        carried.append(f"step_{i}_ts")
+    depth = None
+    for c in carried:
+        d = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        depth = d if depth is None else depth + d
+    # depth 0 = sessions that never reach step 1: a left join from the
+    # FULL session set onto the funnel rows (no driver-side arithmetic)
+    all_sessions = ev.select("user_id", "sid").distinct()
+    return (
+        all_sessions.join(
+            cur.select("user_id", "sid", depth.alias("_d")),
+            ["user_id", "sid"],
+            "left",
+        )
+        .select(F.coalesce(F.col("_d"), F.lit(0)).cast("int").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )

@@ -2294,3 +2294,59 @@ SELECT r_seg, f_seg, m_seg, count(*)::BIGINT AS n_users FROM (
   FROM pu, rcl rc, fcl fc, mcl mc
 ) GROUP BY 1, 2, 3
 """
+
+
+def session_funnel_sql() -> str:
+    """Session-granularity funnel census (mirror of
+    events.session_funnel): lag+cumsum session ids with the (ts,
+    event_id) tiebreak, the N−1 strict conditional-min stages keyed on
+    (user, session), depth-0 via the full-session left join."""
+    from joern_spark.operators.events import FUNNEL_STEPS, SESSION_GAP_S
+
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ev AS MATERIALIZED (
+  SELECT user_id, event_type, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+f1 AS (
+  SELECT user_id, sid, min(ts) AS step_1_ts FROM ev
+  WHERE event_type = '{s1}' GROUP BY 1, 2
+),
+f2 AS (
+  SELECT f1.user_id, f1.sid, f1.step_1_ts,
+         min(CASE WHEN e.ts > f1.step_1_ts THEN e.ts END) AS step_2_ts
+  FROM f1 LEFT JOIN ev e
+    ON e.user_id = f1.user_id AND e.sid = f1.sid
+   AND e.event_type = '{s2}'
+  GROUP BY 1, 2, 3
+),
+f3 AS (
+  SELECT f2.user_id, f2.sid, f2.step_1_ts, f2.step_2_ts,
+         min(CASE WHEN e.ts > f2.step_2_ts THEN e.ts END) AS step_3_ts
+  FROM f2 LEFT JOIN ev e
+    ON e.user_id = f2.user_id AND e.sid = f2.sid
+   AND e.event_type = '{s3}'
+  GROUP BY 1, 2, 3, 4
+),
+allsess AS (SELECT DISTINCT user_id, sid FROM ev)
+SELECT depth, count(*)::BIGINT AS n_sessions FROM (
+  SELECT coalesce(
+           (CASE WHEN f3.step_1_ts IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN f3.step_2_ts IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN f3.step_3_ts IS NOT NULL THEN 1 ELSE 0 END),
+           0)::INT AS depth
+  FROM allsess a LEFT JOIN f3
+    ON f3.user_id = a.user_id AND f3.sid = a.sid
+) GROUP BY 1
+"""

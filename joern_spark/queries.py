@@ -1587,6 +1587,15 @@ def q_dd_span_dedup(spark, sf_dir):
     return dedup.span_dedup(read_documents(spark, sf_dir))
 
 
+def q_ev_session_funnel(spark, sf_dir):
+    """Funnel conversion census at SESSION granularity (does one
+    sitting convert?) — sessionize + strict ordered funnel composed;
+    ≤4-row census incl. depth 0."""
+    from joern_spark.operators.events import session_funnel
+
+    return session_funnel(read_events(spark, sf_dir))
+
+
 def q_ev_rfm(spark, sf_dir):
     """RFM user segmentation with tercile cuts from the mergeable
     log-linear histogram sketch (the scale-correct substitute for a
@@ -1804,7 +1813,6 @@ TPG_QUERIES = {
     # covered in r1-r3 (judge-verified green via tools/check_oracle.py in
     # r3; VERDICT r3 "Next round" #1) — pinned directly after the
     # fundamentals so CORRECTNESS_r04 gives them driver rows.
-    "doc_kmv_distinct": q_doc_kmv,
     "doc_kmv_overlap": q_doc_kmv_overlap,
     # round-4 additions (must sit inside the first-50 driver gate window)
     "tpg_reaching_defs": q_reaching_defs,
@@ -1853,10 +1861,12 @@ TPG_QUERIES = {
     "tpg_community_density": q_community_density,
     "tpg_graph_summary": q_graph_summary,
     "ev_rfm": q_ev_rfm,
+    "ev_session_funnel": q_ev_session_funnel,
     # (3) round-3 rotation block + battery trio (doc_weighted_sample /
     # doc_dsir / entity_communities / entity_kcore rotated down here in
     # r5-late — all multi-round driver-green — to free window slots for
     # the newest additions)
+    "doc_kmv_distinct": q_doc_kmv,
     "tpg_entity_communities": q_entity_communities,
     "tpg_entity_kcore": q_entity_kcore,
     "tpg_entity_closeness": q_entity_closeness,

@@ -287,3 +287,31 @@ def test_rfm_segments_terciles(spark):
         ("low", "low", "high"): 2,
     }
     assert sum(got.values()) == 6
+
+
+def test_session_funnel_census(spark):
+    """One user, two sessions split by a >30-min gap: session 1
+    completes view→click→purchase (depth 3); session 2 has only a view
+    (depth 1); a second user's session with click-before-view scores
+    depth 1 (strict ordering); totals partition the session set."""
+    import datetime as dt
+
+    from joern_spark.operators.events import session_funnel
+
+    t0 = dt.datetime(2026, 6, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + m, 1, "click", 1.0, None),
+        (3, t0 + 2 * m, 1, "purchase", 1.0, None),
+        (4, t0 + dt.timedelta(hours=2), 1, "view", 1.0, None),  # new session
+        (5, t0, 2, "click", 1.0, None),
+        (6, t0 + m, 2, "view", 1.0, None),  # view AFTER click: depth 1
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.depth: r.n_sessions for r in session_funnel(e).collect()}
+    assert got == {3: 1, 1: 2}

@@ -68,6 +68,7 @@ MUST_BE_IN_WINDOW = {
     "tpg_community_density",
     "tpg_graph_summary",
     "ev_rfm",
+    "ev_session_funnel",
 }
 
 
